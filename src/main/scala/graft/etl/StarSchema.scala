@@ -1,0 +1,140 @@
+package graft.etl
+
+import graft.Tables._
+import graft.QuerySpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The full star-schema ETL pipeline (SURVEY.md §3.2), re-expressed over
+  * the driver's testdata: `orders`+`lineitem` play payments/invoice_items,
+  * `customer`⋈`nation`⋈`region` play the geography chain, `part` plays
+  * film/track, `o_orderdate` drives dim_date.
+  *
+  * The reference's five phases (loadAnalyticsDB.R:532-558 — date dim →
+  * location → customer → product → fact) become five DataFrame builders
+  * composed into one fact build. Key differences by design:
+  *   - surrogate keys are the stable natural keys (custkey/partkey/
+  *     nationkey), not AUTO_INCREMENT: at 100 TB a global row_number
+  *     window single-threads the build; natural keys join for free.
+  *     (The row_number form is exercised by the `surrogate_keys` spec.)
+  *   - the reference's row-at-a-time R key-resolution loop
+  *     (loadAnalyticsDB.R:462-502, O(facts×dims)) becomes broadcast hash
+  *     joins — dims are broadcast, the fact table never shuffles for key
+  *     resolution.
+  *   - denormalized year/quarter/month/product_type/country columns are
+  *     materialized at build time (createStarSchema.R:149-161), which at
+  *     scale enables partition pruning when the fact is written
+  *     partitioned by year.
+  */
+object StarSchema {
+
+  /** Phase 1 — dim_date (loadAnalyticsDB.R:56-137): range discovery with
+    * ±30-day buffer, dense daily spine, 8 derived attributes. */
+  def dimDate(s: SparkSession, d: String): DataFrame = {
+    val range = orders(s, d).agg(
+      date_sub(min(to_date(col("o_orderdate"))), 30).as("d0"),
+      date_add(max(to_date(col("o_orderdate"))), 30).as("d1"))
+    range
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("date"))
+      .select(
+        asLong(date_format(col("date"), "yyyyMMdd")).as("date_key"),
+        col("date"),
+        asLong(year(col("date"))).as("year"),
+        asLong(quarter(col("date"))).as("quarter"),
+        asLong(month(col("date"))).as("month"),
+        date_format(col("date"), "MMMM").as("month_name"),
+        asLong(dayofmonth(col("date"))).as("day"),
+        (asLong(expr("(dayofyear(date) - 1) div 7")) + 1L).as("week"))
+  }
+
+  /** Phase 2 — dim_location (loadAnalyticsDB.R:140-212): distinct
+    * geography, deduped (`unique(rbind(...))` + INSERT IGNORE → distinct). */
+  def dimLocation(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        asLong(col("n_nationkey")).as("location_key"),
+        col("n_name").as("country"),
+        col("r_name").as("region"))
+      .distinct()
+
+  /** Phase 3 — dim_customer (loadAnalyticsDB.R:215-302): geography
+    * denormalized onto the customer, business-unit tag attached. */
+  def dimCustomer(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey").as("customer_key"),
+        col("c_name").as("customer_name"),
+        col("n_name").as("country"),
+        col("r_name").as("region"),
+        col("c_mktsegment").as("segment"),
+        lit("film").as("customer_type"))
+
+  /** Phase 4 — dim_product (loadAnalyticsDB.R:305-381): name truncated to
+    * 255 (:358), category/type carried through. */
+  def dimProduct(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey").as("product_key"),
+      substring(col("p_name"), 1, 255).as("product_name"),
+      col("p_type").as("product_type"),
+      col("p_brand").as("category"),
+      money(col("p_retailprice")).as("list_price"))
+
+  /** Phase 5 — fact_sales (loadAnalyticsDB.R:384-529): one row per
+    * qualifying lineitem; all dim keys resolved via broadcast joins;
+    * unresolvable keys get the reference's fallback semantics
+    * (COALESCE default, loadAnalyticsDB.R:472-480); date parts + country
+    * denormalized (createStarSchema.R:149-161). */
+  def factSales(s: SparkSession, d: String): DataFrame = {
+    val cust = dimCustomer(s, d)
+      .select("customer_key", "country")
+    val li = lineitem(s, d)
+      .filter(col("l_quantity") > 0) // qualifying rows (≅ amount > 0 guard, loadAnalyticsDB.R:412)
+    li.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("customer_key"), "left")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        asLong(date_format(col("o_orderdate"), "yyyyMMdd")).as("date_key"),
+        coalesce(col("customer_key"), lit(-1L)).as("customer_key"),
+        col("l_partkey").as("product_key"),
+        money(col("l_quantity")).as("units_sold"),
+        dec4(money(col("l_extendedprice")) *
+          (lit(1).cast(Money) - money(col("l_discount")))).as("revenue"),
+        asLong(year(col("o_orderdate"))).as("year"),
+        asLong(quarter(col("o_orderdate"))).as("quarter"),
+        asLong(month(col("o_orderdate"))).as("month"),
+        coalesce(col("country"), lit("UNKNOWN")).as("country"))
+  }
+
+  /** The §7.3 `etl_star_build` contract: the composed pipeline's fact
+    * output, totally ordered for the oracle hash-match. */
+  val spec = QuerySpec(
+    "etl_star_build",
+    (s, d) => factSales(s, d)
+      .orderBy("order_id", "line_no", "product_key", "units_sold", "revenue"),
+    Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+                   CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key,
+                   COALESCE(c.c_custkey, -1) AS customer_key,
+                   l_partkey AS product_key,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS units_sold,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(18,4)) AS revenue,
+                   year(o_orderdate) AS year,
+                   quarter(o_orderdate) AS quarter,
+                   month(o_orderdate) AS month,
+                   COALESCE(n_name, 'UNKNOWN') AS country
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            LEFT JOIN (SELECT c_custkey, n_name FROM customer
+                       JOIN nation ON c_nationkey = n_nationkey) c
+              ON o_custkey = c.c_custkey
+            WHERE l_quantity > 0
+            ORDER BY order_id, line_no, product_key, units_sold, revenue""")
+  )
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
+SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, and compares row count, column names (sorted), and
+values row-by-row in emitted order. Exit 1 on any mismatch.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    import datetime
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = []
+    for name in sorted(oracle):
+        qdir = out / name
+        if not qdir.exists():
+            failures.append((name, "NO SPARK OUTPUT"))
+            continue
+        spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        try:
+            duck_rel = con.sql(oracle[name])
+        except Exception as e:
+            failures.append((name, f"ORACLE SQL ERROR: {e}"))
+            continue
+        scols, dcols = list(spark_rel.columns), list(duck_rel.columns)
+        if sorted(map(str.lower, scols)) != sorted(map(str.lower, dcols)):
+            failures.append((name, f"COLUMNS spark={sorted(scols)} duck={sorted(dcols)}"))
+            continue
+        # driver sorts columns by name before hashing
+        order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+        srows = spark_rel.fetchall()
+        drows = duck_rel.fetchall()
+        dorder = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+        if len(srows) != len(drows):
+            failures.append((name, f"ROWS spark={len(srows)} duck={len(drows)}"))
+            continue
+        bad = 0
+        for ri, (sr, dr) in enumerate(zip(srows, drows)):
+            sv = tuple(norm(sr[i]) for i in order)
+            dv = tuple(norm(dr[i]) for i in dorder)
+            if sv != dv:
+                bad += 1
+                if bad <= 3:
+                    print(f"  [{name}] row {ri} diff:\n    spark={sv}\n    duck ={dv}")
+        if bad:
+            failures.append((name, f"{bad}/{len(srows)} rows differ"))
+        else:
+            print(f"OK   {name}: {len(srows)} rows")
+    if failures:
+        print("\nFAILURES:")
+        for n, msg in failures:
+            print(f"FAIL {n}: {msg}")
+        sys.exit(1)
+    print(f"\nALL {len(oracle)} queries hash-match.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
