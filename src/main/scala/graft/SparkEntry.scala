@@ -8,7 +8,9 @@ object SparkEntry {
   /** Every capability the engine ships, in SURVEY §7.3 order followed by
     * the LLM-pipeline extensions. */
   def specs: Seq[QuerySpec] =
-    ops.Parity.all :+ etl.StarSchema.spec
+    (ops.Parity.all :+ etl.StarSchema.spec) ++
+      llm.TextOps.all ++ llm.Dedup.all ++ llm.Similarity.all ++
+      llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

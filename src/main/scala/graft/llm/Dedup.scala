@@ -1,0 +1,197 @@
+package graft.llm
+
+import graft.Tables._
+import graft.QuerySpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents`: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Designed as the 100 TB shapes:
+  *
+  *  - exact: one hash-shuffle on md5(text) (group-by, no pairwise work);
+  *  - MinHash+LSH: shingle→signature is per-document map-side work; the
+  *    only shuffle is the band-bucket self-join, whose fan-out is bounded
+  *    by bucket size — the standard linear-ish near-dup pipeline;
+  *  - SimHash: per-document bit-majority aggregation, then bucket by
+  *    signature — no pairwise comparisons at all;
+  *  - n-gram Jaccard: inverted-index self-join restricted to rare
+  *    shingles (document frequency ≤ 20), which bounds the candidate
+  *    blow-up the way frequency-pruning does in production dedup.
+  *
+  * Hashing is md5 (identical lowercase hex in Spark and DuckDB); all
+  * scores are integers (floor-scaled) so oracle hashes can't drift.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-group on content, keep the smallest doc_id
+    * (first-wins made deterministic, SURVEY §7.4). */
+  val exact = QuerySpec(
+    "dedup_exact",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("keep_id"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_cnt
+            FROM documents GROUP BY 1 ORDER BY keep_id""")
+  )
+
+  /** MinHash signatures: 8 hash slots from two md5 draws per 8-char
+    * shingle (4 independent 32-bit chunks each), min-aggregated per doc. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), explode(TextOps.charShingles(8)).as("s"))
+      .withColumn("m1", md5(col("s")))
+      .withColumn("m2", md5(concat(lit("x"), col("s"))))
+    val slots =
+      (0 until 4).map(i => min(substring(col("m1"), i * 8 + 1, 8)).as(s"h$i")) ++
+      (0 until 4).map(i => min(substring(col("m2"), i * 8 + 1, 8)).as(s"h${i + 4}"))
+    sh.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+  }
+
+  /** MinHash + LSH banding (2 bands × 4 rows ⇒ candidate threshold
+    * ≈ 0.84 Jaccard): docs sharing any band hash become a candidate
+    * near-dup pair. */
+  val minhashLsh = QuerySpec(
+    "dedup_minhash",
+    (s, d) => {
+      val sig = signatures(s, d)
+      val bands = sig.select(col("doc_id"), lit(0L).as("band"),
+          md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
+        .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
+          md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
+            sig AS (
+              SELECT doc_id,
+                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
+                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
+                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
+                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig)
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ORDER BY id1, id2""")
+  )
+
+  /** SimHash (16-bit): per-token hash bits vote ±1; the signature is the
+    * sign vector. Identical signatures ⇒ near-dup cluster, no pairwise
+    * join needed. Bit source: first 4 hex chars of md5(token), decoded by
+    * hex-digit position so both engines agree exactly. */
+  val simhash = QuerySpec(
+    "dedup_simhash",
+    (s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens).as("t"))
+        .withColumn("v", expr(
+          """(instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substring(md5(t), 4, 1)) - 1)"""))
+      val votes = (0 until 16).map(j =>
+        sum(when(expr(s"(v div ${1 << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j"))
+      val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      val bits = (0 until 16).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      sig.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val v =
+        """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)"""
+      val votes = (0 until 16).map(j =>
+        s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+            SELECT doc_id, UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+            FROM documents),
+          tv AS (SELECT doc_id, $v AS v FROM tok),
+          sig AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id)
+          SELECT doc_id, $bits AS simhash FROM sig ORDER BY doc_id"""
+    }
+  )
+
+  /** n-gram Jaccard near-dup pairs via a rare-shingle inverted index:
+    * candidates share ≥1 shingle with document frequency in [2, 20];
+    * Jaccard emitted as exact floor-scaled micro units; threshold ≥ 0.3
+    * applied as a pure integer comparison. */
+  val ngramJaccard = QuerySpec(
+    "ngram_jaccard",
+    (s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.charShingles(8)).as("s"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 20)
+        .select("s")
+      // phase 1: candidate pairs share ≥1 rare shingle (bounds fan-out)
+      val cand = sh.as("a")
+        .join(rare.as("r"), col("a.s") === col("r.s"))
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      // phase 2: exact intersection over ALL shingles, candidates only
+      val inter = cand
+        .join(sh.toDF("id1", "s1"), "id1")
+        .join(sh.toDF("id2", "s2"), "id2")
+        .filter(col("s1") === col("s2"))
+        .groupBy("id1", "id2")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("id1", "n1"), "id1")
+        .join(sizes.toDF("id2", "n2"), "id2")
+        .filter(expr("10 * inter >= 3 * (n1 + n2 - inter)"))
+        .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
+          expr("(1000000 * inter) div (n1 + n2 - inter)").as("jaccard_micro"))
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM sh a
+              JOIN rare r ON a.s = r.s
+              JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+            inter AS (
+              SELECT c.id1, c.id2, count(*) AS inter
+              FROM cand c
+              JOIN sh x ON c.id1 = x.doc_id
+              JOIN sh y ON c.id2 = y.doc_id AND x.s = y.s
+              GROUP BY 1, 2)
+            SELECT id1, id2, inter, na.n AS n1, nb.n AS n2,
+                   (1000000 * inter) // (na.n + nb.n - inter) AS jaccard_micro
+            FROM inter
+            JOIN sizes na ON id1 = na.doc_id
+            JOIN sizes nb ON id2 = nb.doc_id
+            WHERE 10 * inter >= 3 * (na.n + nb.n - inter)
+            ORDER BY id1, id2""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(exact, minhashLsh, simhash, ngramJaccard)
+}

@@ -1,0 +1,167 @@
+package graft.llm
+
+import graft.Tables._
+import graft.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
+  *
+  * Two tiers, the standard scale story:
+  *  - brute-force top-k: exact, O(|Q|·N) — the correctness baseline;
+  *    at 100 TB it's run per-query-batch with the corpus bucketed;
+  *  - LSH-bucketed top-k: sign-random-projection buckets (here: the sign
+  *    pattern of the first 8 dims — a fixed, data-independent projection)
+  *    shrink each probe to one bucket — the shuffle partitions BY bucket,
+  *    so the big side is scanned once and never replicated.
+  *
+  * Scores are integer dot products over floor-quantized (×1000)
+  * components: exact, order-independent, and bit-identical to the DuckDB
+  * oracle — float summation drift can't flip a rank. Cosine on raw
+  * floats is provided as `cosine()` for engine users (tested in
+  * ScalaTest, not oracle-hashed).
+  */
+object Similarity {
+
+  /** Quantized integer dot product of two float vectors (exact). */
+  def quantDot(a: String, b: String): Column =
+    expr(s"""aggregate(sequence(1, size($a)), 0L,
+             (acc, i) -> acc +
+               CAST(FLOOR(CAST(element_at($a, i) AS DOUBLE) * 1000) AS BIGINT) *
+               CAST(FLOOR(CAST(element_at($b, i) AS DOUBLE) * 1000) AS BIGINT))""")
+
+  /** Double-precision cosine similarity via higher-order functions (for
+    * engine users; not oracle-hashed — float fold order is engine-
+    * specific). */
+  def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"""aggregate(sequence(1, size($x)), CAST(0 AS DOUBLE),
+          (acc, i) -> acc + CAST(element_at($x, i) AS DOUBLE) * CAST(element_at($y, i) AS DOUBLE))"""
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  private val oracleDot =
+    """list_sum(list_transform(generate_series(1, len(qe)),
+       i -> CAST(FLOOR(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT) *
+            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)))"""
+
+  /** Brute-force exact top-5 neighbors for query vectors (vec_id < 10). */
+  val annBruteForce = QuerySpec(
+    "ann_topk",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("dot").desc, col("vec_id"))
+      q.crossJoin(e)
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), quantDot("qe", "embedding").as("dot"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                        FROM embeddings WHERE vec_id < 10),
+             scored AS (
+               SELECT qid, vec_id, $oracleDot AS dot
+               FROM q, embeddings WHERE qid <> vec_id),
+             ranked AS (
+               SELECT qid, vec_id, CAST(dot AS BIGINT) AS dot,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY dot DESC, vec_id) AS rank
+               FROM scored)
+             SELECT qid, rank, vec_id, dot FROM ranked
+             WHERE rank <= 5 ORDER BY qid, rank""")
+  )
+
+  /** Sign-projection bucket id: bit i set iff dim i+1 is positive. */
+  private val bucketExpr: String =
+    (0 until 8).map(i =>
+      s"(CASE WHEN CAST(element_at(EMB, ${i + 1}) AS DOUBLE) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val oracleBucket: String =
+    (0 until 8).map(i =>
+      s"(CASE WHEN CAST(EMB[${i + 1}] AS DOUBLE) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** LSH-bucketed approximate top-3: probes only the query's own sign
+    * bucket. The join key is the bucket id — at scale this hash-
+    * partitions the corpus once instead of broadcasting queries against
+    * every row. */
+  val annLshBucket = QuerySpec(
+    "ann_lsh_bucket",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("bucket",
+          expr(bucketExpr.replace("EMB", "embedding")).cast("long"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("dot").desc, col("vec_id"))
+      q.join(e, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("bucket"), col("vec_id"),
+          quantDot("qe", "embedding").as("dot"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "bucket", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH b AS (
+               SELECT vec_id, embedding,
+                      ${oracleBucket.replace("EMB", "embedding")} AS bucket
+               FROM embeddings),
+             q AS (SELECT vec_id AS qid, embedding AS qe, bucket
+                   FROM b WHERE vec_id < 10),
+             scored AS (
+               SELECT qid, q.bucket AS bucket, vec_id, $oracleDot AS dot
+               FROM q JOIN b ON q.bucket = b.bucket AND qid <> vec_id),
+             ranked AS (
+               SELECT qid, bucket, vec_id, CAST(dot AS BIGINT) AS dot,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY dot DESC, vec_id) AS rank
+               FROM scored)
+             SELECT qid, bucket, rank, vec_id, dot FROM ranked
+             WHERE rank <= 3 ORDER BY qid, rank""")
+  )
+
+  /** Embedding-space near-duplicate pairs: same-bucket pairs whose
+    * quantized dot exceeds a fixed threshold — the embedding analogue of
+    * MinHash-LSH dedup (candidate generation by bucket, exact scoring
+    * inside the bucket). */
+  val embeddingNearDup = QuerySpec(
+    "dedup_embedding",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("bucket",
+          expr(bucketExpr.replace("EMB", "embedding")).cast("long"))
+      val a = e.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b = e.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), quantDot("e1", "e2").as("dot"))
+        .filter(col("dot") > lit(250000L))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH b AS (
+               SELECT vec_id, embedding,
+                      ${oracleBucket.replace("EMB", "embedding")} AS bucket
+               FROM embeddings)
+             SELECT a.vec_id AS id1, c.vec_id AS id2,
+                    CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                      i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                           CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
+                      AS BIGINT) AS dot
+             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+             WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+                      i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                           CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) > 250000
+             ORDER BY id1, id2""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(annBruteForce, annLshBucket, embeddingNearDup)
+}

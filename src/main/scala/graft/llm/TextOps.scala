@@ -1,0 +1,172 @@
+package graft.llm
+
+import graft.Tables._
+import graft.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over
+  * the `documents` table: language ID, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd builtins + higher-order functions —
+  * no UDFs — so the whole surface stays inside WholeStageCodegen and
+  * scales embarrassingly parallel (per-document, no shuffle except the
+  * final deterministic sort).
+  *
+  * Cross-engine determinism: all derived numbers are integers (counts or
+  * `div`-scaled ratios) — no floating-point drift against the DuckDB
+  * oracle.
+  */
+object TextOps {
+
+  /** k-char shingle array: positions 1..max(len-k+1, 1). Shared by the
+    * dedup/fingerprint family (Dedup.scala). */
+  def charShingles(k: Int): Column =
+    expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), i -> substring(text, i, $k))")
+
+  /** Whitespace tokens with empties dropped (split on runs-of-spaces
+    * parity with the oracle's string_split + filter). */
+  val tokens: Column = expr("filter(split(lower(text), ' '), w -> w != '')")
+
+  private def stopCount(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(lower(text), ' '), w -> w IN ($set)))"
+  }
+
+  private val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "das", "ist"),
+    "fr" -> Seq("le", "et", "les", "une"),
+    "es" -> Seq("el", "los", "que", "para"))
+
+  /** Language ID via stopword n-gram heuristic: count per-language marker
+    * words, argmax with a fixed precedence order (en > de > fr > es) so
+    * ties are deterministic. */
+  val langId = QuerySpec(
+    "lang_id",
+    (s, d) => {
+      val withCounts = langs.foldLeft(documents(s, d)) { case (df, (l, ws)) =>
+        df.withColumn(s"cnt_$l", expr(stopCount(ws)).cast("long"))
+      }
+      val best = greatest(langs.map { case (l, _) => col(s"cnt_$l") }: _*)
+      val pred = langs.foldRight(lit("und"): Column) { case ((l, _), el) =>
+        when(col(s"cnt_$l") === best && best > 0, lit(l)).otherwise(el)
+      }
+      withCounts
+        .select(col("doc_id"), col("cnt_en"), col("cnt_de"), col("cnt_fr"),
+          col("cnt_es"), pred.as("pred_lang"), col("lang").as("claimed_lang"),
+          (pred === col("lang")).as("is_match"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def c(ws: Seq[String]) =
+        s"len(list_filter(string_split(lower(text), ' '), w -> w IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+      val cnts = langs.map { case (l, ws) => s"${c(ws)} AS cnt_$l" }.mkString(", ")
+      """WITH counts AS (SELECT doc_id, lang, CNTS FROM documents)
+         SELECT doc_id, cnt_en, cnt_de, cnt_fr, cnt_es,
+                CASE WHEN cnt_en = g AND g > 0 THEN 'en'
+                     WHEN cnt_de = g AND g > 0 THEN 'de'
+                     WHEN cnt_fr = g AND g > 0 THEN 'fr'
+                     WHEN cnt_es = g AND g > 0 THEN 'es'
+                     ELSE 'und' END AS pred_lang,
+                lang AS claimed_lang,
+                (CASE WHEN cnt_en = g AND g > 0 THEN 'en'
+                      WHEN cnt_de = g AND g > 0 THEN 'de'
+                      WHEN cnt_fr = g AND g > 0 THEN 'fr'
+                      WHEN cnt_es = g AND g > 0 THEN 'es'
+                      ELSE 'und' END = lang) AS is_match
+         FROM (SELECT *, greatest(cnt_en, cnt_de, cnt_fr, cnt_es) AS g FROM counts)
+         ORDER BY doc_id"""
+        .replace("CNTS", cnts)
+    }
+  )
+
+  /** Quality scoring: length / punctuation / stopword / word-shape
+    * signals, emitted as exact integer ratios (`div`-scaled milli-units). */
+  val qualityScore = QuerySpec(
+    "quality_score",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_char"),
+          size(tokens).cast("long").as("n_tokens"),
+          expr(stopCount(Seq("the", "and", "of", "is", "a", "to", "in")))
+            .cast("long").as("stop_cnt"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+            .cast("long").as("alpha_cnt"),
+          length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+            .cast("long").as("punct_cnt"))
+        .select(
+          col("doc_id"), col("n_char"), col("n_tokens"), col("stop_cnt"),
+          col("alpha_cnt"), col("punct_cnt"),
+          expr("(1000 * stop_cnt) div n_tokens").as("stop_milli"),
+          expr("(1000 * alpha_cnt) div n_char").as("alpha_milli"),
+          expr("(10 * alpha_cnt) div n_tokens").as("wordlen_deci"))
+        .orderBy("doc_id"),
+    Some("""WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_char,
+                     len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tokens,
+                     len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('the','and','of','is','a','to','in'))) AS stop_cnt,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_cnt,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_cnt
+              FROM documents)
+            SELECT doc_id, n_char, n_tokens, stop_cnt, alpha_cnt, punct_cnt,
+                   (1000 * stop_cnt) // n_tokens AS stop_milli,
+                   (1000 * alpha_cnt) // n_char AS alpha_milli,
+                   (10 * alpha_cnt) // n_tokens AS wordlen_deci
+            FROM base ORDER BY doc_id""")
+  )
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  val tokenCount = QuerySpec(
+    "token_count",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+            .cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_char"))
+        .withColumn("chars_per_tok_milli",
+          expr("(1000 * n_char) div greatest(bpe_tokens, 1)"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+                   length(text) AS n_char,
+                   (1000 * length(text)) //
+                     greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 1)
+                     AS chars_per_tok_milli
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Document fingerprinting via rolling shingle hashes: the winnowing-
+    * style (min, max) of md5 over 8-char shingles plus the distinct
+    * shingle count — a compact per-doc signature for near-dup triage. */
+  val docFingerprint = QuerySpec(
+    "doc_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(charShingles(8)).as("s"))
+        .groupBy("doc_id")
+        .agg(
+          min(md5(col("s"))).as("fp_min"),
+          max(md5(col("s"))).as("fp_max"),
+          count_distinct(col("s")).as("n_shingles"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max,
+                   count(DISTINCT s) AS n_shingles
+            FROM (SELECT doc_id, substr(text, i, 8) AS s
+                  FROM documents,
+                       UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i))
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(langId, qualityScore, tokenCount, docFingerprint)
+}
