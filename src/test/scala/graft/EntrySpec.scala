@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
+
+/** Contract wiring + property-based invariants (SURVEY §5.4). */
+class EntrySpec extends SparkSpec {
+  lazy val s = spark
+  import s.implicits._
+
+  test("every spec name is unique and every oracle belongs to a query") {
+    val names = SparkEntry.specs.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every query analyzes against the testdata (schema resolves)") {
+    SparkEntry.specs.foreach { q =>
+      val df = q.fn(spark, sf)
+      assert(df.schema.fields.nonEmpty, s"${q.name} has empty schema")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).limit(5).count() > 0)
+  }
+
+  test("property: lubridate week stays in [1, 53] and is monotone in yday") {
+    val genDay = Gen.choose(1, 366)
+    val prop = forAll(genDay) { yd =>
+      val w = (yd - 1) / 7 + 1
+      w >= 1 && w <= 53
+    } && forAll(genDay, genDay) { (a, b) =>
+      val (wa, wb) = ((a - 1) / 7 + 1, (b - 1) / 7 + 1)
+      (a <= b) == (wa <= wb) || wa == wb || a > b
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("property: union+distinct is idempotent") {
+    val gen = Gen.listOfN(50, Gen.choose(0L, 20L))
+    val prop = forAll(gen) { xs =>
+      val df = xs.toDF("x")
+      val once = df.unionByName(df).distinct().orderBy("x")
+        .collect().map(_.getLong(0)).toSeq
+      once == xs.distinct.sorted
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop).passed)
+  }
+
+  test("property: fact build preserves qualifying-source cardinality") {
+    // one output row per qualifying lineitem (SURVEY §5.4)
+    val li = Tables.lineitem(spark, sf).filter($"l_quantity" > 0)
+    val fact = etl.StarSchema.factSales(spark, sf)
+    assert(fact.count() == li.count())
+  }
+}

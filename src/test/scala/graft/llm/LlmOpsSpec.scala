@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the LLM-pipeline operator family on hand-built
+  * miniature inputs. */
+class LlmOpsSpec extends SparkSpec {
+  lazy val s = spark
+  import s.implicits._
+
+  test("quantized dot product is exact on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, -0.5f), Array(2.0f, 0.5f, 4.0f)))
+      .toDF("a", "b")
+      .select(Similarity.quantDot("a", "b").as("dot"))
+    // floor(1*1000)*floor(2*1000) + floor(2*1000)*floor(0.5*1000)
+    //   + floor(-0.5*1000)*floor(4*1000)
+    // = 1000*2000 + 2000*500 + (-500)*4000 = 2_000_000+1_000_000-2_000_000
+    assert(df.first().getLong(0) == 1000000L)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Array(0.3f, -0.7f, 0.2f), Array(0.3f, -0.7f, 0.2f)))
+      .toDF("a", "b").select(Similarity.cosine("a", "b").as("c"))
+    assert(math.abs(df.first().getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("identical docs share minhash signature; different docs don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated content about database engines and joins"))
+      .toDF("doc_id", "text")
+    val sig = docs
+      .select($"doc_id", explode(TextOps.charShingles(8)).as("s"))
+      .groupBy("doc_id")
+      .agg(min(md5($"s")).as("h0"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simhash: identical docs get identical signatures") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rules rewrite logical plans"),
+      (2L, "spark catalyst optimizer rules rewrite logical plans"),
+      (3L, "grouping aggregation shuffle exchange partitions"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs.createOrReplaceTempView("documents_test")
+    // run the same expression pipeline as Dedup.simhash on the view
+    val tok = docs.select($"doc_id", explode(TextOps.tokens).as("t"))
+      .withColumn("v", expr(
+        """(instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096 +
+           (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256 +
+           (instr('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substring(md5(t), 4, 1)) - 1)"""))
+    val votes = (0 until 16).map(j =>
+      sum(when(expr(s"(v div ${1 << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 16).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    val got = sig.select($"doc_id", bits.reduce(_ + _).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val q = TextOps.langId.fn(spark, sf)
+    val schema = q.schema.fieldNames.toSet
+    assert(Set("doc_id", "pred_lang", "claimed_lang").subsetOf(schema))
+    val preds = q.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("multimodal stub decode is deterministic and batch-shaped") {
+    val m1 = Multimodal.decodeStub(7L, Array.fill[Byte](2048)(1))
+    val m2 = Multimodal.decodeStub(7L, Array.fill[Byte](2048)(1))
+    assert(m1 == m2)
+    assert(m1.byte_len == 2048 && m1.est_frames == 3 && m1.channels == 3)
+    val df = Multimodal.decodeAll(spark, sf)
+    assert(df.columns.toSeq == Seq("doc_id", "byte_len", "width", "height",
+      "channels", "est_frames"))
+    // plumbing equivalence: mapPartitions stub == column-op twin
+    val viaCols = Multimodal.meta.fn(spark, sf)
+      .select("doc_id", "byte_len", "width", "height", "channels", "est_frames")
+    assert(df.exceptAll(viaCols).count() == 0)
+  }
+
+  test("exact dedup keeps the minimum doc_id per content hash") {
+    val docs = Seq((5L, "same"), (2L, "same"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val got = docs.groupBy(md5($"text").as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("cnt"))
+      .orderBy("keep")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 2L), (9L, 1L)))
+  }
+}

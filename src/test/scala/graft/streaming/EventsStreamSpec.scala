@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Top-level so Spark encoders don't need an outer instance. */
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+/** Structured Streaming semantics: the hourly aggregation must produce
+  * the same results incrementally (MemoryStream micro-batches) as in one
+  * batch pass — the single-definition batch/stream contract. */
+class EventsStreamSpec extends SparkSpec {
+  lazy val s = spark
+  import s.implicits._
+
+  private def ev(t: String, ty: String, v: Double) =
+    Ev(Timestamp.valueOf(t), ty, v)
+
+  test("streaming hourly agg == batch hourly agg on the same data") {
+    implicit val sctx = spark.sqlContext
+    val data = Seq(
+      ev("2024-01-01 10:05:00", "click", 1.0),
+      ev("2024-01-01 10:55:00", "click", 2.5),
+      ev("2024-01-01 11:10:00", "view", 4.0),
+      ev("2024-01-01 12:01:00", "click", 8.0))
+
+    val stream = MemoryStream[Ev]
+    val q = Events.hourlyByType(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data.take(2))
+      q.processAllAvailable()
+      stream.addData(data.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_test")
+        .select("window_start", "event_type", "event_cnt", "total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Events.hourlyByType(data.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3) // 10h click(2), 11h view, 12h click
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val data = Seq(
+      ev("2024-01-01 10:00:00", "click", 1.0),
+      ev("2024-01-01 10:20:00", "click", 1.0), // same session (gap 20m)
+      ev("2024-01-01 11:30:00", "click", 1.0)) // new session
+      .toDF().withColumn("user_id", lit(42L))
+    val got = Events.userSessions(data)
+      .orderBy("session_start")
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("event_cnt") == 2L)
+    assert(got(1).getAs[Long]("event_cnt") == 1L)
+  }
+}
