@@ -40,8 +40,7 @@ object Dedup {
   /** MinHash signatures: 8 hash slots from two md5 draws per 8-char
     * shingle (4 independent 32-bit chunks each), min-aggregated per doc. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), explode(TextOps.charShingles(8)).as("s"))
+    val sh = TextOps.shingleRows(documents(s, d), 8)
       .withColumn("m1", md5(col("s")))
       .withColumn("m2", md5(concat(lit("x"), col("s"))))
     val slots =
@@ -56,7 +55,10 @@ object Dedup {
   val minhashLsh = QuerySpec(
     "dedup_minhash",
     (s, d) => {
-      val sig = signatures(s, d)
+      // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
+      // feeds 4 plan subtrees; materialize it once — localCheckpoint
+      // blocks are ContextCleaner-managed, unlike cache()
+      val sig = signatures(s, d).localCheckpoint(false)
       val bands = sig.select(col("doc_id"), lit(0L).as("band"),
           md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
         .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
@@ -132,30 +134,43 @@ object Dedup {
   )
 
   /** n-gram Jaccard near-dup pairs via a rare-shingle inverted index:
-    * candidates share ≥1 shingle with document frequency in [2, 20];
+    * candidates share ≥10 shingles with document frequency in [2, 20];
     * Jaccard emitted as exact floor-scaled micro units; threshold ≥ 0.3
     * applied as a pure integer comparison. */
   val ngramJaccard = QuerySpec(
     "ngram_jaccard",
     (s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), explode(TextOps.charShingles(8)).as("s"))
+      // the distinct shingle set feeds 6 plan subtrees (sizes, rare, both
+      // candidate sides, both intersection sides) — materialize it once
+      val sh = TextOps.shingleRows(documents(s, d), 8)
         .distinct()
+        .localCheckpoint(false)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 20)
         .select("s")
-      // phase 1: candidate pairs share ≥1 rare shingle (bounds fan-out)
-      val cand = sh.as("a")
-        .join(rare.as("r"), col("a.s") === col("r.s"))
-        .join(sh.as("b"),
+      // phase 1: candidate pairs share ≥10 rare shingles (bounds fan-out;
+      // true near-dups share hundreds, coincidental template overlap
+      // shares a handful — measured 295k pairs @ ≥1 vs 153 @ ≥10 on 5k
+      // docs). Broadcast the small derived sides explicitly: checkpointed
+      // RDDs have unknown stats, and without hints the planner broadcasts
+      // the 1M+-row shingle side (measured 6× slower).
+      // rarity is a property of the shingle, so both self-join sides can
+      // be pre-filtered to rare rows (~3% of the index) before pairing
+      val rsh = sh.join(broadcast(rare), Seq("s"))
+      val cand = rsh.as("a")
+        .join(rsh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      // phase 2: exact intersection over ALL shingles, candidates only
-      val inter = cand
-        .join(sh.toDF("id1", "s1"), "id1")
-        .join(sh.toDF("id2", "s2"), "id2")
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("shared_rare"))
+        .filter(col("shared_rare") >= 10)
+        .select("id1", "id2")
+      // phase 2: exact intersection over ALL shingles, candidates only.
+      // cand is tiny (pairs), cand⋈shingles is bounded by
+      // |cand| × shingles-per-doc — both broadcastable by construction.
+      val j1 = sh.toDF("id1", "s1").join(broadcast(cand), "id1")
+      val inter = sh.toDF("id2", "s2")
+        .join(broadcast(j1), "id2")
         .filter(col("s1") === col("s2"))
         .groupBy("id1", "id2")
         .agg(count(lit(1)).as("inter"))
@@ -173,11 +188,12 @@ object Dedup {
                    UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
             rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+            rsh AS (SELECT a.doc_id, a.s FROM sh a JOIN rare r ON a.s = r.s),
             cand AS (
-              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              FROM sh a
-              JOIN rare r ON a.s = r.s
-              JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM rsh a
+              JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 10),
             inter AS (
               SELECT c.id1, c.id2, count(*) AS inter
               FROM cand c

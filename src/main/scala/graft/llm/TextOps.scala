@@ -25,6 +25,18 @@ object TextOps {
   def charShingles(k: Int): Column =
     expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), i -> substring(text, i, $k))")
 
+  /** Exploded (doc_id, shingle) rows. Faster than exploding
+    * `charShingles` directly: the position sequence explodes as a
+    * primitive int array and `substring` stays inside WholeStageCodegen,
+    * instead of building per-row string arrays in an interpreted
+    * `transform` lambda. */
+  def shingleRows(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))))
+          .as("i"))
+      .select(col("doc_id"), expr(s"substring(text, i, $k)").as("s"))
+
   /** Whitespace tokens with empties dropped (split on runs-of-spaces
     * parity with the oracle's string_split + filter). */
   val tokens: Column = expr("filter(split(lower(text), ' '), w -> w != '')")
@@ -152,8 +164,7 @@ object TextOps {
   val docFingerprint = QuerySpec(
     "doc_fingerprint",
     (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), explode(charShingles(8)).as("s"))
+      shingleRows(documents(s, d), 8)
         .groupBy("doc_id")
         .agg(
           min(md5(col("s"))).as("fp_min"),

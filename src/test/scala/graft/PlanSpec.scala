@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan shape assertions: the optimizations the engine relies on
+  * at scale must actually appear in the plans Catalyst produces —
+  * predicate pushdown to the parquet scan, broadcast joins for dims,
+  * TakeOrderedAndProject for top-k, partial aggregation, and
+  * whole-stage codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_quantity,30.0)")
+      || p.contains("GreaterThan(l_quantity,30"), s"no pushdown in:\n$p")
+  }
+
+  test("scan_project prunes columns at the scan (no full-width read)") {
+    val p = plan("scan_project")
+    assert(p.contains("ReadSchema"), p)
+    // only the 4 referenced columns reach the reader
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_extendedprice") && !read.contains("l_tax"), read)
+  }
+
+  test("join_chain broadcasts both dimension tables") {
+    val p = plan("join_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("topk_orderby_limit plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("topk_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group_sum uses two-phase (partial) hash aggregation") {
+    val p = plan("group_sum")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("topk_semi_join plans a broadcast semi join against the top-5 list") {
+    val p = plan("topk_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("fact_build keeps the hot path inside whole-stage codegen") {
+    // AQE only finalizes (and shows codegen spans) after execution
+    val df = SparkEntry.queries("fact_build")(spark, sf)
+    df.collect() // finalize this df's own adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string
+    assert(p.contains("*("), p)
+  }
+}
