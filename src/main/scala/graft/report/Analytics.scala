@@ -1,0 +1,163 @@
+package graft.report
+
+import graft.Tables._
+import graft.QuerySpec
+import graft.etl.StarSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics report (BusinessAnalysis.Rmd §3.3) as a
+  * library: each Rmd chunk's SQL + R reshaping becomes one DataFrame
+  * function over the star-schema fact build. The Rmd's scalar-feedback
+  * loops (max_year etc. spliced into later SQL text) become `.first()`
+  * reads feeding DataFrame expressions — same dataflow, no string
+  * splicing.
+  *
+  * All queries run off `StarSchema.factSales`, exploiting the
+  * denormalized year/quarter/country columns exactly the way the
+  * reference's queries skip dimension joins (README.md:130-134).
+  */
+object Analytics {
+
+  private def fact(s: SparkSession, d: String): DataFrame =
+    StarSchema.factSales(s, d)
+
+  /** Rmd:90-106 — revenue by year, top years first. */
+  def revenueByYear(s: SparkSession, d: String): DataFrame =
+    fact(s, d).groupBy("year")
+      .agg(dec4(sum(col("revenue"))).as("total_revenue"),
+           count(lit(1)).as("txn_cnt"))
+      .orderBy(col("total_revenue").desc, col("year"))
+
+  /** Rmd:116-140 — per-country revenue pivoted over the 3 most recent
+    * years (pivot columns pinned from data via scalar feedback, SURVEY
+    * §7.5.5), top-5 countries by total. */
+  def revenueByCountryRecentYears(s: SparkSession, d: String): DataFrame = {
+    val f = fact(s, d)
+    val maxYear = f.agg(max(col("year"))).first().getLong(0)
+    val years = Seq(maxYear - 2, maxYear - 1, maxYear)
+    val zero = lit(0).cast(Money)
+    val pivots = years.map(y =>
+      dec4(sum(when(col("year") === y, col("revenue")).otherwise(zero)))
+        .as(s"y$y"))
+    f.filter(col("year").isin(years: _*))
+      .groupBy("country")
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("total", dec4(years.map(y => col(s"y$y")).reduce(_ + _)))
+      .orderBy(col("total").desc, col("country"))
+      .limit(5)
+  }
+
+  /** Rmd:147-182 — quarterly revenue pivot for the top-5 countries
+    * (semi-join against the top-5 derived table), with per-country
+    * average-per-transaction. */
+  def quarterlyRevenueTop5(s: SparkSession, d: String): DataFrame = {
+    val f = fact(s, d)
+    val top5 = f.groupBy("country")
+      .agg(sum(col("revenue")).as("r"))
+      .orderBy(col("r").desc, col("country")).limit(5)
+      .select("country")
+    val zero = lit(0).cast(Money)
+    def q(n: Int) =
+      dec4(sum(when(col("quarter") === n, col("revenue")).otherwise(zero)))
+        .as(s"q$n")
+    f.join(broadcast(top5), Seq("country"), "left_semi")
+      .groupBy("country")
+      .agg(q(1), q(2), q(3), q(4), count(lit(1)).as("txn_cnt"),
+        (sum((col("revenue") * 10000).cast("long")))
+          .as("rev_tenthcents"))
+      .withColumn("avg_txn_tenthcents",
+        expr("rev_tenthcents div txn_cnt"))
+      .drop("rev_tenthcents")
+      .orderBy((col("q1") + col("q2") + col("q3") + col("q4")).desc,
+               col("country"))
+  }
+
+  /** Rmd:186-209 — customer-base summary: distinct customers, countries,
+    * revenue per distinct customer. */
+  def customerSummary(s: SparkSession, d: String): DataFrame =
+    fact(s, d).agg(
+      count_distinct(col("customer_key")).as("n_customers"),
+      count_distinct(col("country")).as("n_countries"),
+      dec4(sum(col("revenue"))).as("total_revenue"),
+      count(lit(1)).as("txn_cnt"))
+
+  /** Rmd:409-516 — units by (country, quarter, year) for the top
+    * countries, the reference's most reshaped report, as a plain
+    * three-key aggregate (the ~80 lines of R pivoting collapse into the
+    * rollup_totals / pivot patterns already in ops.Parity). */
+  def unitsByCountryQuarter(s: SparkSession, d: String): DataFrame =
+    fact(s, d)
+      .groupBy("country", "year", "quarter")
+      .agg(dec2(sum(col("units_sold"))).as("units"),
+           count(lit(1)).as("txn_cnt"))
+      .orderBy("country", "year", "quarter")
+
+  // --- driver-checkable composites over the analytics layer ---
+
+  private val factSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+              l_discount, o_orderdate, year(o_orderdate) AS year,
+              quarter(o_orderdate) AS quarter,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(18,4)) AS revenue,
+              COALESCE(n_name, 'UNKNOWN') AS country
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       LEFT JOIN (SELECT c_custkey, n_name FROM customer
+                  JOIN nation ON c_nationkey = n_nationkey) c
+         ON o_custkey = c.c_custkey
+       WHERE l_quantity > 0"""
+
+  val reportRevenueByYear = QuerySpec(
+    "report_revenue_by_year",
+    (s, d) => revenueByYear(s, d),
+    Some(s"""SELECT year, CAST(SUM(revenue) AS DECIMAL(18,4)) AS total_revenue,
+                    count(*) AS txn_cnt
+             FROM ($factSql) f
+             GROUP BY year ORDER BY total_revenue DESC, year""")
+  )
+
+  val reportQuarterlyTop5 = QuerySpec(
+    "report_quarterly_top5",
+    (s, d) => quarterlyRevenueTop5(s, d),
+    Some(s"""WITH f AS ($factSql),
+             top5 AS (SELECT country FROM f GROUP BY country
+                      ORDER BY SUM(revenue) DESC, country LIMIT 5)
+             SELECT country,
+                    CAST(SUM(CASE WHEN quarter = 1 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q1,
+                    CAST(SUM(CASE WHEN quarter = 2 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q2,
+                    CAST(SUM(CASE WHEN quarter = 3 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q3,
+                    CAST(SUM(CASE WHEN quarter = 4 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q4,
+                    count(*) AS txn_cnt,
+                    SUM(CAST(revenue * 10000 AS BIGINT)) // count(*) AS avg_txn_tenthcents
+             FROM f
+             WHERE country IN (SELECT country FROM top5)
+             GROUP BY country
+             ORDER BY (q1 + q2 + q3 + q4) DESC, country""")
+  )
+
+  val reportCustomerSummary = QuerySpec(
+    "report_customer_summary",
+    (s, d) => {
+      val f = fact(s, d)
+      f.agg(
+        count_distinct(col("customer_key")).as("n_customers"),
+        count_distinct(col("country")).as("n_countries"),
+        dec4(sum(col("revenue"))).as("total_revenue"),
+        count(lit(1)).as("txn_cnt"))
+    },
+    Some(s"""SELECT (SELECT COUNT(DISTINCT COALESCE(c.c_custkey, -1))
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     LEFT JOIN (SELECT c_custkey FROM customer) c
+                       ON o_custkey = c.c_custkey
+                     WHERE l_quantity > 0) AS n_customers,
+                    (SELECT COUNT(DISTINCT country) FROM ($factSql) f) AS n_countries,
+                    (SELECT CAST(SUM(revenue) AS DECIMAL(18,4)) FROM ($factSql) f2) AS total_revenue,
+                    (SELECT count(*) FROM ($factSql) f3) AS txn_cnt""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(reportRevenueByYear, reportQuarterlyTop5, reportCustomerSummary)
+}

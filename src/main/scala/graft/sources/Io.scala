@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2.1).
+  *
+  * The reference's I/O is SQLite scans in (S1), batched textual INSERTs
+  * out (S3), and DROP/CREATE full-reload idempotency (§3.1). Spark-native
+  * equivalents:
+  *   - columnar parquet in/out (the testdata path);
+  *   - schema-on-read CSV/JSON with explicit StructType (never
+  *     inferSchema in production — one pass saved, schema drift caught);
+  *   - `SaveMode.Overwrite` ≅ drop/recreate+reload
+  *     (createStarSchema.R:191-201);
+  *   - JDBC passthrough for row-store sources like the reference's
+  *     SQLite/MySQL (no driver jar ships in this container — the builders
+  *     are thin config wrappers over `spark.read.jdbc`).
+  *
+  * Scale notes baked into the writers:
+  *   - facts are written partitioned by the denormalized `year` column →
+  *     analytics queries with year predicates prune whole partitions
+  *     (the reference instead denormalizes `year` into the fact and
+  *     indexes it, createStarSchema.R:168-172);
+  *   - `maxRecordsPerFile` caps file size so a 100 TB fact lands as
+  *     uniformly-sized files instead of one file per (task × partition).
+  */
+object Io {
+
+  def reader(s: SparkSession, schema: StructType): DataFrameReader =
+    s.read.schema(schema)
+
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    reader(s, schema).option("header", header.toString).csv(path)
+
+  def readJsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
+    reader(s, schema).json(path)
+
+  def readJdbc(s: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): DataFrame =
+    s.read.jdbc(url, table, props)
+
+  /** Partition-parallel JDBC scan — the scale path for row-store
+    * extraction: numPartitions concurrent range scans on an indexed
+    * numeric column instead of one serial cursor. */
+  def readJdbcPartitioned(s: SparkSession, url: String, table: String,
+                          partitionCol: String, lower: Long, upper: Long,
+                          numPartitions: Int): DataFrame =
+    s.read.jdbc(url, table, partitionCol, lower, upper, numPartitions,
+      new java.util.Properties())
+
+  /** Full-reload dimension write (drop/recreate ≅ Overwrite). Dims are
+    * small: coalesce to a handful of files. */
+  def writeDim(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Fact write: partitioned by year for pruning, file size capped. */
+  def writeFactPartitioned(df: DataFrame, path: String,
+                           maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("year")
+      .parquet(path)
+
+  /** Append sink for incremental loads (the reference's "future
+    * enhancement", README.md:177) — used with `foreachBatch` from the
+    * streaming module for exactly-once-per-batch fact appends. */
+  def appendFacts(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy("year").parquet(path)
+}
