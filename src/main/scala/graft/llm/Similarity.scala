@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized integer dot product of two float vectors (exact). */
+  /** Quantized integer dot product of two float vectors (exact).
+    * Backed by the native codegen'd expression (graft.functions.QuantDot);
+    * `quantDotHof` is the pure-builtin equivalent kept for A/B parity
+    * testing. */
   def quantDot(a: String, b: String): Column =
+    graft.functions.GraftFunctions.quantDot(col(a), col(b))
+
+  /** Higher-order-function formulation of the same kernel (interpreted
+    * lambda — ~the portable baseline the native expression is measured
+    * against). */
+  def quantDotHof(a: String, b: String): Column =
     expr(s"""aggregate(sequence(1, size($a)), 0L,
              (acc, i) -> acc +
                CAST(FLOOR(CAST(element_at($a, i) AS DOUBLE) * 1000) AS BIGINT) *
