@@ -9,6 +9,8 @@ object IoDemo {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("iodemo-wh").toString)
       .config("spark.ui.enabled", false).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
@@ -50,6 +52,37 @@ object IoDemo {
         org.apache.spark.sql.types.StructField("order_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("no_such_col", org.apache.spark.sql.types.StringType))))
     println("WRONG_SCHEMA_NULLS=" + wrong.filter(col("no_such_col").isNull).count())
+
+    // scale utilities, live: bucketed co-located join (no shuffle)
+    Tables.orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bd")
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bd")
+    val bj = s.table("lineitem_bd")
+      .join(s.table("orders_bd"), col("l_orderkey") === col("o_orderkey"))
+    val bjCnt = bj.count()
+    val bjPlan = bj.queryExecution.executedPlan.toString
+    println("BUCKET_JOIN_ROWS=" + bjCnt)
+    println("BUCKET_JOIN_SHUFFLES=" +
+      "Exchange hashpartitioning".r.findAllIn(bjPlan).size)
+
+    // salted join on a synthetic hot key vs plain join
+    val big = s.range(0, 100000)
+      .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(3L)).as("k"),
+              col("id").as("v"))
+    val smallDim = s.range(0, 7).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+    val plain = big.join(smallDim, "k").agg(count(lit(1)), sum(col("v"))).first()
+    val salted = ops.Scale.saltedJoin(big, smallDim, "k", 16)
+      .agg(count(lit(1)), sum(col("v"))).first()
+    println("SALTED_EQ_PLAIN=" + (plain == salted) + " " + salted)
+
+    // sketches vs exact
+    val o = Tables.orders(s, d)
+    val exact = o.select(countDistinct(col("o_custkey"))).first().getLong(0)
+    val approx = o.select(ops.Scale.approxDistinct(col("o_custkey")))
+      .first().getLong(0)
+    println(s"APPROX_DISTINCT=$approx EXACT=$exact")
     s.stop()
   }
 }
