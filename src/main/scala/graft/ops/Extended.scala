@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.Tables._
+import graft.QuerySpec
+import graft.etl.StarSchema
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage beyond §7.3's minimum: per-dimension build checks, the full
+  * YTD/QTD/MTD running-measure intent, and semi-structured JSON
+  * extraction over the events table. */
+object Extended {
+
+  /** §3.2 phase 3 — dim_customer, oracle-checked on its own (the
+    * composite etl_star_build only exercises it via the fact join). */
+  val dimCustomerBuild = QuerySpec(
+    "dim_customer_build",
+    (s, d) => StarSchema.dimCustomer(s, d).orderBy("customer_key"),
+    Some("""SELECT c_custkey AS customer_key, c_name AS customer_name,
+                   n_name AS country, r_name AS region,
+                   c_mktsegment AS segment, 'film' AS customer_type
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            ORDER BY customer_key""")
+  )
+
+  /** §3.2 phase 4 — dim_product with the 255-char truncation
+    * (loadAnalyticsDB.R:358). */
+  val dimProductBuild = QuerySpec(
+    "dim_product_build",
+    (s, d) => StarSchema.dimProduct(s, d).orderBy("product_key"),
+    Some("""SELECT p_partkey AS product_key,
+                   substr(p_name, 1, 255) AS product_name,
+                   p_type AS product_type, p_brand AS category,
+                   CAST(p_retailprice AS DECIMAL(18,2)) AS list_price
+            FROM part ORDER BY product_key""")
+  )
+
+  /** §3.2 phase 2 — dim_location (distinct geography). */
+  val dimLocationBuild = QuerySpec(
+    "dim_location_build",
+    (s, d) => StarSchema.dimLocation(s, d).orderBy("location_key"),
+    Some("""SELECT DISTINCT n_nationkey AS location_key,
+                   n_name AS country, r_name AS region
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY location_key""")
+  )
+
+  /** The complete declared-but-never-populated running-measure intent
+    * (createStarSchema.R:153-158): YTD, QTD and MTD revenue in one
+    * pass — three window frames over one daily aggregate, partition
+    * keys (year), (year,quarter), (year,month). */
+  val windowQtdMtd = QuerySpec(
+    "window_qtd_mtd",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(dec2(sum(money(col("o_totalprice")))).as("day_rev"))
+        .select(col("dt"), col("day_rev"),
+          asLong(year(col("dt"))).as("year"),
+          asLong(quarter(col("dt"))).as("quarter"),
+          asLong(month(col("dt"))).as("month"))
+      def running(keys: String*) =
+        sum(col("day_rev")).over(
+          Window.partitionBy(keys.map(col): _*).orderBy("dt"))
+      daily.select(
+          asLong(date_format(col("dt"), "yyyyMMdd")).as("date_key"),
+          col("year"), col("quarter"), col("month"), col("day_rev"),
+          dec2(running("year")).as("rev_ytd"),
+          dec2(running("year", "quarter")).as("rev_qtd"),
+          dec2(running("year", "month")).as("rev_mtd"))
+        .orderBy("date_key")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS dt,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_rev,
+                     year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
+                     month(o_orderdate) AS month
+              FROM orders GROUP BY 1, 3, 4, 5)
+            SELECT CAST(strftime(dt, '%Y%m%d') AS BIGINT) AS date_key,
+                   year, quarter, month, day_rev,
+                   CAST(SUM(day_rev) OVER (PARTITION BY year ORDER BY dt)
+                        AS DECIMAL(18,2)) AS rev_ytd,
+                   CAST(SUM(day_rev) OVER (PARTITION BY year, quarter ORDER BY dt)
+                        AS DECIMAL(18,2)) AS rev_qtd,
+                   CAST(SUM(day_rev) OVER (PARTITION BY year, month ORDER BY dt)
+                        AS DECIMAL(18,2)) AS rev_mtd
+            FROM daily ORDER BY date_key""")
+  )
+
+  /** Semi-structured extraction: events.props is a JSON string — parse
+    * the `k` field and aggregate by it. The 100 TB shape: JSON parsing
+    * happens once at scan-adjacent projection, aggregation stays
+    * columnar. */
+  val jsonExtractAgg = QuerySpec(
+    "json_extract_agg",
+    (s, d) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+                col("event_type"), money(col("value")).as("v"))
+        .withColumn("k_bucket", col("k") % 10)
+        .groupBy("k_bucket", "event_type")
+        .agg(count(lit(1)).as("event_cnt"), dec2(sum(col("v"))).as("total_value"))
+        .orderBy("k_bucket", "event_type"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                   event_type, count(*) AS event_cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY k_bucket, event_type""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(
+    dimCustomerBuild, dimProductBuild, dimLocationBuild,
+    windowQtdMtd, jsonExtractAgg)
+}
