@@ -172,5 +172,37 @@ object Similarity {
              ORDER BY id1, id2""")
   )
 
-  val all: Seq[QuerySpec] = Seq(annBruteForce, annLshBucket, embeddingNearDup)
+  /** Per-label centroids in quantized space: element-wise mean of the
+    * label's vectors, emitted as exact integer milli-units (sum of
+    * floor-quantized components `div` count) — the class-prototype
+    * building block for centroid-based ANN (IVF coarse quantizers).
+    * Position-exploded so the aggregation is a plain columnar group-by:
+    * (label, dim) partitioning scales to any vector count. */
+  val embeddingCentroids = QuerySpec(
+    "embedding_centroids",
+    (s, d) => {
+      val e = embeddings(s, d)
+      e.select(col("label"), col("embedding"),
+          explode(sequence(lit(1), size(col("embedding")))).as("dim"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
+            .as("q"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+        .select(col("label"), col("dim"),
+          expr("qsum div n").as("centroid_milli"), col("n"))
+        .orderBy("label", "dim")
+    },
+    Some("""SELECT label, CAST(i AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+                     // count(*) AS centroid_milli,
+                   count(*) AS n
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, i
+            ORDER BY label, dim""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(annBruteForce, annLshBucket, embeddingNearDup, embeddingCentroids)
 }

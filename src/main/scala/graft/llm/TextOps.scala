@@ -179,5 +179,26 @@ object TextOps {
             GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(langId, qualityScore, tokenCount, docFingerprint)
+  /** Corpus vocabulary: top-50 tokens by document frequency (distinct
+    * per doc, then group) — the df side of tf-idf and the stopword-list
+    * bootstrap for corpus-specific quality filters. */
+  val vocabTopk = QuerySpec(
+    "vocab_topk",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("t"))
+        .distinct()
+        .groupBy("t")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("t"))
+        .limit(50),
+    Some("""SELECT t, count(*) AS doc_freq
+            FROM (SELECT DISTINCT doc_id,
+                    UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+                  FROM documents)
+            GROUP BY t ORDER BY doc_freq DESC, t LIMIT 50""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk)
 }
