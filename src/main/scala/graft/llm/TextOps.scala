@@ -186,7 +186,10 @@ object TextOps {
     "vocab_topk",
     (s, d) =>
       documents(s, d)
-        .select(col("doc_id"), explode(tokens).as("t"))
+        // relational filter after explode (codegen) rather than the
+        // interpreted filter() lambda inside the array
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "")
         .distinct()
         .groupBy("t")
         .agg(count(lit(1)).as("doc_freq"))

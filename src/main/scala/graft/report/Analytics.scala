@@ -52,7 +52,10 @@ object Analytics {
     * (semi-join against the top-5 derived table), with per-country
     * average-per-transaction. */
   def quarterlyRevenueTop5(s: SparkSession, d: String): DataFrame = {
-    val f = fact(s, d)
+    // the fact join pipeline feeds both the top-5 derivation and the
+    // main aggregate — materialize the slim projection once
+    val f = fact(s, d).select("country", "quarter", "revenue")
+      .localCheckpoint(false)
     val top5 = f.groupBy("country")
       .agg(sum(col("revenue")).as("r"))
       .orderBy(col("r").desc, col("country")).limit(5)
