@@ -30,7 +30,7 @@ object StreamDemo {
     val schema = raw.schema
     val stream = s.readStream.schema(schema)
       .option("path", inDir.toString).format("parquet").load()
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = streaming.Events.hourlyByType(stream)
       .writeStream.format("memory").queryName("hourly").outputMode("complete")
       .start()

@@ -35,7 +35,9 @@ object Similarity {
     * lambda — ~the portable baseline the native expression is measured
     * against). */
   def quantDotHof(a: String, b: String): Column =
-    expr(s"""aggregate(sequence(1, size($a)), 0L,
+    // least(size,size): match QuantDot's common-prefix semantics — and
+    // under ANSI (Spark 4 default) element_at past the end would throw
+    expr(s"""aggregate(sequence(1, least(size($a), size($b))), 0L,
              (acc, i) -> acc +
                CAST(FLOOR(CAST(element_at($a, i) AS DOUBLE) * 1000) AS BIGINT) *
                CAST(FLOOR(CAST(element_at($b, i) AS DOUBLE) * 1000) AS BIGINT))""")

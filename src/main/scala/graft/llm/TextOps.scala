@@ -113,9 +113,11 @@ object TextOps {
         .select(
           col("doc_id"), col("n_char"), col("n_tokens"), col("stop_cnt"),
           col("alpha_cnt"), col("punct_cnt"),
-          expr("(1000 * stop_cnt) div n_tokens").as("stop_milli"),
-          expr("(1000 * alpha_cnt) div n_char").as("alpha_milli"),
-          expr("(10 * alpha_cnt) div n_tokens").as("wordlen_deci"))
+          // greatest(…,1): empty/whitespace-only docs would otherwise hit
+          // ANSI DIVIDE_BY_ZERO (Spark 4 default) where DuckDB yields NULL
+          expr("(1000 * stop_cnt) div greatest(n_tokens, 1)").as("stop_milli"),
+          expr("(1000 * alpha_cnt) div greatest(n_char, 1)").as("alpha_milli"),
+          expr("(10 * alpha_cnt) div greatest(n_tokens, 1)").as("wordlen_deci"))
         .orderBy("doc_id"),
     Some("""WITH base AS (
               SELECT doc_id,
@@ -127,9 +129,9 @@ object TextOps {
                      length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_cnt
               FROM documents)
             SELECT doc_id, n_char, n_tokens, stop_cnt, alpha_cnt, punct_cnt,
-                   (1000 * stop_cnt) // n_tokens AS stop_milli,
-                   (1000 * alpha_cnt) // n_char AS alpha_milli,
-                   (10 * alpha_cnt) // n_tokens AS wordlen_deci
+                   (1000 * stop_cnt) // greatest(n_tokens, 1) AS stop_milli,
+                   (1000 * alpha_cnt) // greatest(n_char, 1) AS alpha_milli,
+                   (10 * alpha_cnt) // greatest(n_tokens, 1) AS wordlen_deci
             FROM base ORDER BY doc_id""")
   )
 

@@ -102,12 +102,12 @@ object Extended {
         .withColumn("k_bucket", col("k") % 10)
         .groupBy("k_bucket", "event_type")
         .agg(count(lit(1)).as("event_cnt"), dec2(sum(col("v"))).as("total_value"))
-        .orderBy("k_bucket", "event_type"),
+        .orderBy(col("k_bucket").asc_nulls_first, col("event_type")),
     Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
                    event_type, count(*) AS event_cnt,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
             FROM events
-            GROUP BY 1, 2 ORDER BY k_bucket, event_type""")
+            GROUP BY 1, 2 ORDER BY k_bucket ASC NULLS FIRST, event_type""")
   )
 
   val all: Seq[QuerySpec] = Seq(

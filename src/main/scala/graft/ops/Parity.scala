@@ -226,9 +226,13 @@ object Parity {
   val topkSemiJoin = QuerySpec(
     "topk_semi_join",
     (s, d) => {
+      // feeds both the top-5 derivation and the lineitem join —
+      // materialize the slim projection once
       val ordCustNation = orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select("o_orderkey", "o_totalprice", "n_name")
+        .localCheckpoint(false)
       val top5 = ordCustNation
         .groupBy("n_name")
         .agg(sum(money(col("o_totalprice"))).as("rev"))
@@ -236,7 +240,7 @@ object Parity {
         .limit(5)
         .select("n_name")
       lineitem(s, d)
-        .join(ordCustNation.select("o_orderkey", "n_name"),
+        .join(ordCustNation.select("o_orderkey", "n_name").hint("shuffle_hash"),
               col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(top5), Seq("n_name"), "left_semi")
         .groupBy("n_name")
@@ -271,7 +275,9 @@ object Parity {
       val o = orders(s, d).select(
         to_date(col("o_orderdate")).as("od"),
         money(col("o_totalprice")).as("tp"))
-      val maxYear = o.agg(max(year(col("od")))).first().getInt(0)
+      // empty-input guard: max over zero rows is NULL, not an NPE
+      val maxRow = o.agg(max(year(col("od")))).first()
+      val maxYear = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
       o.agg(
         min(col("od")).as("min_date"),
         max(col("od")).as("max_date"),
@@ -490,24 +496,7 @@ object Parity {
     * ISO weekofyear (SURVEY §7.5.1). */
   val dateDimGen = QuerySpec(
     "date_dim_gen",
-    (s, d) => {
-      val range = orders(s, d).agg(
-        date_sub(min(to_date(col("o_orderdate"))), 30).as("d0"),
-        date_add(max(to_date(col("o_orderdate"))), 30).as("d1"))
-      range
-        .select(explode(sequence(col("d0"), col("d1"),
-          expr("interval 1 day"))).as("date"))
-        .select(
-          asLong(date_format(col("date"), "yyyyMMdd")).as("date_key"),
-          col("date"),
-          asLong(year(col("date"))).as("year"),
-          asLong(quarter(col("date"))).as("quarter"),
-          asLong(month(col("date"))).as("month"),
-          date_format(col("date"), "MMMM").as("month_name"),
-          asLong(dayofmonth(col("date"))).as("day"),
-          (asLong(expr("(dayofyear(date) - 1) div 7")) + 1L).as("week"))
-        .orderBy("date_key")
-    },
+    (s, d) => graft.etl.StarSchema.dimDate(s, d).orderBy("date_key"),
     Some("""WITH r AS (
               SELECT CAST(MIN(o_orderdate) AS DATE) - 30 AS d0,
                      CAST(MAX(o_orderdate) AS DATE) + 30 AS d1

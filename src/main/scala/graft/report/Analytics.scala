@@ -34,7 +34,8 @@ object Analytics {
     * §7.5.5), top-5 countries by total. */
   def revenueByCountryRecentYears(s: SparkSession, d: String): DataFrame = {
     val f = fact(s, d)
-    val maxYear = f.agg(max(col("year"))).first().getLong(0)
+    val maxRow = f.agg(max(col("year"))).first()
+    val maxYear = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val years = Seq(maxYear - 2, maxYear - 1, maxYear)
     val zero = lit(0).cast(Money)
     val pivots = years.map(y =>
@@ -83,7 +84,7 @@ object Analytics {
       count_distinct(col("customer_key")).as("n_customers"),
       count_distinct(col("country")).as("n_countries"),
       dec4(sum(col("revenue"))).as("total_revenue"),
-      count(lit(1)).as("txn_cnt"))
+      count(lit(1)).as("txn_cnt")) // oracle: reportCustomerSummary
 
   /** Rmd:409-516 — units by (country, quarter, year) for the top
     * countries, the reference's most reshaped report, as a plain
@@ -143,14 +144,7 @@ object Analytics {
 
   val reportCustomerSummary = QuerySpec(
     "report_customer_summary",
-    (s, d) => {
-      val f = fact(s, d)
-      f.agg(
-        count_distinct(col("customer_key")).as("n_customers"),
-        count_distinct(col("country")).as("n_countries"),
-        dec4(sum(col("revenue"))).as("total_revenue"),
-        count(lit(1)).as("txn_cnt"))
-    },
+    (s, d) => customerSummary(s, d),
     Some(s"""SELECT (SELECT COUNT(DISTINCT COALESCE(c.c_custkey, -1))
                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                      LEFT JOIN (SELECT c_custkey FROM customer) c
