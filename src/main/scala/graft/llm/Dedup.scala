@@ -51,26 +51,28 @@ object Dedup {
 
   /** MinHash + LSH banding (2 bands × 4 rows ⇒ candidate threshold
     * ≈ 0.84 Jaccard): docs sharing any band hash become a candidate
-    * near-dup pair. */
+    * near-dup pair. Unordered — shared by the pair listing and the
+    * connected-components clustering. */
+  def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
+    // feeds 4 plan subtrees; materialize it once — localCheckpoint
+    // blocks are ContextCleaner-managed, unlike cache()
+    val sig = signatures(s, d).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"), lit(0L).as("band"),
+        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
+      .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
+        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
   val minhashLsh = QuerySpec(
     "dedup_minhash",
-    (s, d) => {
-      // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
-      // feeds 4 plan subtrees; materialize it once — localCheckpoint
-      // blocks are ContextCleaner-managed, unlike cache()
-      val sig = signatures(s, d).localCheckpoint(false)
-      val bands = sig.select(col("doc_id"), lit(0L).as("band"),
-          md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
-        .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
-          md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-        .orderBy("id1", "id2")
-    },
+    (s, d) => candidatePairs(s, d).orderBy("id1", "id2"),
     Some("""WITH sh AS (
               SELECT doc_id, substr(text, i, 8) AS s
               FROM documents,
@@ -209,5 +211,74 @@ object Dedup {
             ORDER BY id1, id2""")
   )
 
-  val all: Seq[QuerySpec] = Seq(exact, minhashLsh, simhash, ngramJaccard)
+  /** Connected-components clustering of the LSH near-dup graph:
+    * cluster id = smallest doc_id in the component, computed by
+    * iterative min-label propagation (the Pregel-style shape — each
+    * round is one join + one min-aggregate, so a cluster of diameter k
+    * converges in ≤ log-ish rounds; checkpointed per round to truncate
+    * lineage). The canonical "keep one per near-dup group" primitive:
+    * dedup keeps each cluster's min doc_id. */
+  val clusters = QuerySpec(
+    "dedup_clusters",
+    (s, d) => {
+      val pairs = candidatePairs(s, d).localCheckpoint(false)
+      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .localCheckpoint(false)
+      var labels = edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(false)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val nbr = labels.as("l")
+          .join(edges.as("e"), col("l.id") === col("e.a"))
+          .select(col("e.b").as("id"), col("l.label"))
+        val next = labels.unionByName(nbr)
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint(false)
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label"))
+          .count()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE sh AS (
+              SELECT doc_id, substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
+            sig AS (
+              SELECT doc_id,
+                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
+                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
+                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
+                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL
+              SELECT id2, id1 FROM pairs),
+            verts AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, root) AS (
+              SELECT id, id FROM verts
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
+            SELECT id AS doc_id, min(root) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(exact, minhashLsh, simhash, ngramJaccard, clusters)
 }

@@ -205,6 +205,96 @@ object Similarity {
             ORDER BY label, dim""")
   )
 
+  /** IVF-style ANN: the label centroids act as the coarse quantizer
+    * (in production the cells come from k-means; the cell-assignment +
+    * cell-restricted search mechanics are identical). Every vector is
+    * assigned to its max-dot centroid cell; each query probes only its
+    * own cell's members with the exact quantized kernel. At 100 TB the
+    * corpus is hash-partitioned by cell id, so one probe touches one
+    * partition. All scoring is exact integer math end-to-end. */
+  val annIvf = QuerySpec(
+    "ann_ivf",
+    (s, d) => {
+      val e = embeddings(s, d)
+      // quantized components, position-exploded: (vec_id, dim, q)
+      val comp = e.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), size(col("embedding")))).as("dim"))
+        .select(col("vec_id"), col("dim"),
+          expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
+            .as("q"))
+      // coarse quantizer: per-label centroid in milli units
+      val cent = e.select(col("label"), col("embedding"),
+          explode(sequence(lit(1), size(col("embedding")))).as("dim"))
+        .select(col("label"), col("dim"),
+          expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
+            .as("q"))
+        .groupBy("label", "dim")
+        .agg(expr("sum(q) div count(1)").as("c"))
+      // cell assignment: argmax_label Σ_dim q·c (ties → smallest label)
+      val scored = comp.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("q") * col("c")).as("score"))
+      val wCell = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("label"))
+      val cells = scored.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label").as("cell"))
+        .localCheckpoint(false)
+      val members = e.join(cells, "vec_id")
+      val q = members.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("dot").desc, col("vec_id"))
+      q.join(members, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("cell").cast("long").as("cell"), col("vec_id"),
+          quantDot("qe", "embedding").as("dot"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "cell", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH comp AS (
+              SELECT vec_id, i AS dim,
+                     CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+            cent AS (
+              SELECT label, i AS dim,
+                     CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+                       // count(*) AS c
+              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+              GROUP BY label, i),
+            scored AS (
+              SELECT comp.vec_id, cent.label, SUM(comp.q * cent.c) AS score
+              FROM comp JOIN cent ON comp.dim = cent.dim
+              GROUP BY comp.vec_id, cent.label),
+            cells AS (
+              SELECT vec_id, label AS cell FROM (
+                SELECT vec_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, label) AS rn
+                FROM scored) WHERE rn = 1),
+            members AS (
+              SELECT e.vec_id, e.embedding, c.cell
+              FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id),
+            probes AS (
+              SELECT q.vec_id AS qid, CAST(q.cell AS BIGINT) AS cell, m.vec_id,
+                     CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                       i -> CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(FLOOR(CAST(m.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
+                       AS BIGINT) AS dot
+              FROM members q JOIN members m
+                ON q.cell = m.cell AND q.vec_id < 10 AND q.vec_id <> m.vec_id),
+            ranked AS (
+              SELECT qid, cell, vec_id, dot,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY dot DESC, vec_id) AS rank
+              FROM probes)
+            SELECT qid, cell, rank, vec_id, dot FROM ranked
+            WHERE rank <= 3 ORDER BY qid, rank""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(annBruteForce, annLshBucket, embeddingNearDup, embeddingCentroids)
+    Seq(annBruteForce, annLshBucket, embeddingNearDup, embeddingCentroids,
+        annIvf)
 }
