@@ -40,32 +40,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
-  test("simhash: identical docs get identical signatures") {
+  test("simhash: identical docs get identical 32-bit signatures") {
     val docs = Seq(
       (1L, "spark catalyst optimizer rules rewrite logical plans"),
       (2L, "spark catalyst optimizer rules rewrite logical plans"),
       (3L, "grouping aggregation shuffle exchange partitions"))
       .toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
-      .withColumn("n_chars", length($"text").cast("long"))
-    docs.createOrReplaceTempView("documents_test")
-    // run the same expression pipeline as Dedup.simhash on the view
-    val tok = docs.select($"doc_id", explode(TextOps.tokens).as("t"))
-      .withColumn("v", expr(
-        """(instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096 +
-           (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256 +
-           (instr('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16 +
-           (instr('0123456789abcdef', substring(md5(t), 4, 1)) - 1)"""))
-    val votes = (0 until 16).map(j =>
-      sum(when(expr(s"(v div ${1 << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j"))
-    val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val bits = (0 until 16).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-    val got = sig.select($"doc_id", bits.reduce(_ + _).as("sh"))
+    val got = Dedup.simhashSignatures(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(1L) == got(2L))
     assert(got(1L) != got(3L))
-    assert(got.values.forall(v => v >= 0 && v < 65536))
+    assert(got.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
   test("language ID picks the language with most stopword hits") {
