@@ -279,13 +279,17 @@ object Dedup {
   val clusters = QuerySpec(
     "dedup_clusters",
     (s, d) => {
-      val pairs = candidatePairs(s, d).localCheckpoint(false)
+      // EAGER checkpoints: a lazy checkpoint is re-planned per action
+      // (AQE), so in an iterative loop every round would recompute all
+      // previous rounds' lineage — measured 168s vs ~8s at sf0.1
+      val edges0 = candidatePairs(s, d)
+      val pairs = edges0.localCheckpoint()
       val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-        .localCheckpoint(false)
+        .localCheckpoint()
       var labels = edges.select(col("a").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -294,7 +298,7 @@ object Dedup {
           .select(col("e.b").as("id"), col("l.label"))
         val next = labels.unionByName(nbr)
           .groupBy("id").agg(min(col("label")).as("label"))
-          .localCheckpoint(false)
+          .localCheckpoint()
         changed = next.as("n")
           .join(labels.as("o"), col("n.id") === col("o.id"))
           .filter(col("n.label") =!= col("o.label"))
