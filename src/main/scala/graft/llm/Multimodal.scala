@@ -99,5 +99,54 @@ object Multimodal {
             ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(meta)
+  /** Frame sampling over the binary payload: n evenly-spaced fixed-size
+    * byte slices per blob (the video-keyframe access pattern). The
+    * slicing runs on the BinaryType column; the oracle mirrors it over
+    * the source text (payload == utf8(text) here), comparing exact
+    * offsets, lengths, and content hashes. */
+  val frames = QuerySpec(
+    "multimodal_frames",
+    (s, d) => {
+      val nFrames = 4
+      val frameLen = 32
+      payloads(s, d)
+        .select(col("doc_id"), col("payload"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+        // evenly spaced: offset_i = i * max(len - frameLen, 0) / (n-1)
+        .withColumn("frame_offset",
+          expr(s"(frame_idx * greatest(byte_len - $frameLen, 0)) div ${nFrames - 1}"))
+        .withColumn("frame",
+          expr(s"substring(payload, CAST(frame_offset + 1 AS INT), $frameLen)"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_offset"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""SELECT doc_id, frame_idx, frame_offset,
+                   length(substr(text, CAST(frame_offset + 1 AS BIGINT), 32)) AS frame_len,
+                   md5(substr(text, CAST(frame_offset + 1 AS BIGINT), 32)) AS frame_md5
+            FROM (
+              SELECT doc_id, text, CAST(length(text) AS BIGINT) AS byte_len,
+                     CAST(i AS BIGINT) AS frame_idx,
+                     (i * greatest(CAST(length(text) AS BIGINT) - 32, 0)) // 3 AS frame_offset
+              FROM documents, UNNEST([0, 1, 2, 3]) AS u(i))
+            ORDER BY doc_id, frame_idx""")
+  )
+
+  /** Fixed-length feature vector from the payload bytes — a
+    * deterministic stand-in for an image/audio embedding model: 8
+    * buckets of byte-value sums (the mapPartitions shape is in
+    * `decodeAll`; this one stays columnar to show both batch shapes). */
+  def featureStub(s: SparkSession, d: String): DataFrame =
+    payloads(s, d).select(
+      col("doc_id"),
+      expr("""transform(sequence(0, 7), b ->
+                aggregate(filter(sequence(1, octet_length(payload)),
+                                 i -> (i % 8) = b),
+                          0L, (acc, i) -> acc + ascii(substring(CAST(payload AS STRING), i, 1))))""")
+        .as("features"))
+
+  val all: Seq[QuerySpec] = Seq(meta, frames)
 }
