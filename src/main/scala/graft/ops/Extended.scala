@@ -110,7 +110,68 @@ object Extended {
             GROUP BY 1, 2 ORDER BY k_bucket ASC NULLS FIRST, event_type""")
   )
 
+  /** Event sessionization as a batch query: Spark's `session_window`
+    * (30-min gap) against the classic gaps-and-islands SQL (LAG + running
+    * flag-sum) in DuckDB — two very different formulations, same
+    * sessions. Boundary semantics pinned: Spark sessions are
+    * closed-open `[first, last+gap)`, so a gap of exactly 30:00 starts a
+    * new session → the island condition is `>=`. */
+  val eventSessions = QuerySpec(
+    "event_sessions",
+    (s, d) =>
+      graft.streaming.Events.userSessions(events(s, d))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("event_cnt"), col("total_value"))
+        // second-resolution starts can collide → include measures in the
+        // total order
+        .orderBy("user_id", "session_start", "event_cnt", "total_value"),
+    Some("""WITH m AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS event_cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start, event_cnt, total_value""")
+  )
+
+  /** Exact interpolated median per nation, in cents so the R-7
+    * interpolation (`a + 0.5·(b−a)` over integers) is bit-exact in both
+    * engines — the only percentile where cross-engine float interpolation
+    * is provably safe without a sketch. */
+  val medianByNation = QuerySpec(
+    "median_by_nation",
+    (s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .groupBy("nation")
+        .agg(expr("percentile(cents, 0.5)").cast("decimal(18,1)").as("median_cents"),
+             count(lit(1)).as("order_cnt"))
+        .orderBy("nation"),
+    Some("""SELECT n_name AS nation,
+                   CAST(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
+                        AS DECIMAL(18,1)) AS median_cents,
+                   count(*) AS order_cnt
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY nation""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
-    windowQtdMtd, jsonExtractAgg)
+    windowQtdMtd, jsonExtractAgg, eventSessions, medianByNation)
 }

@@ -38,13 +38,16 @@ object Analytics {
     val maxYear = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val years = Seq(maxYear - 2, maxYear - 1, maxYear)
     val zero = lit(0).cast(Money)
-    val pivots = years.map(y =>
-      dec4(sum(when(col("year") === y, col("revenue")).otherwise(zero)))
-        .as(s"y$y"))
+    // relative column names (y_minus2..y_latest) so the result schema —
+    // and the oracle SQL — stay stable whatever the data's max year is
+    val names = Seq("y_minus2", "y_minus1", "y_latest")
+    val pivots = years.zip(names).map { case (y, n) =>
+      dec4(sum(when(col("year") === y, col("revenue")).otherwise(zero))).as(n)
+    }
     f.filter(col("year").isin(years: _*))
       .groupBy("country")
       .agg(pivots.head, pivots.tail: _*)
-      .withColumn("total", dec4(years.map(y => col(s"y$y")).reduce(_ + _)))
+      .withColumn("total", dec4(names.map(col).reduce(_ + _)))
       .orderBy(col("total").desc, col("country"))
       .limit(5)
   }
@@ -155,6 +158,37 @@ object Analytics {
                     (SELECT count(*) FROM ($factSql) f3) AS txn_cnt""")
   )
 
+  val reportUnitsByCountryQuarter = QuerySpec(
+    "report_units_by_country_quarter",
+    (s, d) => unitsByCountryQuarter(s, d),
+    Some(s"""SELECT country, year, quarter,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS units,
+                    count(*) AS txn_cnt
+             FROM ($factSql) f
+             GROUP BY country, year, quarter
+             ORDER BY country, year, quarter""")
+  )
+
+  val reportRevenueRecentYears = QuerySpec(
+    "report_revenue_recent_years",
+    (s, d) => revenueByCountryRecentYears(s, d),
+    Some(s"""WITH f AS ($factSql),
+             my AS (SELECT MAX(year) AS maxy FROM f),
+             p AS (
+               SELECT country,
+                      CAST(SUM(CASE WHEN year = maxy - 2 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y_minus2,
+                      CAST(SUM(CASE WHEN year = maxy - 1 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y_minus1,
+                      CAST(SUM(CASE WHEN year = maxy THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y_latest
+               FROM f, my
+               WHERE year >= maxy - 2
+               GROUP BY country)
+             SELECT country, y_minus2, y_minus1, y_latest,
+                    CAST(y_minus2 + y_minus1 + y_latest AS DECIMAL(18,4)) AS total
+             FROM p
+             ORDER BY total DESC, country LIMIT 5""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(reportRevenueByYear, reportQuarterlyTop5, reportCustomerSummary)
+    Seq(reportRevenueByYear, reportQuarterlyTop5, reportCustomerSummary,
+        reportUnitsByCountryQuarter, reportRevenueRecentYears)
 }
