@@ -101,9 +101,10 @@ object Multimodal {
 
   /** Frame sampling over the binary payload: n evenly-spaced fixed-size
     * byte slices per blob (the video-keyframe access pattern). The
-    * slicing runs on the BinaryType column; the oracle mirrors it over
-    * the source text (payload == utf8(text) here), comparing exact
-    * offsets, lengths, and content hashes. */
+    * slicing runs on the BinaryType column in BYTES; the oracle is
+    * byte-true too — DuckDB 1.0 has no BLOB substring, so it slices
+    * `hex(encode(text))` at doubled offsets (2 hex chars per byte),
+    * which stays correct for multi-byte UTF-8, not just ASCII. */
   val frames = QuerySpec(
     "multimodal_frames",
     (s, d) => {
@@ -121,32 +122,39 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("frame_offset"),
           octet_length(col("frame")).cast("long").as("frame_len"),
-          md5(col("frame")).as("frame_md5"))
+          lower(hex(col("frame"))).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")
     },
     Some("""SELECT doc_id, frame_idx, frame_offset,
-                   length(substr(text, CAST(frame_offset + 1 AS BIGINT), 32)) AS frame_len,
-                   md5(substr(text, CAST(frame_offset + 1 AS BIGINT), 32)) AS frame_md5
+                   length(substr(h, CAST(2 * frame_offset + 1 AS BIGINT), 64)) // 2 AS frame_len,
+                   lower(substr(h, CAST(2 * frame_offset + 1 AS BIGINT), 64)) AS frame_hex
             FROM (
-              SELECT doc_id, text, CAST(length(text) AS BIGINT) AS byte_len,
+              SELECT doc_id, hex(encode(text)) AS h,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                      CAST(i AS BIGINT) AS frame_idx,
-                     (i * greatest(CAST(length(text) AS BIGINT) - 32, 0)) // 3 AS frame_offset
+                     (i * greatest(CAST(octet_length(encode(text)) AS BIGINT) - 32, 0)) // 3 AS frame_offset
               FROM documents, UNNEST([0, 1, 2, 3]) AS u(i))
             ORDER BY doc_id, frame_idx""")
   )
 
   /** Fixed-length feature vector from the payload bytes — a
     * deterministic stand-in for an image/audio embedding model: 8
-    * buckets of byte-value sums (the mapPartitions shape is in
-    * `decodeAll`; this one stays columnar to show both batch shapes). */
+    * buckets of byte-value sums. Byte-true: each byte is read via its
+    * hex pair (`conv(substring(hex(payload)...)`), never through a
+    * UTF-8 decode — correct for arbitrary binary, not just ASCII.
+    * (The mapPartitions batch shape is in `decodeAll`; this one stays
+    * columnar to show both.) */
   def featureStub(s: SparkSession, d: String): DataFrame =
-    payloads(s, d).select(
-      col("doc_id"),
-      expr("""transform(sequence(0, 7), b ->
-                aggregate(filter(sequence(1, octet_length(payload)),
-                                 i -> (i % 8) = b),
-                          0L, (acc, i) -> acc + ascii(substring(CAST(payload AS STRING), i, 1))))""")
-        .as("features"))
+    payloads(s, d)
+      .select(col("doc_id"), hex(col("payload")).as("h"),
+        octet_length(col("payload")).as("n"))
+      .select(
+        col("doc_id"),
+        expr("""transform(sequence(0, 7), b ->
+                  aggregate(filter(sequence(1, n), i -> ((i - 1) % 8) = b),
+                            0L, (acc, i) ->
+                              acc + CAST(conv(substring(h, 2 * i - 1, 2), 16, 10) AS BIGINT)))""")
+          .as("features"))
 
   val all: Seq[QuerySpec] = Seq(meta, frames)
 }

@@ -36,20 +36,28 @@ object Similarity {
     * against). */
   def quantDotHof(a: String, b: String): Column =
     // least(size,size): match QuantDot's common-prefix semantics — and
-    // under ANSI (Spark 4 default) element_at past the end would throw
-    expr(s"""aggregate(sequence(1, least(size($a), size($b))), 0L,
-             (acc, i) -> acc +
-               CAST(FLOOR(CAST(element_at($a, i) AS DOUBLE) * 1000) AS BIGINT) *
-               CAST(FLOOR(CAST(element_at($b, i) AS DOUBLE) * 1000) AS BIGINT))""")
+    // under ANSI (Spark 4 default) element_at past the end would throw.
+    // Empty-vector guard: sequence(1, 0) yields the DESCENDING [1, 0]
+    // and element_at(x, 0) always throws, so short-circuit to 0.
+    expr(s"""CASE WHEN least(size($a), size($b)) <= 0 THEN 0L
+             ELSE aggregate(sequence(1, least(size($a), size($b))), 0L,
+               (acc, i) -> acc +
+                 CAST(FLOOR(CAST(element_at($a, i) AS DOUBLE) * 1000) AS BIGINT) *
+                 CAST(FLOOR(CAST(element_at($b, i) AS DOUBLE) * 1000) AS BIGINT))
+             END""")
 
   /** Double-precision cosine similarity via higher-order functions (for
     * engine users; not oracle-hashed — float fold order is engine-
     * specific). */
   def cosine(a: String, b: String): Column = {
     def dot(x: String, y: String) =
-      s"""aggregate(sequence(1, size($x)), CAST(0 AS DOUBLE),
+      s"""aggregate(sequence(1, least(size($x), size($y))), CAST(0 AS DOUBLE),
           (acc, i) -> acc + CAST(element_at($x, i) AS DOUBLE) * CAST(element_at($y, i) AS DOUBLE))"""
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+    // empty vectors → NULL (sequence(1,0) would throw, see quantDotHof);
+    // zero-norm → NULL via nullif instead of ANSI DIVIDE_BY_ZERO
+    expr(s"""CASE WHEN least(size($a), size($b)) <= 0 THEN CAST(NULL AS DOUBLE)
+             ELSE ${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0.0D)
+             END""")
   }
 
   private val oracleDot =
@@ -174,6 +182,22 @@ object Similarity {
              ORDER BY id1, id2""")
   )
 
+  /** Floor-quantized (×1000) integer components, position-exploded:
+    * (vec_id, dim, q). The single definition of the quantization rule —
+    * centroids, IVF assignment, and the oracle SQL all mirror it. */
+  private def quantComponents(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), col("embedding"),
+        explode(sequence(lit(1), size(col("embedding")))).as("dim"))
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
+          .as("q"))
+
+  /** Per-label centroid components in milli units: (label, dim, c, n). */
+  private def centroidComponents(e: DataFrame): DataFrame =
+    quantComponents(e)
+      .groupBy("label", "dim")
+      .agg(expr("sum(q) div count(1)").as("c"), count(lit(1)).as("n"))
+
   /** Per-label centroids in quantized space: element-wise mean of the
     * label's vectors, emitted as exact integer milli-units (sum of
     * floor-quantized components `div` count) — the class-prototype
@@ -182,19 +206,11 @@ object Similarity {
     * (label, dim) partitioning scales to any vector count. */
   val embeddingCentroids = QuerySpec(
     "embedding_centroids",
-    (s, d) => {
-      val e = embeddings(s, d)
-      e.select(col("label"), col("embedding"),
-          explode(sequence(lit(1), size(col("embedding")))).as("dim"))
+    (s, d) =>
+      centroidComponents(embeddings(s, d))
         .select(col("label"), col("dim").cast("long").as("dim"),
-          expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
-            .as("q"))
-        .groupBy("label", "dim")
-        .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
-        .select(col("label"), col("dim"),
-          expr("qsum div n").as("centroid_milli"), col("n"))
-        .orderBy("label", "dim")
-    },
+          col("c").as("centroid_milli"), col("n"))
+        .orderBy("label", "dim"),
     Some("""SELECT label, CAST(i AS BIGINT) AS dim,
                    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
                      // count(*) AS centroid_milli,
@@ -216,20 +232,9 @@ object Similarity {
     "ann_ivf",
     (s, d) => {
       val e = embeddings(s, d)
-      // quantized components, position-exploded: (vec_id, dim, q)
-      val comp = e.select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(1), size(col("embedding")))).as("dim"))
-        .select(col("vec_id"), col("dim"),
-          expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
-            .as("q"))
+      val comp = quantComponents(e).select("vec_id", "dim", "q")
       // coarse quantizer: per-label centroid in milli units
-      val cent = e.select(col("label"), col("embedding"),
-          explode(sequence(lit(1), size(col("embedding")))).as("dim"))
-        .select(col("label"), col("dim"),
-          expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
-            .as("q"))
-        .groupBy("label", "dim")
-        .agg(expr("sum(q) div count(1)").as("c"))
+      val cent = centroidComponents(e).select("label", "dim", "c")
       // cell assignment: argmax_label Σ_dim q·c (ties → smallest label)
       val scored = comp.join(broadcast(cent), Seq("dim"))
         .groupBy(col("vec_id"), col("label"))
