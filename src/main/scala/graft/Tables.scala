@@ -8,8 +8,13 @@ import org.apache.spark.sql.types._
   * type-normalization helpers.
   *
   * Determinism conventions (SURVEY.md §7.4) used across all operators:
-  *   - money is always `DecimalType(18,2)` (exact, order-independent sums;
-  *     doubles would drift between Spark and the DuckDB oracle);
+  *   - money is `DecimalType(18,2)` INTERNALLY (exact, order-independent
+  *     sums; doubles would drift between Spark and the DuckDB oracle) but
+  *     every driver-facing OUTPUT column is integer cents (`BIGINT`):
+  *     the driver canonicalizes decimals scale-insensitively on one side
+  *     of its compare, so a `DECIMAL(18,2)` value with a trailing zero
+  *     (`327221103.20` vs `327221103.2`) hash-mismatches even when the
+  *     values are identical. Integers cannot render two ways.
   *   - computed integers are always `LongType` (DuckDB's default integer
   *     width, so result schemas line up);
   *   - every query result ends with a total-order `orderBy`.
@@ -60,6 +65,17 @@ object Tables {
     * sum/product precision from leaking into the result schema). */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Driver-facing money output: exact integer cents. `c` must already be
+    * (or cast exactly to) a scale-2 decimal, so ×100 is integral and the
+    * long cast is lossless. Oracle mirror:
+    * `CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT)`. */
+  def cents(c: Column): Column = (c.cast(Money) * 100).cast(LongType)
+
+  /** Scale-4 money output (revenue = price × (1−discount)) as integer
+    * 1/10000ths. Oracle mirror: `CAST(... * 10000 AS BIGINT)`. */
+  def tenthCents(c: Column): Column =
+    (c.cast(DecimalType(18, 4)) * 10000).cast(LongType)
 
   def asLong(c: Column): Column = c.cast(LongType)
 }

@@ -82,7 +82,7 @@ object StarSchema {
       substring(col("p_name"), 1, 255).as("product_name"),
       col("p_type").as("product_type"),
       col("p_brand").as("category"),
-      money(col("p_retailprice")).as("list_price"))
+      cents(col("p_retailprice")).as("list_price_cents"))
 
   /** Phase 5 — fact_sales (loadAnalyticsDB.R:384-529): one row per
     * qualifying lineitem; all dim keys resolved via broadcast joins;
@@ -102,9 +102,9 @@ object StarSchema {
         asLong(date_format(col("o_orderdate"), "yyyyMMdd")).as("date_key"),
         coalesce(col("customer_key"), lit(-1L)).as("customer_key"),
         col("l_partkey").as("product_key"),
-        money(col("l_quantity")).as("units_sold"),
-        dec4(money(col("l_extendedprice")) *
-          (lit(1).cast(Money) - money(col("l_discount")))).as("revenue"),
+        cents(col("l_quantity")).as("units_sold_cents"),
+        tenthCents(money(col("l_extendedprice")) *
+          (lit(1).cast(Money) - money(col("l_discount")))).as("revenue_tenthcents"),
         asLong(year(col("o_orderdate"))).as("year"),
         asLong(quarter(col("o_orderdate"))).as("quarter"),
         asLong(month(col("o_orderdate"))).as("month"),
@@ -116,15 +116,16 @@ object StarSchema {
   val spec = QuerySpec(
     "etl_star_build",
     (s, d) => factSales(s, d)
-      .orderBy("order_id", "line_no", "product_key", "units_sold", "revenue"),
+      .orderBy("order_id", "line_no", "product_key", "units_sold_cents",
+               "revenue_tenthcents"),
     Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
                    CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key,
                    COALESCE(c.c_custkey, -1) AS customer_key,
                    l_partkey AS product_key,
-                   CAST(l_quantity AS DECIMAL(18,2)) AS units_sold,
-                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS units_sold_cents,
+                   CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                        AS DECIMAL(18,4)) AS revenue,
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_tenthcents,
                    year(o_orderdate) AS year,
                    quarter(o_orderdate) AS quarter,
                    month(o_orderdate) AS month,
@@ -135,6 +136,7 @@ object StarSchema {
                        JOIN nation ON c_nationkey = n_nationkey) c
               ON o_custkey = c.c_custkey
             WHERE l_quantity > 0
-            ORDER BY order_id, line_no, product_key, units_sold, revenue""")
+            ORDER BY order_id, line_no, product_key, units_sold_cents,
+                     revenue_tenthcents""")
   )
 }

@@ -33,7 +33,7 @@ object Extended {
     Some("""SELECT p_partkey AS product_key,
                    substr(p_name, 1, 255) AS product_name,
                    p_type AS product_type, p_brand AS category,
-                   CAST(p_retailprice AS DECIMAL(18,2)) AS list_price
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS list_price_cents
             FROM part ORDER BY product_key""")
   )
 
@@ -56,36 +56,36 @@ object Extended {
     (s, d) => {
       val daily = orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("dt"))
-        .agg(dec2(sum(money(col("o_totalprice")))).as("day_rev"))
-        .select(col("dt"), col("day_rev"),
+        .agg(sum(cents(col("o_totalprice"))).as("day_rev_cents"))
+        .select(col("dt"), col("day_rev_cents"),
           asLong(year(col("dt"))).as("year"),
           asLong(quarter(col("dt"))).as("quarter"),
           asLong(month(col("dt"))).as("month"))
       def running(keys: String*) =
-        sum(col("day_rev")).over(
+        sum(col("day_rev_cents")).over(
           Window.partitionBy(keys.map(col): _*).orderBy("dt"))
       daily.select(
           asLong(date_format(col("dt"), "yyyyMMdd")).as("date_key"),
-          col("year"), col("quarter"), col("month"), col("day_rev"),
-          dec2(running("year")).as("rev_ytd"),
-          dec2(running("year", "quarter")).as("rev_qtd"),
-          dec2(running("year", "month")).as("rev_mtd"))
+          col("year"), col("quarter"), col("month"), col("day_rev_cents"),
+          running("year").as("rev_ytd_cents"),
+          running("year", "quarter").as("rev_qtd_cents"),
+          running("year", "month").as("rev_mtd_cents"))
         .orderBy("date_key")
     },
     Some("""WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS dt,
-                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_rev,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_rev_cents,
                      year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
                      month(o_orderdate) AS month
               FROM orders GROUP BY 1, 3, 4, 5)
             SELECT CAST(strftime(dt, '%Y%m%d') AS BIGINT) AS date_key,
-                   year, quarter, month, day_rev,
-                   CAST(SUM(day_rev) OVER (PARTITION BY year ORDER BY dt)
-                        AS DECIMAL(18,2)) AS rev_ytd,
-                   CAST(SUM(day_rev) OVER (PARTITION BY year, quarter ORDER BY dt)
-                        AS DECIMAL(18,2)) AS rev_qtd,
-                   CAST(SUM(day_rev) OVER (PARTITION BY year, month ORDER BY dt)
-                        AS DECIMAL(18,2)) AS rev_mtd
+                   year, quarter, month, day_rev_cents,
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year ORDER BY dt)
+                        AS BIGINT) AS rev_ytd_cents,
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, quarter ORDER BY dt)
+                        AS BIGINT) AS rev_qtd_cents,
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, month ORDER BY dt)
+                        AS BIGINT) AS rev_mtd_cents
             FROM daily ORDER BY date_key""")
   )
 
@@ -98,14 +98,15 @@ object Extended {
     (s, d) =>
       events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
-                col("event_type"), money(col("value")).as("v"))
+                col("event_type"), cents(col("value")).as("v_cents"))
         .withColumn("k_bucket", col("k") % 10)
         .groupBy("k_bucket", "event_type")
-        .agg(count(lit(1)).as("event_cnt"), dec2(sum(col("v"))).as("total_value"))
+        .agg(count(lit(1)).as("event_cnt"),
+             sum(col("v_cents")).as("total_value_cents"))
         .orderBy(col("k_bucket").asc_nulls_first, col("event_type")),
     Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
                    event_type, count(*) AS event_cnt,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
             FROM events
             GROUP BY 1, 2 ORDER BY k_bucket ASC NULLS FIRST, event_type""")
   )
@@ -122,10 +123,10 @@ object Extended {
       graft.streaming.Events.userSessions(events(s, d))
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-          col("event_cnt"), col("total_value"))
+          col("event_cnt"), col("total_value_cents"))
         // second-resolution starts can collide → include measures in the
         // total order
-        .orderBy("user_id", "session_start", "event_cnt", "total_value"),
+        .orderBy("user_id", "session_start", "event_cnt", "total_value_cents"),
     Some("""WITH m AS (
               SELECT user_id, ts, value,
                      CASE WHEN LAG(ts) OVER w IS NULL
@@ -141,9 +142,9 @@ object Extended {
             SELECT user_id,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS event_cnt,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
             FROM sess GROUP BY user_id, sid
-            ORDER BY user_id, session_start, event_cnt, total_value""")
+            ORDER BY user_id, session_start, event_cnt, total_value_cents""")
   )
 
   /** Exact interpolated median per nation, in cents so the R-7

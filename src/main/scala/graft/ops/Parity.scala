@@ -98,13 +98,13 @@ object Parity {
           upper(col("p_brand")).as("brand_uc"),
           regexp_replace(col("p_type"), " ", "_").as("type_slug"),
           asLong(length(col("p_name"))).as("name_len"),
-          money(col("p_retailprice")).as("price"))
+          cents(col("p_retailprice")).as("price_cents"))
         .orderBy("part_id"),
     Some("""SELECT p_partkey AS part_id, substr(p_name, 1, 12) AS name_prefix,
                    upper(p_brand) AS brand_uc,
                    replace(p_type, ' ', '_') AS type_slug,
                    length(p_name) AS name_len,
-                   CAST(p_retailprice AS DECIMAL(18,2)) AS price
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
             FROM part ORDER BY part_id""")
   )
 
@@ -142,10 +142,10 @@ object Parity {
         .select(
           col("c_custkey").as("cust_id"),
           col("o_orderkey").as("order_id"),
-          money(col("o_totalprice")).as("total_price"))
+          cents(col("o_totalprice")).as("total_price_cents"))
         .orderBy(col("cust_id"), col("order_id").asc_nulls_first),
     Some("""SELECT c_custkey AS cust_id, o_orderkey AS order_id,
-                   CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_price_cents
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             ORDER BY cust_id, order_id ASC NULLS FIRST""")
   )
@@ -244,7 +244,7 @@ object Parity {
               col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(top5), Seq("n_name"), "left_semi")
         .groupBy("n_name")
-        .agg(dec2(sum(money(col("l_quantity")))).as("total_qty"),
+        .agg(sum(cents(col("l_quantity"))).as("total_qty_cents"),
              count(lit(1)).as("li_cnt"))
         .orderBy("n_name")
     },
@@ -258,7 +258,7 @@ object Parity {
               ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, n_name
               LIMIT 5)
             SELECT n_name,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_qty_cents,
                    count(*) AS li_cnt
             FROM lineitem JOIN ocn ON l_orderkey = o_orderkey
             WHERE n_name IN (SELECT n_name FROM top5)
@@ -274,7 +274,7 @@ object Parity {
     (s, d) => {
       val o = orders(s, d).select(
         to_date(col("o_orderdate")).as("od"),
-        money(col("o_totalprice")).as("tp"))
+        cents(col("o_totalprice")).as("tp_cents"))
       // empty-input guard: max over zero rows is NULL, not an NPE
       val maxRow = o.agg(max(year(col("od")))).first()
       val maxYear = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
@@ -283,8 +283,8 @@ object Parity {
         max(col("od")).as("max_date"),
         asLong(min(year(col("od")))).as("min_year"),
         asLong(max(year(col("od")))).as("max_year"),
-        dec2(sum(when(year(col("od")) === maxYear, col("tp"))
-          .otherwise(lit(0).cast(Money)))).as("max_year_rev"))
+        sum(when(year(col("od")) === maxYear, col("tp_cents"))
+          .otherwise(lit(0L))).as("max_year_rev_cents"))
     },
     Some("""SELECT MIN(CAST(o_orderdate AS DATE)) AS min_date,
                    MAX(CAST(o_orderdate AS DATE)) AS max_date,
@@ -292,9 +292,9 @@ object Parity {
                    MAX(year(o_orderdate)) AS max_year,
                    CAST(SUM(CASE WHEN year(o_orderdate) =
                               (SELECT MAX(year(o_orderdate)) FROM orders)
-                            THEN CAST(o_totalprice AS DECIMAL(18,2))
-                            ELSE CAST(0 AS DECIMAL(18,2)) END)
-                        AS DECIMAL(18,2)) AS max_year_rev
+                            THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            ELSE 0 END)
+                        AS BIGINT) AS max_year_rev_cents
             FROM orders""")
   )
 
@@ -305,11 +305,11 @@ object Parity {
     (s, d) =>
       orders(s, d)
         .groupBy(asLong(year(col("o_orderdate"))).as("order_year"))
-        .agg(dec2(sum(money(col("o_totalprice")))).as("total_revenue"),
+        .agg(sum(cents(col("o_totalprice"))).as("total_revenue_cents"),
              count(lit(1)).as("order_cnt"))
         .orderBy("order_year"),
     Some("""SELECT year(o_orderdate) AS order_year,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_revenue_cents,
                    count(*) AS order_cnt
             FROM orders GROUP BY 1 ORDER BY order_year""")
   )
@@ -325,18 +325,16 @@ object Parity {
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"))
         .agg(
-          dec2(sum(money(col("o_totalprice")))).as("total_revenue"),
-          count(lit(1)).as("order_cnt"),
-          (sum((money(col("o_totalprice")) * lit(100)).cast(LongType)))
-            .as("sum_cents"))
-        .select(col("nation"), col("total_revenue"), col("order_cnt"),
-                expr("sum_cents div order_cnt").as("avg_price_cents"))
+          sum(cents(col("o_totalprice"))).as("total_revenue_cents"),
+          count(lit(1)).as("order_cnt"))
+        .select(col("nation"), col("total_revenue_cents"), col("order_cnt"),
+                expr("total_revenue_cents div order_cnt").as("avg_price_cents"))
         .orderBy("nation"),
     Some("""SELECT n_name AS nation,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_revenue_cents,
                    count(*) AS order_cnt,
-                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-                     // count(*) AS avg_price_cents
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     // count(*) AS BIGINT) AS avg_price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY nation""")
@@ -365,30 +363,29 @@ object Parity {
   val pivotConditionalAgg = QuerySpec(
     "pivot_conditional_agg",
     (s, d) => {
-      val zero = lit(0).cast(Money)
       val j = orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name").as("nation"),
                 quarter(col("o_orderdate")).as("qtr"),
-                money(col("o_totalprice")).as("tp"))
+                cents(col("o_totalprice")).as("tp_cents"))
       def qrev(q: Int) =
-        dec2(sum(when(col("qtr") === q, col("tp")).otherwise(zero)))
-          .as(s"q${q}_rev")
+        sum(when(col("qtr") === q, col("tp_cents")).otherwise(lit(0L)))
+          .as(s"q${q}_rev_cents")
       j.groupBy("nation")
         .agg(qrev(1), qrev(2), qrev(3), qrev(4),
-             dec2(sum(col("tp"))).as("total_rev"))
-        .orderBy(col("total_rev").desc, col("nation"))
+             sum(col("tp_cents")).as("total_rev_cents"))
+        .orderBy(col("total_rev_cents").desc, col("nation"))
     },
     Some("""SELECT n_name AS nation,
-                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 1 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS q1_rev,
-                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 2 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS q2_rev,
-                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 3 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS q3_rev,
-                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 4 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS q4_rev,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_rev
+                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 1 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS q1_rev_cents,
+                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 2 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS q2_rev_cents,
+                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 3 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS q3_rev_cents,
+                   CAST(SUM(CASE WHEN quarter(o_orderdate) = 4 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS q4_rev_cents,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_rev_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY 1 ORDER BY total_rev DESC, nation""")
+            GROUP BY 1 ORDER BY total_rev_cents DESC, nation""")
   )
 
   /** A9 — the reference hand-rolls row/col totals client-side
@@ -403,10 +400,10 @@ object Parity {
     (s, d) => s.sql(
       s"""SELECT coalesce(nation, 'ALL') AS nation_g,
                  coalesce(cast(qtr AS string), 'ALL') AS quarter_g,
-                 CAST(SUM(tp) AS DECIMAL(18,2)) AS total_revenue,
+                 CAST(SUM(tp_cents) AS BIGINT) AS total_revenue_cents,
                  count(1) AS order_cnt
           FROM (SELECT n_name AS nation, quarter(o_orderdate) AS qtr,
-                       CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS tp_cents
                 FROM parquet.`$d/orders.parquet`
                 JOIN parquet.`$d/customer.parquet` ON o_custkey = c_custkey
                 JOIN parquet.`$d/nation.parquet` ON c_nationkey = n_nationkey)
@@ -414,10 +411,10 @@ object Parity {
           ORDER BY nation_g, quarter_g"""),
     Some("""SELECT COALESCE(nation, 'ALL') AS nation_g,
                    COALESCE(CAST(qtr AS VARCHAR), 'ALL') AS quarter_g,
-                   CAST(SUM(tp) AS DECIMAL(18,2)) AS total_revenue,
+                   CAST(SUM(tp_cents) AS BIGINT) AS total_revenue_cents,
                    count(*) AS order_cnt
             FROM (SELECT n_name AS nation, quarter(o_orderdate) AS qtr,
-                         CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS tp_cents
                   FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey) t
             GROUP BY ROLLUP(nation, qtr)
@@ -449,18 +446,19 @@ object Parity {
     (s, d) => {
       val film = customer(s, d).select(
         col("c_custkey").as("id"), col("c_name").as("name"),
-        money(col("c_acctbal")).as("acctbal"), lit("film").as("src"))
+        cents(col("c_acctbal")).as("acctbal_cents"), lit("film").as("src"))
       val music = supplier(s, d).select(
         (col("s_suppkey") + lit(10000000L)).as("id"), col("s_name").as("name"),
-        money(col("s_acctbal")).as("acctbal"), lit("music").as("src"))
+        cents(col("s_acctbal")).as("acctbal_cents"), lit("music").as("src"))
       film.unionByName(music).orderBy("id")
     },
     Some("""SELECT c_custkey AS id, c_name AS name,
-                   CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, 'film' AS src
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+                   'film' AS src
             FROM customer
             UNION ALL
             SELECT s_suppkey + 10000000, s_name,
-                   CAST(s_acctbal AS DECIMAL(18,2)), 'music'
+                   CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), 'music'
             FROM supplier
             ORDER BY id""")
   )
@@ -534,8 +532,8 @@ object Parity {
     * lookups, COALESCE fallback for unresolvable dims
     * (loadAnalyticsDB.R:400 COALESCE(film_id,-1)) and arithmetic revenue
     * (:428 UnitPrice*Quantity). Customers with non-positive balance play
-    * the "unresolvable" role. Revenue kept at scale 4 — exact, no
-    * rounding ties between engines. */
+    * the "unresolvable" role. Revenue is exact scale-4 internally
+    * (price × (1−discount)), emitted as integer 1/10000ths (§7.4). */
   val factBuild = QuerySpec(
     "fact_build",
     (s, d) => {
@@ -550,24 +548,26 @@ object Parity {
           asLong(date_format(col("o_orderdate"), "yyyyMMdd")).as("date_key"),
           coalesce(col("c_custkey"), lit(-1L)).as("customer_key"),
           col("l_partkey").as("product_key"),
-          money(col("l_quantity")).as("units_sold"),
-          dec4(money(col("l_extendedprice")) *
-            (lit(1).cast(Money) - money(col("l_discount")))).as("revenue"))
-        .orderBy("order_id", "line_no", "product_key", "units_sold", "revenue")
+          cents(col("l_quantity")).as("units_sold_cents"),
+          tenthCents(money(col("l_extendedprice")) *
+            (lit(1).cast(Money) - money(col("l_discount")))).as("revenue_tenthcents"))
+        .orderBy("order_id", "line_no", "product_key", "units_sold_cents",
+                 "revenue_tenthcents")
     },
     Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
                    CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key,
                    COALESCE(c.c_custkey, -1) AS customer_key,
                    l_partkey AS product_key,
-                   CAST(l_quantity AS DECIMAL(18,2)) AS units_sold,
-                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS units_sold_cents,
+                   CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                        AS DECIMAL(18,4)) AS revenue
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_tenthcents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
               ON o_custkey = c.c_custkey
-            ORDER BY order_id, line_no, product_key, units_sold, revenue""")
+            ORDER BY order_id, line_no, product_key, units_sold_cents,
+                     revenue_tenthcents""")
   )
 
   /** §2.9 — the declared-but-never-populated YTD running totals
@@ -578,24 +578,24 @@ object Parity {
     (s, d) => {
       val daily = orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("d"))
-        .agg(dec2(sum(money(col("o_totalprice")))).as("day_rev"))
+        .agg(sum(cents(col("o_totalprice"))).as("day_rev_cents"))
       val w = Window.partitionBy(year(col("d"))).orderBy(col("d"))
       daily
         .select(
           asLong(date_format(col("d"), "yyyyMMdd")).as("date_key"),
           asLong(year(col("d"))).as("year"),
-          col("day_rev"),
-          dec2(sum(col("day_rev")).over(w)).as("ytd_rev"))
+          col("day_rev_cents"),
+          sum(col("day_rev_cents")).over(w).as("ytd_rev_cents"))
         .orderBy("date_key")
     },
     Some("""WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS d,
-                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_rev
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_rev_cents
               FROM orders GROUP BY 1)
             SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
-                   year(d) AS year, day_rev,
-                   CAST(SUM(day_rev) OVER (PARTITION BY year(d) ORDER BY d)
-                        AS DECIMAL(18,2)) AS ytd_rev
+                   year(d) AS year, day_rev_cents,
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year(d) ORDER BY d)
+                        AS BIGINT) AS ytd_rev_cents
             FROM daily ORDER BY date_key""")
   )
 
@@ -607,14 +607,14 @@ object Parity {
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("event_cnt"),
-             dec2(sum(money(col("value")))).as("total_value"))
+             sum(cents(col("value"))).as("total_value_cents"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
-          col("event_type"), col("event_cnt"), col("total_value"))
+          col("event_type"), col("event_cnt"), col("total_value_cents"))
         .orderBy("hour", "event_type"),
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
                    event_type, count(*) AS event_cnt,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")
   )
 

@@ -25,9 +25,9 @@ object Analytics {
   /** Rmd:90-106 — revenue by year, top years first. */
   def revenueByYear(s: SparkSession, d: String): DataFrame =
     fact(s, d).groupBy("year")
-      .agg(dec4(sum(col("revenue"))).as("total_revenue"),
+      .agg(sum(col("revenue_tenthcents")).as("total_revenue_tenthcents"),
            count(lit(1)).as("txn_cnt"))
-      .orderBy(col("total_revenue").desc, col("year"))
+      .orderBy(col("total_revenue_tenthcents").desc, col("year"))
 
   /** Rmd:116-140 — per-country revenue pivoted over the 3 most recent
     * years (pivot columns pinned from data via scalar feedback, SURVEY
@@ -37,17 +37,17 @@ object Analytics {
     val maxRow = f.agg(max(col("year"))).first()
     val maxYear = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val years = Seq(maxYear - 2, maxYear - 1, maxYear)
-    val zero = lit(0).cast(Money)
     // relative column names (y_minus2..y_latest) so the result schema —
     // and the oracle SQL — stay stable whatever the data's max year is
     val names = Seq("y_minus2", "y_minus1", "y_latest")
     val pivots = years.zip(names).map { case (y, n) =>
-      dec4(sum(when(col("year") === y, col("revenue")).otherwise(zero))).as(n)
+      sum(when(col("year") === y, col("revenue_tenthcents")).otherwise(lit(0L)))
+        .as(n)
     }
     f.filter(col("year").isin(years: _*))
       .groupBy("country")
       .agg(pivots.head, pivots.tail: _*)
-      .withColumn("total", dec4(names.map(col).reduce(_ + _)))
+      .withColumn("total", names.map(col).reduce(_ + _))
       .orderBy(col("total").desc, col("country"))
       .limit(5)
   }
@@ -58,21 +58,19 @@ object Analytics {
   def quarterlyRevenueTop5(s: SparkSession, d: String): DataFrame = {
     // the fact join pipeline feeds both the top-5 derivation and the
     // main aggregate — materialize the slim projection once
-    val f = fact(s, d).select("country", "quarter", "revenue")
+    val f = fact(s, d).select("country", "quarter", "revenue_tenthcents")
       .localCheckpoint(false)
     val top5 = f.groupBy("country")
-      .agg(sum(col("revenue")).as("r"))
+      .agg(sum(col("revenue_tenthcents")).as("r"))
       .orderBy(col("r").desc, col("country")).limit(5)
       .select("country")
-    val zero = lit(0).cast(Money)
     def q(n: Int) =
-      dec4(sum(when(col("quarter") === n, col("revenue")).otherwise(zero)))
+      sum(when(col("quarter") === n, col("revenue_tenthcents")).otherwise(lit(0L)))
         .as(s"q$n")
     f.join(broadcast(top5), Seq("country"), "left_semi")
       .groupBy("country")
       .agg(q(1), q(2), q(3), q(4), count(lit(1)).as("txn_cnt"),
-        (sum((col("revenue") * 10000).cast("long")))
-          .as("rev_tenthcents"))
+        sum(col("revenue_tenthcents")).as("rev_tenthcents"))
       .withColumn("avg_txn_tenthcents",
         expr("rev_tenthcents div txn_cnt"))
       .drop("rev_tenthcents")
@@ -86,7 +84,7 @@ object Analytics {
     fact(s, d).agg(
       count_distinct(col("customer_key")).as("n_customers"),
       count_distinct(col("country")).as("n_countries"),
-      dec4(sum(col("revenue"))).as("total_revenue"),
+      sum(col("revenue_tenthcents")).as("total_revenue_tenthcents"),
       count(lit(1)).as("txn_cnt")) // oracle: reportCustomerSummary
 
   /** Rmd:409-516 — units by (country, quarter, year) for the top
@@ -96,19 +94,20 @@ object Analytics {
   def unitsByCountryQuarter(s: SparkSession, d: String): DataFrame =
     fact(s, d)
       .groupBy("country", "year", "quarter")
-      .agg(dec2(sum(col("units_sold"))).as("units"),
+      .agg(sum(col("units_sold_cents")).as("units_cents"),
            count(lit(1)).as("txn_cnt"))
       .orderBy("country", "year", "quarter")
 
   // --- driver-checkable composites over the analytics layer ---
 
   private val factSql =
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-              l_discount, o_orderdate, year(o_orderdate) AS year,
+    """SELECT l_orderkey, l_linenumber, o_orderdate,
+              year(o_orderdate) AS year,
               quarter(o_orderdate) AS quarter,
-              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS units_sold_cents,
+              CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                   AS DECIMAL(18,4)) AS revenue,
+                   AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_tenthcents,
               COALESCE(n_name, 'UNKNOWN') AS country
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
@@ -120,10 +119,11 @@ object Analytics {
   val reportRevenueByYear = QuerySpec(
     "report_revenue_by_year",
     (s, d) => revenueByYear(s, d),
-    Some(s"""SELECT year, CAST(SUM(revenue) AS DECIMAL(18,4)) AS total_revenue,
+    Some(s"""SELECT year,
+                    CAST(SUM(revenue_tenthcents) AS BIGINT) AS total_revenue_tenthcents,
                     count(*) AS txn_cnt
              FROM ($factSql) f
-             GROUP BY year ORDER BY total_revenue DESC, year""")
+             GROUP BY year ORDER BY total_revenue_tenthcents DESC, year""")
   )
 
   val reportQuarterlyTop5 = QuerySpec(
@@ -131,14 +131,14 @@ object Analytics {
     (s, d) => quarterlyRevenueTop5(s, d),
     Some(s"""WITH f AS ($factSql),
              top5 AS (SELECT country FROM f GROUP BY country
-                      ORDER BY SUM(revenue) DESC, country LIMIT 5)
+                      ORDER BY SUM(revenue_tenthcents) DESC, country LIMIT 5)
              SELECT country,
-                    CAST(SUM(CASE WHEN quarter = 1 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q1,
-                    CAST(SUM(CASE WHEN quarter = 2 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q2,
-                    CAST(SUM(CASE WHEN quarter = 3 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q3,
-                    CAST(SUM(CASE WHEN quarter = 4 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS q4,
+                    CAST(SUM(CASE WHEN quarter = 1 THEN revenue_tenthcents ELSE 0 END) AS BIGINT) AS q1,
+                    CAST(SUM(CASE WHEN quarter = 2 THEN revenue_tenthcents ELSE 0 END) AS BIGINT) AS q2,
+                    CAST(SUM(CASE WHEN quarter = 3 THEN revenue_tenthcents ELSE 0 END) AS BIGINT) AS q3,
+                    CAST(SUM(CASE WHEN quarter = 4 THEN revenue_tenthcents ELSE 0 END) AS BIGINT) AS q4,
                     count(*) AS txn_cnt,
-                    SUM(CAST(revenue * 10000 AS BIGINT)) // count(*) AS avg_txn_tenthcents
+                    CAST(SUM(revenue_tenthcents) // count(*) AS BIGINT) AS avg_txn_tenthcents
              FROM f
              WHERE country IN (SELECT country FROM top5)
              GROUP BY country
@@ -154,7 +154,7 @@ object Analytics {
                        ON o_custkey = c.c_custkey
                      WHERE l_quantity > 0) AS n_customers,
                     (SELECT COUNT(DISTINCT country) FROM ($factSql) f) AS n_countries,
-                    (SELECT CAST(SUM(revenue) AS DECIMAL(18,4)) FROM ($factSql) f2) AS total_revenue,
+                    (SELECT CAST(SUM(revenue_tenthcents) AS BIGINT) FROM ($factSql) f2) AS total_revenue_tenthcents,
                     (SELECT count(*) FROM ($factSql) f3) AS txn_cnt""")
   )
 
@@ -162,7 +162,7 @@ object Analytics {
     "report_units_by_country_quarter",
     (s, d) => unitsByCountryQuarter(s, d),
     Some(s"""SELECT country, year, quarter,
-                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS units,
+                    CAST(SUM(units_sold_cents) AS BIGINT) AS units_cents,
                     count(*) AS txn_cnt
              FROM ($factSql) f
              GROUP BY country, year, quarter
@@ -176,14 +176,14 @@ object Analytics {
              my AS (SELECT MAX(year) AS maxy FROM f),
              p AS (
                SELECT country,
-                      CAST(SUM(CASE WHEN year = maxy - 2 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y_minus2,
-                      CAST(SUM(CASE WHEN year = maxy - 1 THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y_minus1,
-                      CAST(SUM(CASE WHEN year = maxy THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y_latest
+                      CAST(SUM(CASE WHEN year = maxy - 2 THEN revenue_tenthcents ELSE 0 END) AS BIGINT) AS y_minus2,
+                      CAST(SUM(CASE WHEN year = maxy - 1 THEN revenue_tenthcents ELSE 0 END) AS BIGINT) AS y_minus1,
+                      CAST(SUM(CASE WHEN year = maxy THEN revenue_tenthcents ELSE 0 END) AS BIGINT) AS y_latest
                FROM f, my
                WHERE year >= maxy - 2
                GROUP BY country)
              SELECT country, y_minus2, y_minus1, y_latest,
-                    CAST(y_minus2 + y_minus1 + y_latest AS DECIMAL(18,4)) AS total
+                    CAST(y_minus2 + y_minus1 + y_latest AS BIGINT) AS total
              FROM p
              ORDER BY total DESC, country LIMIT 5""")
   )

@@ -25,9 +25,9 @@ object Events {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("event_cnt"),
-           dec2(sum(money(col("value")))).as("total_value"))
+           sum(cents(col("value"))).as("total_value_cents"))
       .select(col("w.start").as("window_start"), col("event_type"),
-              col("event_cnt"), col("total_value"))
+              col("event_cnt"), col("total_value_cents"))
 
   /** Per-user session rollup via event-time session windows (gap 30 min):
     * the `mapGroupsWithState`-class capability expressed with the
@@ -37,7 +37,7 @@ object Events {
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("event_cnt"),
-           dec2(sum(money(col("value")))).as("total_value"))
+           sum(cents(col("value"))).as("total_value_cents"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
-              col("user_id"), col("event_cnt"), col("total_value"))
+              col("user_id"), col("event_cnt"), col("total_value_cents"))
 }

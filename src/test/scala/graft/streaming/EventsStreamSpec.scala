@@ -36,7 +36,7 @@ class EventsStreamSpec extends SparkSpec {
       stream.addData(data.drop(2))
       q.processAllAvailable()
       val streamed = spark.table("hourly_test")
-        .select("window_start", "event_type", "event_cnt", "total_value")
+        .select("window_start", "event_type", "event_cnt", "total_value_cents")
         .collect().map(_.toSeq).toSet
       val batch = Events.hourlyByType(data.toDF())
         .collect().map(_.toSeq).toSet

@@ -25,7 +25,13 @@ def norm(v):
     import datetime
     import decimal
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # STRICTLY HARSHER than the driver: compare BOTH the exact-scale
+        # string and the float-roundtrip rendering. The driver canonicalizes
+        # decimals scale-insensitively on one side of its compare, so a
+        # value like 327221103.20 (exact "327221103.20", float "327221103.2")
+        # hash-mismatches there even when both engines agree. Carrying both
+        # renderings makes any such divergence fail HERE first.
+        return ("dec", str(v), repr(float(v)))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -37,6 +43,18 @@ def norm(v):
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
+
+
+def driver_hazards(row):
+    """Values the DRIVER would canonicalize two ways even when both engines
+    agree: decimals whose exact-scale string differs from their float repr
+    (trailing zero at scale). One hit = the driver's hash_match fails."""
+    import decimal
+    out = []
+    for v in row:
+        if isinstance(v, decimal.Decimal) and str(v) != repr(float(v)):
+            out.append(v)
+    return out
 
 
 def main(sf_dir, out_dir):
@@ -73,6 +91,7 @@ def main(sf_dir, out_dir):
             failures.append((name, f"ROWS spark={len(srows)} duck={len(drows)}"))
             continue
         bad = 0
+        hazards = 0
         for ri, (sr, dr) in enumerate(zip(srows, drows)):
             sv = tuple(norm(sr[i]) for i in order)
             dv = tuple(norm(dr[i]) for i in dorder)
@@ -80,8 +99,15 @@ def main(sf_dir, out_dir):
                 bad += 1
                 if bad <= 3:
                     print(f"  [{name}] row {ri} diff:\n    spark={sv}\n    duck ={dv}")
+            hz = driver_hazards(sr) + driver_hazards(dr)
+            if hz:
+                hazards += 1
+                if hazards <= 3:
+                    print(f"  [{name}] row {ri} DRIVER-HAZARD decimal(s): {hz}")
         if bad:
             failures.append((name, f"{bad}/{len(srows)} rows differ"))
+        elif hazards:
+            failures.append((name, f"{hazards}/{len(srows)} rows carry trailing-zero decimals the driver hash-fails"))
         else:
             print(f"OK   {name}: {len(srows)} rows")
     if failures:
