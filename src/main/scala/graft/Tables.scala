@@ -38,22 +38,22 @@ object Tables {
     * nanos by default, so read them as raw longs and rebuild a (truncated)
     * microsecond timestamp — the same value DuckDB sees after its own
     * ns→µs handling for `date_trunc`-level work.
+    *
+    * The nanos flag is carried by a CLONED session (not set/unset on the
+    * caller's, which would race when two queries build plans
+    * concurrently); the clone shares the SparkContext, so the resulting
+    * frame composes with frames from the original session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val raw = t(s, d, "events")
-      raw.schema("ts").dataType match {
-        case LongType =>
-          // integer div, NOT `/`: long./(long) widens to double, whose
-          // 256ns ulp at 1.7e18 corrupts ~2% of timestamps by 1µs
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw // future Spark versions may read nanos natively
-      }
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val iso = org.apache.spark.sql.graft.bridge.sessionWithConf(
+      s, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    val raw = iso.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer div, NOT `/`: long./(long) widens to double, whose
+        // 256ns ulp at 1.7e18 corrupts ~2% of timestamps by 1µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // future Spark versions may read nanos natively
     }
   }
 

@@ -111,6 +111,49 @@ object StarSchema {
         coalesce(col("country"), lit("UNKNOWN")).as("country"))
   }
 
+  /** The `sales_summary` pre-aggregate the reference's README declares
+    * but never creates (README.md:22, SURVEY §1.1) — the closing of that
+    * declared intent: one partial-agg + single shuffle on the (tiny)
+    * group keys over the fact build. At 100 TB this is the materialized
+    * rollup you'd write partitioned by year for report serving. */
+  def salesSummary(s: SparkSession, d: String): DataFrame =
+    factSales(s, d)
+      .groupBy("year", "quarter", "country")
+      .agg(
+        sum(col("revenue_tenthcents")).as("revenue_tenthcents"),
+        sum(col("units_sold_cents")).as("units_cents"),
+        count_distinct(col("customer_key")).as("n_customers"),
+        count(lit(1)).as("txn_cnt"))
+      .orderBy("year", "quarter", "country")
+
+  val summarySpec = QuerySpec(
+    "sales_summary",
+    (s, d) => salesSummary(s, d),
+    Some("""WITH f AS (
+              SELECT year(o_orderdate) AS year,
+                     quarter(o_orderdate) AS quarter,
+                     COALESCE(n_name, 'UNKNOWN') AS country,
+                     COALESCE(c.c_custkey, -1) AS customer_key,
+                     CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS units_sold_cents,
+                     CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                          AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_tenthcents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              LEFT JOIN (SELECT c_custkey, n_name FROM customer
+                         JOIN nation ON c_nationkey = n_nationkey) c
+                ON o_custkey = c.c_custkey
+              WHERE l_quantity > 0)
+            SELECT year, quarter, country,
+                   CAST(SUM(revenue_tenthcents) AS BIGINT) AS revenue_tenthcents,
+                   CAST(SUM(units_sold_cents) AS BIGINT) AS units_cents,
+                   COUNT(DISTINCT customer_key) AS n_customers,
+                   count(*) AS txn_cnt
+            FROM f
+            GROUP BY year, quarter, country
+            ORDER BY year, quarter, country""")
+  )
+
   /** The §7.3 `etl_star_build` contract: the composed pipeline's fact
     * output, totally ordered for the oracle hash-match. */
   val spec = QuerySpec(

@@ -226,11 +226,15 @@ object Dedup {
         .filter(col("shared_rare") >= 10)
         .select("id1", "id2")
       // phase 2: exact intersection over ALL shingles, candidates only.
-      // cand is tiny (pairs), cand⋈shingles is bounded by
-      // |cand| × shingles-per-doc — both broadcastable by construction.
+      // cand is tiny (a pair list after the ≥10-shared-rare cut) —
+      // genuinely broadcastable. j1 = cand⋈shingles is NOT: its size is
+      // |cand| × shingles-per-doc, data-dependent — a template-heavy
+      // corpus would blow the broadcast limit. shuffle_hash builds the
+      // hash table on j1 per-partition instead (no 8 GB ceiling, no
+      // sort of the big shingle side).
       val j1 = sh.toDF("id1", "s1").join(broadcast(cand), "id1")
       val inter = sh.toDF("id2", "s2")
-        .join(broadcast(j1), "id2")
+        .join(j1.hint("shuffle_hash"), "id2")
         .filter(col("s1") === col("s2"))
         .groupBy("id1", "id2")
         .agg(count(lit(1)).as("inter"))
@@ -295,19 +299,32 @@ object Dedup {
       while (changed > 0 && rounds < 20) {
         val nbr = labels.as("l")
           .join(edges.as("e"), col("l.id") === col("e.a"))
-          .select(col("e.b").as("id"), col("l.label"))
-        val next = labels.unionByName(nbr)
-          .groupBy("id").agg(min(col("label")).as("label"))
+          .select(col("e.b").as("id"), col("l.label"), lit(false).as("own"))
+        // the node's previous label rides along in the same aggregate
+        // (min over own-only rows), so convergence detection costs no
+        // extra join — just a scan of the checkpointed label table
+        val next = labels.withColumn("own", lit(true))
+          .unionByName(nbr)
+          .groupBy("id")
+          .agg(min(col("label")).as("label"),
+               min(when(col("own"), col("label"))).as("prev"))
           .localCheckpoint()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label"))
-          .count()
-        labels = next
+        changed = next.filter(col("label") =!= col("prev")).count()
+        // previous round's checkpoint blocks are dead weight from here on
+        org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(labels)
+        labels = next.select("id", "label")
         rounds += 1
       }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val out = labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
+        // the result leaves this scope as a plain plan; pin it so the
+        // pairs/edges/labels checkpoint blocks can be released NOW
+        // instead of leaking for the rest of the JVM
+        .localCheckpoint()
+      Seq(pairs, edges, labels)
+        .foreach(org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint)
+      out
     },
     Some("""WITH RECURSIVE sh AS (
               SELECT doc_id, substr(text, i, 8) AS s

@@ -108,6 +108,36 @@ object Parity {
             FROM part ORDER BY part_id""")
   )
 
+  /** P12 — presentation formatting (BusinessAnalysis.Rmd:456-490:
+    * `format(x, big.mark=",")` and `round(x, -1)`), emitted driver-safe:
+    * the grouped rendering is a STRING (identical in both engines for
+    * integer inputs) and the rounding is pure integer arithmetic
+    * (`((dollars+5) div 10) × 10` — no cross-engine round-half ties). */
+  val stringFormat = QuerySpec(
+    "string_format",
+    (s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .select(col("nation"), col("revenue_cents"),
+          format_number(expr("revenue_cents div 100"), 0).as("revenue_fmt"),
+          (expr("((revenue_cents div 100) + 5) div 10") * 10)
+            .as("revenue_round10"))
+        .orderBy("nation"),
+    Some("""WITH r AS (
+              SELECT n_name AS nation,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1)
+            SELECT nation, revenue_cents,
+                   format('{:,}', revenue_cents // 100) AS revenue_fmt,
+                   ((revenue_cents // 100 + 5) // 10) * 10 AS revenue_round10
+            FROM r ORDER BY nation""")
+  )
+
   /** J1 — 3-chain inner equi-join geography denormalization
     * (customer⋈address⋈city⋈country, loadAnalyticsDB.R:150-153). Both dims
     * are broadcast — no shuffle of the customer side. */
@@ -619,7 +649,8 @@ object Parity {
   )
 
   val all: Seq[QuerySpec] = Seq(
-    scanProject, filterPred, caseWhenStandardize, stringFuncs, joinChain,
+    scanProject, filterPred, caseWhenStandardize, stringFuncs, stringFormat,
+    joinChain,
     leftJoinNull, nullTolerantJoin, topkSemiJoin, aggMinmax, groupSum,
     groupAvg, countDistinct, pivotConditionalAgg, rollupTotals,
     topkOrderbyLimit, unionConform, distinctUnion, dateDimGen,
