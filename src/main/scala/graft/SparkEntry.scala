@@ -8,7 +8,8 @@ object SparkEntry {
   /** Every capability the engine ships, in SURVEY §7.3 order followed by
     * the LLM-pipeline extensions. */
   def specs: Seq[QuerySpec] =
-    (ops.Parity.all :+ etl.StarSchema.spec :+ etl.StarSchema.summarySpec) ++
+    (ops.Parity.all :+ etl.StarSchema.spec :+ etl.StarSchema.summarySpec :+
+      sources.Io.writeRoundtrip) ++
       ops.Extended.all ++
       report.Analytics.all ++
       llm.TextOps.all ++ llm.Dedup.all ++ llm.Similarity.all ++

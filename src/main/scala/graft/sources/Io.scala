@@ -1,6 +1,9 @@
 package graft.sources
 
+import graft.QuerySpec
+import graft.Tables.asLong
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface (SURVEY §2.1).
@@ -69,4 +72,37 @@ object Io {
     * streaming module for exactly-once-per-batch fact appends. */
   def appendFacts(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy("year").parquet(path)
+
+  /** S3 under the driver gate: the load path itself is the thing being
+    * verified (reference loadAnalyticsDB.R:106-134 — half its code is the
+    * write side). The fact build is written through the production sink
+    * (year-partitioned, file-size-capped), read back off disk, and
+    * re-aggregated; the oracle computes the same rollup from the raw
+    * sources — so a bug anywhere in write partitioning, file layout, or
+    * read-back typing breaks the hash. `year` comes back as a partition
+    * directory value (int) → normalized to BIGINT. */
+  val writeRoundtrip = QuerySpec(
+    "fact_write_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fact_rt").toString
+      writeFactPartitioned(graft.etl.StarSchema.factSales(s, d), out)
+      s.read.parquet(out)
+        .groupBy(asLong(col("year")).as("year"))
+        .agg(
+          sum(col("revenue_tenthcents")).as("revenue_tenthcents"),
+          sum(col("units_sold_cents")).as("units_cents"),
+          count(lit(1)).as("txn_cnt"))
+        .orderBy("year")
+    },
+    Some("""SELECT year(o_orderdate) AS year,
+                   CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_tenthcents,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS units_cents,
+                   count(*) AS txn_cnt
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_quantity > 0
+            GROUP BY 1 ORDER BY year""")
+  )
 }
