@@ -48,6 +48,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("ngram_jaccard intersects candidates via ShuffledHashJoin (no broadcast of the derived table, no sort of the shingle side)") {
+    val df = SparkEntry.queries("ngram_jaccard")(spark, sf)
+    df.collect() // finalize AQE so the chosen join strategy is visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("sales_summary broadcasts the dims and aggregates with a partial phase") {
+    val df = SparkEntry.queries("sales_summary")(spark, sf)
+    df.collect() // finalize AQE so join strategy choices are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("fact_build keeps the hot path inside whole-stage codegen") {
     // AQE only finalizes (and shows codegen spans) after execution
     val df = SparkEntry.queries("fact_build")(spark, sf)
