@@ -55,12 +55,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("sales_summary broadcasts the dims and aggregates with a partial phase") {
+  test("sales_summary aggregates the MATERIALIZED fact: no join, pruned scan, partial agg") {
     val df = SparkEntry.queries("sales_summary")(spark, sf)
-    df.collect() // finalize AQE so join strategy choices are visible
+    df.collect() // finalize AQE
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the extraction join happened once at materialization time — the
+    // pre-aggregate itself is a scan of the fact table, like the
+    // reference's sales_summary would be built from loaded fact_sales
+    assert(!p.contains("Join"), s"pre-aggregate should not re-join:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // column pruning: order_id/line_no/date_key never leave the scan
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("order_id") && !read.contains("date_key"), read)
   }
 
   test("fact_build keeps the hot path inside whole-stage codegen") {
