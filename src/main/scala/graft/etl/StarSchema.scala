@@ -119,18 +119,8 @@ object StarSchema {
     * scans of a 7-slim-column table instead of re-joining the sources
     * per query. Parquet (not cached blocks) so the harnesses' per-query
     * block cleanup can't invalidate it. */
-  private val materialized =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def factSalesMaterialized(s: SparkSession, d: String): DataFrame = {
-    val path = materialized.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + d, _ => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_fact_mv").toString
-        factSales(s, d).write.mode("overwrite").parquet(out)
-        out
-      })
-    s.read.parquet(path)
-  }
+  def factSalesMaterialized(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"fact_sales|$d")(factSales(s, d))
 
   /** The `sales_summary` pre-aggregate the reference's README declares
     * but never creates (README.md:22, SURVEY §1.1) — the closing of that
