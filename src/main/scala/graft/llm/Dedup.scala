@@ -238,15 +238,19 @@ object Dedup {
         .agg(count(lit(1)).as("shared_rare"))
         .filter(col("shared_rare") >= 10)
         .select("id1", "id2")
-      // phase 2: exact intersection over ALL shingles, candidates only.
-      // cand is tiny (a pair list after the ≥10-shared-rare cut) —
-      // genuinely broadcastable. j1 = cand⋈shingles is NOT: its size is
+      // phase 2: exact intersection over the candidates' FULL shingle
+      // sets. cand is tiny (a pair list after the ≥10-shared-rare cut) —
+      // genuinely broadcastable — so both intersection inputs are first
+      // semi-filtered to candidate docs (bounded by 2·|cand| docs ×
+      // shingles-per-doc) instead of shuffling the whole corpus index.
+      // j1 = cand⋈shingles is NOT broadcastable: its size is
       // |cand| × shingles-per-doc, data-dependent — a template-heavy
       // corpus would blow the broadcast limit. shuffle_hash builds the
       // hash table on j1 per-partition instead (no 8 GB ceiling, no
-      // sort of the big shingle side).
+      // sort, and only candidate shingles ever shuffle).
       val j1 = sh.toDF("id1", "s1").join(broadcast(cand), "id1")
       val inter = sh.toDF("id2", "s2")
+        .join(broadcast(cand.select("id2").distinct()), "id2")
         .join(j1.hint("shuffle_hash"), "id2")
         .filter(col("s1") === col("s2"))
         .groupBy("id1", "id2")
