@@ -137,9 +137,9 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(TextOps.tokens).as("t"))
-      .withColumn("v", expr((0 until 8).map(i =>
-        s"(instr('0123456789abcdef', substring(md5(t), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}L")
-        .mkString(" + ")))
+      // first 32 md5 bits as a long: one hex→dec conv per token (the
+      // oracle's digit-position sum computes the identical value)
+      .withColumn("v", expr("conv(substring(md5(t), 1, 8), 16, 10)").cast("long"))
     val votes = (0 until 32).map(j =>
       sum(when(expr(s"(v div ${1L << j}L) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j"))
     val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
