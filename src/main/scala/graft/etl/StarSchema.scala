@@ -118,7 +118,11 @@ object StarSchema {
     * per (application, sf-dir); report keys read it back — column-pruned
     * scans of a 7-slim-column table instead of re-joining the sources
     * per query. Parquet (not cached blocks) so the harnesses' per-query
-    * block cleanup can't invalidate it. */
+    * block cleanup can't invalidate it. At cluster scale the same
+    * artifact goes through `Io.writeFactPartitioned` (year-partitioned,
+    * file-size-capped) so year-predicate reports also prune partitions;
+    * unpartitioned here because the bench-scale fact is a single small
+    * scan either way. */
   def factSalesMaterialized(s: SparkSession, d: String): DataFrame =
     graft.Materialize.once(s, s"fact_sales|$d")(factSales(s, d))
 

@@ -45,6 +45,31 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + appendFacts: incremental partitioned fact maintenance") {
+    implicit val sctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("stream_fact").toString
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF()
+      .withColumn("year", year($"ts"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.Io.appendFacts(batch, out)
+      }
+      .start()
+    try {
+      stream.addData(ev("2024-01-01 10:00:00", "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(ev("2025-06-01 10:00:00", "view", 2.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 2)
+      // partitioned-by-year layout → year predicates prune directories
+      assert(back.filter($"year" === 2025).count() == 1)
+      assert(new java.io.File(s"$out/year=2024").exists())
+      assert(new java.io.File(s"$out/year=2025").exists())
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val data = Seq(
       ev("2024-01-01 10:00:00", "click", 1.0),
