@@ -40,6 +40,13 @@ object Io {
   def readJsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
     reader(s, schema).json(path)
 
+  /** The second columnar format Spark ships natively — same pushdown/
+    * pruning properties as parquet, for warehouses standardized on ORC. */
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def readJdbc(s: SparkSession, url: String, table: String,
                props: java.util.Properties = new java.util.Properties()): DataFrame =
     s.read.jdbc(url, table, props)

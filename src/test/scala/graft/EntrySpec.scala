@@ -26,6 +26,27 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
 
+  test("NO driver-facing output column is a decimal (the round-1 failure class)") {
+    // The driver canonicalizes decimals scale-insensitively on one side of
+    // its compare, so any decimal output with a trailing zero at its scale
+    // hash-fails. Money goes out as BIGINT cents (Tables.cents/tenthCents).
+    // Exceptions must be individually proven render-stable:
+    //   median_by_nation: DECIMAL(18,1) whose values are exact halves
+    //   (x.0 / x.5 from R-7 interpolation over integers) — both render
+    //   identically under exact-scale and float-roundtrip rules, verified
+    //   against the driver in round 1 and by oracle_check's hazard scan.
+    val allowed = Map("median_by_nation" -> Set("median_cents"))
+    SparkEntry.specs.foreach { q =>
+      val decimals = q.fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }.toSet
+      val illegal = decimals -- allowed.getOrElse(q.name, Set.empty)
+      assert(illegal.isEmpty,
+        s"${q.name} emits decimal column(s) ${illegal.mkString(", ")} — " +
+          "emit integer cents instead (see Tables.scala)")
+    }
+  }
+
   test("property: lubridate week stays in [1, 53] and is monotone in yday") {
     val genDay = Gen.choose(1, 366)
     val prop = forAll(genDay) { yd =>

@@ -47,6 +47,21 @@ class IoSpec extends SparkSpec {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("orc round-trips the fact build with pushdown intact") {
+    val out = Files.createTempDirectory("orc_out").toString
+    val fact = StarSchema.factSales(spark, sf)
+    Io.writeOrc(fact, out)
+    val back = Io.readOrc(spark, out)
+    assert(back.count() == fact.count())
+    // names+types survive (nullability relaxes on file read, as with parquet)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      fact.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // predicate pushdown reaches the ORC scan too
+    val p = back.filter($"product_key" === 1L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("product_key"), p)
+  }
+
   test("streaming foreachBatch appends facts incrementally") {
     val out = Files.createTempDirectory("fact_append").toString
     val fact = StarSchema.factSales(spark, sf).limit(100)
