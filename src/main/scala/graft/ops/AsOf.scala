@@ -94,5 +94,66 @@ object AsOf {
             FROM c WHERE tag = 1 ORDER BY event_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(asofAttribution)
+  /** Bucket-accelerated range (band) join — Spark plans a raw
+    * `lo <= v AND v < hi` join as BroadcastNestedLoopJoin, which is a
+    * per-row scan of every band; fine for a 4-row dim, catastrophic when
+    * the band table grows (tiered pricing, histogram bins, geo ranges).
+    * The scale shape: quantize both sides to a bucket grid — each band
+    * explodes to the buckets it spans, each fact computes one bucket —
+    * and the range join becomes an EQUI-join on the bucket plus a
+    * residual filter. Hash join, shuffle-or-broadcast by bucket, no
+    * nested loop. Bounds are integer cents so the residual compare is
+    * exact in both engines. */
+  def rangeBandJoin(facts: DataFrame, valueCentsCol: String,
+                    bands: DataFrame /* (band, lo_cents, hi_cents) */,
+                    bucketCents: Long): DataFrame = {
+    // integer `div`, not `/`: Column./ on longs widens to double
+    val bandBuckets = bands.select(col("band"), col("lo_cents"), col("hi_cents"),
+      explode(sequence(expr(s"lo_cents div $bucketCents"),
+        expr(s"(hi_cents - 1) div $bucketCents"))).as("__bucket"))
+    facts
+      .withColumn("__bucket", expr(s"$valueCentsCol div $bucketCents"))
+      .join(broadcast(bandBuckets), Seq("__bucket"))
+      .filter(col(valueCentsCol) >= col("lo_cents") &&
+              col(valueCentsCol) < col("hi_cents"))
+      .drop("__bucket", "lo_cents", "hi_cents")
+  }
+
+  /** Band the event values into pricing tiers and aggregate per
+    * (band, event_type) — the equi-ized range join under the oracle gate
+    * (DuckDB side states the range join directly as inequality
+    * predicates; same result, different physical shape). */
+  val rangeBand = QuerySpec(
+    "range_band_join",
+    (s, d) => {
+      val bands = s.createDataFrame(Seq(
+        ("micro", 0L, 1000L),        // [$0, $10)
+        ("small", 1000L, 5000L),     // [$10, $50)
+        ("mid", 5000L, 20000L),      // [$50, $200)
+        ("large", 20000L, 100000L)   // [$200, $1000)
+      )).toDF("band", "lo_cents", "hi_cents")
+      val ev = events(s, d).select(col("event_type"),
+        cents(col("value")).as("v_cents"))
+      rangeBandJoin(ev, "v_cents", bands, bucketCents = 1000L)
+        .groupBy("band", "event_type")
+        .agg(count(lit(1)).as("event_cnt"),
+             sum(col("v_cents")).as("total_value_cents"))
+        .orderBy("band", "event_type")
+    },
+    Some("""WITH bands(band, lo_cents, hi_cents) AS (
+              VALUES ('micro', 0, 1000), ('small', 1000, 5000),
+                     ('mid', 5000, 20000), ('large', 20000, 100000)),
+            ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+              FROM events)
+            SELECT band, event_type, count(*) AS event_cnt,
+                   CAST(SUM(v_cents) AS BIGINT) AS total_value_cents
+            FROM ev JOIN bands
+              ON v_cents >= lo_cents AND v_cents < hi_cents
+            GROUP BY band, event_type
+            ORDER BY band, event_type""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(asofAttribution, rangeBand)
 }

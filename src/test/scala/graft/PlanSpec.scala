@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("order_id") && !read.contains("date_key"), read)
   }
 
+  test("range_band_join plans a hash equi-join on the bucket, not a nested loop") {
+    val df = SparkEntry.queries("range_band_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("fact_build keeps the hot path inside whole-stage codegen") {
     // AQE only finalizes (and shows codegen spans) after execution
     val df = SparkEntry.queries("fact_build")(spark, sf)
