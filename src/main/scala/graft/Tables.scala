@@ -31,8 +31,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Fan a small scan out to all cores before heavy per-row expansion.
+    *
+    * The testdata files are single-row-group parquet, so Spark cannot
+    * split them — every downstream map pipeline (shingle explosion +
+    * md5, embedding kernels, JSON parsing) would run on ONE core no
+    * matter the `maxPartitionBytes` setting. A round-robin repartition
+    * of a few-MB scan costs nothing and parallelizes the expensive
+    * generation 32×. Conditional on the scan's partition count: at real
+    * scale inputs are many files / many row groups, already split, and
+    * this is a no-op (no extra shuffle). */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(s, t(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(s, t(s, d, "embeddings"))
 
   /** events.parquet carries TIMESTAMP(NANOS); Spark's parquet reader rejects
     * nanos by default, so read them as raw longs and rebuild a (truncated)
@@ -47,7 +65,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val iso = org.apache.spark.sql.graft.bridge.sessionWithConf(
       s, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
-    val raw = iso.read.parquet(s"$d/events.parquet")
+    val raw = fanOut(iso, iso.read.parquet(s"$d/events.parquet"))
     raw.schema("ts").dataType match {
       case LongType =>
         // integer div, NOT `/`: long./(long) widens to double, whose
