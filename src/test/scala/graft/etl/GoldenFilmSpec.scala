@@ -52,6 +52,30 @@ class GoldenFilmSpec extends SparkSpec {
       (2006, "514.18", 158L)))
   }
 
+  test("revenue by quarter: 2005Q2 $14,456.31, 2005Q3 $52,446.02, 2006Q1 $514.18") {
+    val byQ = qualifying
+      .groupBy(year(to_timestamp($"payment_date")).as("y"),
+               quarter(to_timestamp($"payment_date")).as("q"))
+      .agg(sum($"amount".cast("decimal(18,2)")).as("rev"))
+      .orderBy("y", "q")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).toPlainString))
+    assert(byQ.toSeq == Seq(
+      (2005, 2, "14456.31"), (2005, 3, "52446.02"), (2006, 1, "514.18")))
+  }
+
+  test("dim_date spine spans 2005-04-24 → 2006-03-16 (±30-day buffer)") {
+    // the reference buffers the payment+rental span by 30 days each way
+    // (loadAnalyticsDB.R:89-90); same rule as StarSchema.dimDate
+    val span = qualifying
+      .select(to_date(to_timestamp($"payment_date")).as("d"))
+      .unionByName(t("rental").select(to_date(to_timestamp($"rental_date")).as("d")))
+      .agg(date_sub(min($"d"), 30), date_add(max($"d"), 30))
+      .first()
+    assert(span.get(0).toString == "2005-04-24" &&
+           span.get(1).toString == "2006-03-16")
+  }
+
   test("payment/rental date span is 2005-05-24 → 2006-02-14") {
     val Array(lo, hi) = qualifying
       .select(to_date(to_timestamp($"payment_date")).as("d"))
