@@ -15,7 +15,9 @@ object Bench {
     // query isn't charged for session init (it was absorbing ~5s)
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed (sorted) order: per-key timings comparable across rounds, and
+    // one-time pipeline materializations land on deterministic keys
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // -1 marks a failed query; a success records its elapsed seconds
       val secs =
@@ -32,7 +34,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // self-describing run config: the effective master + shuffle
     // partitions remove ambiguity when comparing bench JSONs across
     // environments
