@@ -40,7 +40,12 @@ object Bench {
     // environments
     val master = spark.sparkContext.master
     val shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle}""")
+    // system load average at end-of-run: identical code measured 48s on a
+    // quiet box and 97s under co-tenant load — this makes a contended
+    // measurement self-diagnosing instead of looking like a regression
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,"load_avg":$loadAvg}""")
     spark.stop()
   }
 }
