@@ -204,6 +204,39 @@ object TextOps {
             GROUP BY t ORDER BY doc_freq DESC, t LIMIT 50""")
   )
 
+  /** Deterministic content-hash train/val/test split (80/10/10) — the
+    * reproducible-sampling primitive every training-data pipeline needs:
+    * assignment is a pure function of document CONTENT, so it survives
+    * re-sharding, re-ordering, and incremental re-runs (row-position
+    * sampling does not), and a salt prefix versions the split without
+    * touching the data. All-integer bucket math; the oracle derives the
+    * same 32-bit hash value digit-by-digit (DuckDB has no conv). */
+  val sampleSplit = QuerySpec(
+    "sample_split",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("conv(substring(md5(concat('split-v1:', text)), 1, 8), 16, 10)")
+            .cast("long").as("h"))
+        .select(col("doc_id"), (col("h") % 100).as("bucket"),
+          when(col("h") % 100 < 80, "train")
+            .when(col("h") % 100 < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+    Some {
+      val v = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('split-v1:' || text), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" + ")
+      s"""SELECT doc_id, v % 100 AS bucket,
+                 CASE WHEN v % 100 < 80 THEN 'train'
+                      WHEN v % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, $v AS v FROM documents)
+          ORDER BY doc_id"""
+    }
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk)
+    Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
+        sampleSplit)
 }
