@@ -79,11 +79,6 @@ object Tables {
   val Money: DecimalType = DecimalType(18, 2)
   def money(c: Column): Column = c.cast(Money)
 
-  /** Final-output cast for any decimal aggregate (keeps Spark's widened
-    * sum/product precision from leaking into the result schema). */
-  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
-
   /** Driver-facing money output: exact integer cents. `c` must already be
     * (or cast exactly to) a scale-2 decimal, so ×100 is integral and the
     * long cast is lossless. Oracle mirror:
