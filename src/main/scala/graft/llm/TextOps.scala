@@ -236,7 +236,44 @@ object TextOps {
     }
   )
 
+  /** PII surface detection — the filter stage a compliant training-data
+    * pipeline runs before anything ships: per-document counts of email,
+    * URL and long-digit-run (phone/ID-shaped) matches, plus the gate
+    * flag. Patterns stay in the regex subset Java and RE2 agree on
+    * (character classes + quantifiers, no backrefs/lookaround), the same
+    * parity contract token_count already relies on. Detection only —
+    * redaction composes as a regexp_replace projection with the same
+    * patterns. */
+  val piiDetect = QuerySpec(
+    "pii_detect",
+    (s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val digits = "[0-9]{7,}"
+      documents(s, d)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$email', 0)"))
+            .cast("long").as("email_cnt"),
+          size(expr(s"regexp_extract_all(text, '$url', 0)"))
+            .cast("long").as("url_cnt"),
+          size(expr(s"regexp_extract_all(text, '$digits', 0)"))
+            .cast("long").as("digit_run_cnt"))
+        .withColumn("pii_flag",
+          (col("email_cnt") + col("url_cnt") + col("digit_run_cnt") > 0)
+            .cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_cnt,
+                   len(regexp_extract_all(text, 'https?://[^ ]+')) AS url_cnt,
+                   len(regexp_extract_all(text, '[0-9]{7,}')) AS digit_run_cnt,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        + len(regexp_extract_all(text, 'https?://[^ ]+'))
+                        + len(regexp_extract_all(text, '[0-9]{7,}')) > 0 AS BIGINT) AS pii_flag
+            FROM documents ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
-        sampleSplit)
+        sampleSplit, piiDetect)
 }
