@@ -297,14 +297,15 @@ object Dedup {
     * converges in ≤ log-ish rounds; checkpointed per round to truncate
     * lineage). The canonical "keep one per near-dup group" primitive:
     * dedup keeps each cluster's min doc_id. */
-  val clusters = QuerySpec(
-    "dedup_clusters",
-    (s, d) => {
-      // EAGER checkpoints: a lazy checkpoint is re-planned per action
-      // (AQE), so in an iterative loop every round would recompute all
-      // previous rounds' lineage — measured 168s vs ~8s at sf0.1.
-      // pairs itself is the materialized pipeline artifact (parquet,
-      // re-readable, real stats) — no checkpoint needed for it.
+  /** Cluster labels (doc_id → smallest doc_id in its near-dup component)
+    * as a materialized pipeline stage — consumed by the cluster listing
+    * and the keep-list. The loop body uses EAGER checkpoints: a lazy
+    * checkpoint is re-planned per action (AQE), so in an iterative loop
+    * every round would recompute all previous rounds' lineage — measured
+    * 168s vs ~8s at sf0.1. pairs is already a parquet artifact
+    * (re-readable, real stats) — no checkpoint needed for it. */
+  def clusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"cc_labels|$d") {
       val pairs = candidatePairs(s, d)
       val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -335,15 +336,17 @@ object Dedup {
       }
       val out = labels
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy("doc_id")
-        // the result leaves this scope as a plain plan; pin it so the
-        // pairs/edges/labels checkpoint blocks can be released NOW
-        // instead of leaking for the rest of the JVM
+        // pin the result so the edges/labels checkpoint blocks can be
+        // released NOW; Materialize writes it to parquet right after
         .localCheckpoint()
       Seq(edges, labels)
         .foreach(org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint)
       out
-    },
+    }
+
+  val clusters = QuerySpec(
+    "dedup_clusters",
+    (s, d) => clusterLabels(s, d).orderBy("doc_id"),
     Some("""WITH RECURSIVE sh AS (
               SELECT doc_id, substr(text, i, 8) AS s
               FROM documents,
@@ -376,7 +379,56 @@ object Dedup {
             FROM reach GROUP BY id ORDER BY doc_id""")
   )
 
+  /** The dedup pipeline's actual OUTPUT: the keep-list. Every document
+    * survives except non-canonical members of a near-dup cluster (the
+    * canonical member = smallest doc_id). Composes the materialized
+    * cluster labels with an anti-join — at 100 TB this is a broadcast
+    * anti-join of a tiny drop-list against the corpus. */
+  val keep = QuerySpec(
+    "dedup_keep",
+    (s, d) => {
+      val drop = clusterLabels(s, d)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      documents(s, d).select("doc_id")
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE sh AS (
+              SELECT doc_id, substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
+            sig AS (
+              SELECT doc_id,
+                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
+                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
+                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
+                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL
+              SELECT id2, id1 FROM pairs),
+            verts AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, root) AS (
+              SELECT id, id FROM verts
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id),
+            labels AS (SELECT id, min(root) AS cid FROM reach GROUP BY id)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> cid)
+            ORDER BY d.doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
-        clusters)
+        clusters, keep)
 }
