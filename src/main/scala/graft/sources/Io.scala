@@ -65,6 +65,13 @@ object Io {
   def writeDim(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Report export — the delivery format of the reference's Rmd tables.
+    * Single file with header; quotes/escapes handled by the writer (the
+    * reference escaped by hand, loadAnalyticsDB.R:192-196). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
   /** Fact write: partitioned by year for pruning, file size capped. */
   def writeFactPartitioned(df: DataFrame, path: String,
                            maxRecordsPerFile: Long = 5000000L): Unit =

@@ -36,8 +36,10 @@ class IoSpec extends SparkSpec {
 
   test("csv and json round-trip with explicit schema") {
     val dir = Files.createTempDirectory("io_rt")
-    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
-    df.write.option("header", "true").csv(s"$dir/csv")
+    // quotes and commas in values exercise the writer's escaping (the
+    // reference escaped by hand)
+    val df = Seq((1L, "a,b \"quoted\"", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    Io.writeCsv(df, s"$dir/csv")
     df.write.json(s"$dir/json")
     val csvBack = Io.readCsv(spark, s"$dir/csv", df.schema)
     val jsonBack = Io.readJsonLines(spark, s"$dir/json", df.schema)
