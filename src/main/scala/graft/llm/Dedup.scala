@@ -38,9 +38,11 @@ object Dedup {
   )
 
   /** MinHash signatures: 8 hash slots from two md5 draws per 8-char
-    * shingle (4 independent 32-bit chunks each), min-aggregated per doc. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val sh = TextOps.shingleRows(documents(s, d), 8)
+    * shingle (4 independent 32-bit chunks each), min-aggregated per doc.
+    * Takes any (doc_id, text) frame — shared by the keyed pipeline and
+    * the ScaleProbe replication experiment. */
+  def signaturesOf(docs: DataFrame): DataFrame = {
+    val sh = TextOps.shingleRows(docs, 8)
       .withColumn("m1", md5(col("s")))
       .withColumn("m2", md5(concat(lit("x"), col("s"))))
     val slots =
@@ -49,6 +51,9 @@ object Dedup {
     sh.groupBy("doc_id").agg(slots.head, slots.tail: _*)
   }
 
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(documents(s, d))
+
   /** MinHash + LSH banding (2 bands × 4 rows ⇒ candidate threshold
     * ≈ 0.84 Jaccard): docs sharing any band hash become a candidate
     * near-dup pair. A PIPELINE STAGE, not a per-query computation: the
@@ -56,21 +61,27 @@ object Dedup {
     * clustering (`dedup_clusters`) both consume it, so it is
     * materialized once per (application, data dir) — exactly how a
     * production dedup run treats its signature/candidate artifacts. */
+  /** Unmaterialized candidate-pair pipeline over any (doc_id, text)
+    * frame. */
+  def candidatePairsOf(docs: DataFrame): DataFrame = {
+    // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
+    // feeds 2 band subtrees; checkpoint it within the stage build
+    val sig = signaturesOf(docs).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"), lit(0L).as("band"),
+        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
+      .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
+        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
   def candidatePairs(s: SparkSession, d: String): DataFrame =
     graft.Materialize.once(s, s"minhash_cand_pairs|$d") {
-      // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
-      // feeds 2 band subtrees; checkpoint it within the stage build
-      val sig = signatures(s, d).localCheckpoint(false)
-      val bands = sig.select(col("doc_id"), lit(0L).as("band"),
-          md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
-        .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
-          md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
+      candidatePairsOf(documents(s, d))
     }
 
   val minhashLsh = QuerySpec(
