@@ -392,9 +392,12 @@ object Dedup {
 
   /** The dedup pipeline's actual OUTPUT: the keep-list. Every document
     * survives except non-canonical members of a near-dup cluster (the
-    * canonical member = smallest doc_id). Composes the materialized
-    * cluster labels with an anti-join — at 100 TB this is a broadcast
-    * anti-join of a tiny drop-list against the corpus. */
+    * canonical member = smallest doc_id). The drop-list's size is the
+    * corpus's duplicate count — small on clean corpora, potentially
+    * huge on scraped ones — so the anti-join is deliberately UNHINTED:
+    * the labels come off materialized parquet with real statistics, and
+    * AQE picks broadcast vs shuffle from the actual size instead of a
+    * hard-coded assumption (the ngram broadcast lesson). */
   val keep = QuerySpec(
     "dedup_keep",
     (s, d) => {
@@ -402,7 +405,7 @@ object Dedup {
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       documents(s, d).select("doc_id")
-        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE sh AS (
