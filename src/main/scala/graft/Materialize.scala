@@ -23,13 +23,20 @@ object Materialize {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def once(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val path = store.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + key, _ => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_mv").toString
-        build.write.mode("overwrite").parquet(out)
-        out
-      })
+    // NOT computeIfAbsent: stages nest (cluster labels build candidate
+    // pairs, itself a stage), and a mapping function that re-enters the
+    // map throws ConcurrentHashMap's "Recursive update" when the two
+    // keys share a bin — a per-JVM lottery. Build outside the lock;
+    // a racing duplicate build is wasted-but-identical work and
+    // putIfAbsent keeps the first.
+    val k = s.sparkContext.applicationId + "|" + key
+    var path = store.get(k)
+    if (path == null) {
+      val out = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      build.write.mode("overwrite").parquet(out)
+      val prev = store.putIfAbsent(k, out)
+      path = if (prev == null) out else prev
+    }
     s.read.parquet(path)
   }
 }

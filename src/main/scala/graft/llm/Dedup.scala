@@ -236,12 +236,16 @@ object Dedup {
       // phase 1: candidate pairs share ≥10 rare shingles (bounds fan-out;
       // true near-dups share hundreds, coincidental template overlap
       // shares a handful — measured 295k pairs @ ≥1 vs 153 @ ≥10 on 5k
-      // docs). Broadcast the small derived sides explicitly: checkpointed
-      // RDDs have unknown stats, and without hints the planner broadcasts
-      // the 1M+-row shingle side (measured 6× slower).
-      // rarity is a property of the shingle, so both self-join sides can
-      // be pre-filtered to rare rows (~3% of the index) before pairing
-      val rsh = sh.join(broadcast(rare), Seq("s"))
+      // docs). rarity is a property of the shingle, so both self-join
+      // sides can be pre-filtered to rare rows (~3% of the index) before
+      // pairing. The rare list is CORPUS-SIZED (every shingle with
+      // df∈[2,20]) — never broadcast it; a shuffle_hash join with rare as
+      // the build side is scale-safe AND leaves rsh hash-partitioned by
+      // s, which the self-join below then reuses without a new exchange.
+      // (Explicit hint, not planner choice: the checkpointed shingle
+      // subtree has unknown stats and the static planner picks the wrong
+      // broadcast side — measured 6× slower in round 1.)
+      val rsh = sh.join(rare.hint("shuffle_hash"), Seq("s"))
       val cand = rsh.as("a")
         .join(rsh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
