@@ -5,6 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the driver's target topology (local[32])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // sample BEFORE the session starts: co-tenant load, not our workers
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,12 +43,13 @@ object Bench {
     // environments
     val master = spark.sparkContext.master
     val shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    // system load average at end-of-run: identical code measured 48s on a
-    // quiet box and 97s under co-tenant load — this makes a contended
-    // measurement self-diagnosing instead of looking like a regression
-    val loadAvg = java.lang.management.ManagementFactory
+    // load averages: before = co-tenant pressure at start (the bench's
+    // own workers are not yet running), after = mixed. Identical code
+    // measured 48s quiet vs 97s contended — these make a contended
+    // measurement self-diagnosing instead of looking like a regression.
+    val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,"load_avg":$loadAvg}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,"load_avg_before":$loadBefore,"load_avg":$loadAfter}""")
     spark.stop()
   }
 }
