@@ -22,20 +22,35 @@ object Materialize {
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Recursively delete a temp artifact dir. */
+  private def rm(dir: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
+  // artifacts are JVM-scoped caches, not outputs — clean them up on exit
+  sys.addShutdownHook {
+    store.values.forEach(rm(_))
+  }
+
   def once(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: stages nest (cluster labels build candidate
     // pairs, itself a stage), and a mapping function that re-enters the
     // map throws ConcurrentHashMap's "Recursive update" when the two
     // keys share a bin — a per-JVM lottery. Build outside the lock;
-    // a racing duplicate build is wasted-but-identical work and
-    // putIfAbsent keeps the first.
+    // a racing duplicate build is wasted-but-identical work, putIfAbsent
+    // keeps the first and the loser's dir is deleted.
     val k = s.sparkContext.applicationId + "|" + key
     var path = store.get(k)
     if (path == null) {
       val out = java.nio.file.Files.createTempDirectory("graft_mv").toString
       build.write.mode("overwrite").parquet(out)
       val prev = store.putIfAbsent(k, out)
-      path = if (prev == null) out else prev
+      path = if (prev == null) out else { rm(out); prev }
     }
     s.read.parquet(path)
   }

@@ -16,13 +16,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session()
     val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
     val base = docs0.count()
     val results = ks.map { k =>
@@ -33,8 +27,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val pairs = llm.Dedup.candidatePairsOf(docs).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      Harness.sweepBlocks(spark)
       println(f"[probe] k=$k%-2d docs=${k * base}%-7d pairs=$pairs%-9d ${secs}%.1f s")
       (k, secs, pairs)
     }

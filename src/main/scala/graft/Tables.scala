@@ -62,9 +62,16 @@ object Tables {
     * concurrently); the clone shares the SparkContext, so the resulting
     * frame composes with frames from the original session.
     */
+  // one nanos-enabled clone per source session (clones register listener
+  // buses on the shared context — per-call cloning would accumulate them)
+  private val nanosSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
   def events(s: SparkSession, d: String): DataFrame = {
-    val iso = org.apache.spark.sql.graft.bridge.sessionWithConf(
-      s, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    val iso = nanosSessions.computeIfAbsent(s, _ =>
+      org.apache.spark.sql.graft.bridge.sessionWithConf(
+        s, "spark.sql.legacy.parquet.nanosAsLong" -> "true"))
     val raw = fanOut(iso, iso.read.parquet(s"$d/events.parquet"))
     raw.schema("ts").dataType match {
       case LongType =>

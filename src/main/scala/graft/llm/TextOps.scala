@@ -247,17 +247,19 @@ object TextOps {
   val piiDetect = QuerySpec(
     "pii_detect",
     (s, d) => {
+      // function API, NOT expr(): a SQL string literal would be unescaped
+      // by Spark's parser, silently turning the \. into "any char" while
+      // DuckDB's literal keeps it — two different regexes
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val url = "https?://[^ ]+"
       val digits = "[0-9]{7,}"
+      def cnt(p: String) =
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
       documents(s, d)
         .select(col("doc_id"),
-          size(expr(s"regexp_extract_all(text, '$email', 0)"))
-            .cast("long").as("email_cnt"),
-          size(expr(s"regexp_extract_all(text, '$url', 0)"))
-            .cast("long").as("url_cnt"),
-          size(expr(s"regexp_extract_all(text, '$digits', 0)"))
-            .cast("long").as("digit_run_cnt"))
+          cnt(email).as("email_cnt"),
+          cnt(url).as("url_cnt"),
+          cnt(digits).as("digit_run_cnt"))
         .withColumn("pii_flag",
           (col("email_cnt") + col("url_cnt") + col("digit_run_cnt") > 0)
             .cast("long"))

@@ -83,8 +83,11 @@ object AsOf {
                      last_value(p_id IGNORE NULLS) OVER w AS a_id,
                      last_value(p_ts IGNORE NULLS) OVER w AS a_ts
               FROM u
+              -- order on the µs-TRUNCATED time, matching Spark's ns→µs
+              -- time base: raw TIMESTAMP_NS ordering would tie-break
+              -- equal-after-truncation rows differently across engines
               WINDOW w AS (PARTITION BY user_id
-                           ORDER BY ts, tag, p_id ASC NULLS FIRST
+                           ORDER BY epoch_ns(ts) // 1000, tag, p_id ASC NULLS FIRST
                            ROWS UNBOUNDED PRECEDING))
             SELECT event_id, user_id, event_type,
                    COALESCE(a_id, -1) AS purchase_id,

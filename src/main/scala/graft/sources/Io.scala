@@ -95,10 +95,18 @@ object Io {
     * sources — so a bug anywhere in write partitioning, file layout, or
     * read-back typing breaks the hash. `year` comes back as a partition
     * directory value (int) → normalized to BIGINT. */
+  // one sink dir per (application, data dir): repeat invocations (schema
+  // probes, bench + verify in one JVM) overwrite the same dir instead of
+  // leaking a fresh fact copy each time
+  private val sinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val writeRoundtrip = QuerySpec(
     "fact_write_roundtrip",
     (s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_fact_rt").toString
+      val out = sinkDirs.computeIfAbsent(
+        s.sparkContext.applicationId + "|" + d,
+        _ => java.nio.file.Files.createTempDirectory("graft_fact_rt").toString)
       writeFactPartitioned(graft.etl.StarSchema.factSales(s, d), out)
       s.read.parquet(out)
         .groupBy(asLong(col("year")).as("year"))
