@@ -59,6 +59,19 @@ class EntrySpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("property: cents/tenthCents are lossless both ways, negatives included") {
+    val gen = Gen.listOfN(100, Gen.choose(-100000000000L, 100000000000L))
+    val prop = forAll(gen) { cs =>
+      val df = cs.map(c => (BigDecimal(c, 2), BigDecimal(c, 4)))
+        .toDF("v2", "v4")
+      val back = df.select(Tables.cents($"v2").as("c2"),
+          Tables.tenthCents($"v4").as("c4"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      back.map(_._1).toSeq == cs && back.map(_._2).toSeq == cs
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3), prop).passed)
+  }
+
   test("property: union+distinct is idempotent") {
     val gen = Gen.listOfN(50, Gen.choose(0L, 20L))
     val prop = forAll(gen) { xs =>
