@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Adversarial end-to-end gate: build a documents table full of the
+inputs the fixed testdata corpus never exercises (emails, URLs, long
+digit runs, multi-byte unicode, empty/1-char strings, exact and near
+duplicates, embedded quotes/newlines/tabs/backslashes), splice it into a
+copy of sf0.001, run graft.Verify on it, and DuckDB-compare every key.
+
+Divergences the fixed corpus masks (e.g. a regex that Spark and DuckDB
+parse differently) fail HERE even though the driver's gate can't see
+them. Usage: python3 tools/fuzz_check.py [seed]
+"""
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+BASE = Path("/root/testdata/sf0.001")
+WORK = Path("/tmp/graft_fuzz")
+
+
+def adversarial_docs():
+    docs = []
+
+    def add(text, lang="en", source="fuzz"):
+        docs.append((len(docs), text, lang, source, len(text)))
+
+    add("plain text the and of is control document with enough words to shingle")
+    add("contact alice@example.com or bob.smith+tag@sub.domain.org today")
+    add("bob@localhost is not a dotted domain but x@y.zz is one")
+    add("see https://example.com/path?q=1 and http://a.b/c for details")
+    add("call 12345678 or 999123456789 long digit runs here")
+    add("unicode café naïve 中文文档 \U0001f600 emoji and ssß")
+    add("")  # empty text
+    add("x")  # single char (shorter than the 8-char shingle)
+    add("short")
+    add('quotes "double" and \'single\' and back\\slash and\ttab')
+    add("line\nbreak carriage\rreturn mixed")
+    add("the the the the the the the the repeated stopwords only")
+    add("0123456789" * 50)  # one long digit run
+    add("a b c d e f g h i j k l m n o p q r s t u v w x y z " * 8)
+    base = ("some repeated near duplicate content block with many shared "
+            "shingles across copies numbered ")
+    add(base + "one " + "tail common " * 30)   # near-dup pair
+    add(base + "two " + "tail common " * 30)
+    dup = "exactly duplicated document content for the exact-dedup path"
+    add(dup)
+    add(dup)  # exact dup
+    add("der und das ist deutscher beispieltext mit einigen worten", lang="de")
+    add("le et les une texte exemple avec quelques mots", lang="fr")
+    add("el los que para texto ejemplo con algunas palabras", lang="es")
+    add("MiXeD CaSe TOKENS and UPPER lower tokens", lang="en")
+    # long document (shingle volume)
+    add(" ".join(f"w{i}" for i in range(2000)))
+    return docs
+
+
+def main():
+    if WORK.exists():
+        shutil.rmtree(WORK)
+    WORK.mkdir(parents=True)
+    # copy every base table, then replace documents with the adversarial set
+    for f in BASE.glob("*.parquet"):
+        shutil.copy(f, WORK / f.name)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", adversarial_docs())
+    con.execute(f"COPY d TO '{WORK}/documents.parquet' (FORMAT PARQUET)")
+
+    out = "/tmp/graft_fuzz_out"
+    print(f"[fuzz] {con.sql('SELECT count(*) FROM d').fetchone()[0]} adversarial docs; running Verify...")
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {WORK} {out}"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=900)
+    fails = [l for l in r.stderr.splitlines() if "[verify]" in l]
+    for l in fails:
+        print(l)
+    if r.returncode != 0 and not Path(f"{out}/oracle_sql.json").exists():
+        print("[fuzz] Verify crashed"); sys.exit(2)
+    rc = subprocess.run(
+        [sys.executable, "/root/repo/tools/oracle_check.py", str(WORK), out]).returncode
+    sys.exit(1 if (rc or fails) else 0)
+
+
+if __name__ == "__main__":
+    main()
