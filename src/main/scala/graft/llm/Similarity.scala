@@ -60,10 +60,15 @@ object Similarity {
              END""")
   }
 
+  // least-length + COALESCE 0: QuantDot scores the common prefix and
+  // returns 0 for empty input, while DuckDB's list_sum over an empty
+  // transform is NULL — the degenerate-vector semantics must be pinned
+  // on BOTH sides or ranking order diverges (caught by tools/fuzz_check)
   private val oracleDot =
-    """list_sum(list_transform(generate_series(1, len(qe)),
-       i -> CAST(FLOOR(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT) *
-            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)))"""
+    """CAST(COALESCE(list_sum(list_transform(
+         generate_series(1, least(len(qe), len(embedding))),
+         i -> CAST(FLOOR(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT) *
+              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))), 0) AS BIGINT)"""
 
   /** Brute-force exact top-5 neighbors for query vectors (vec_id < 10). */
   val annBruteForce = QuerySpec(
@@ -99,7 +104,10 @@ object Similarity {
   /** Sign-projection bucket id: bit i set iff dim i+1 is positive. */
   private val bucketExpr: String =
     (0 until 8).map(i =>
-      s"(CASE WHEN CAST(element_at(EMB, ${i + 1}) AS DOUBLE) > 0 THEN ${1 << i} ELSE 0 END)")
+      // try_element_at: NULL past the end (a short/empty vector's missing
+      // dims count as non-positive), matching DuckDB's NULL list index —
+      // plain element_at throws under ANSI
+      s"(CASE WHEN CAST(try_element_at(EMB, ${i + 1}) AS DOUBLE) > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
   private val oracleBucket: String =
@@ -171,14 +179,16 @@ object Similarity {
                       ${oracleBucket.replace("EMB", "embedding")} AS bucket
                FROM embeddings)
              SELECT a.vec_id AS id1, c.vec_id AS id2,
-                    CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    CAST(COALESCE(list_sum(list_transform(
+                      generate_series(1, least(len(a.embedding), len(c.embedding))),
                       i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-                           CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
+                           CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))), 0)
                       AS BIGINT) AS dot
              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-             WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+             WHERE COALESCE(list_sum(list_transform(
+                      generate_series(1, least(len(a.embedding), len(c.embedding))),
                       i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-                           CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) > 250000
+                           CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))), 0) > 250000
              ORDER BY id1, id2""")
   )
 
@@ -186,7 +196,11 @@ object Similarity {
     * (vec_id, dim, q). The single definition of the quantization rule —
     * centroids, IVF assignment, and the oracle SQL all mirror it. */
   private def quantComponents(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("label"), col("embedding"),
+    // empty vectors contribute no components: Spark's sequence(1, 0) is
+    // the DESCENDING [1, 0] (element_at would throw), while DuckDB's
+    // generate_series(1, 0) is empty — filter pins the shared semantics
+    e.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label"), col("embedding"),
         explode(sequence(lit(1), size(col("embedding")))).as("dim"))
       .select(col("vec_id"), col("label"), col("dim"),
         expr("CAST(FLOOR(CAST(element_at(embedding, dim) AS DOUBLE) * 1000) AS BIGINT)")
@@ -284,9 +298,10 @@ object Similarity {
               FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id),
             probes AS (
               SELECT q.vec_id AS qid, CAST(q.cell AS BIGINT) AS cell, m.vec_id,
-                     CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                     CAST(COALESCE(list_sum(list_transform(
+                       generate_series(1, least(len(q.embedding), len(m.embedding))),
                        i -> CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-                            CAST(FLOOR(CAST(m.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
+                            CAST(FLOOR(CAST(m.embedding[i] AS DOUBLE) * 1000) AS BIGINT))), 0)
                        AS BIGINT) AS dot
               FROM members q JOIN members m
                 ON q.cell = m.cell AND q.vec_id < 10 AND q.vec_id <> m.vec_id),

@@ -57,11 +57,34 @@ def adversarial_docs():
     return docs
 
 
+def adversarial_embeddings(dim=8):
+    vecs = []
+
+    def add(v, label=0):
+        vecs.append((len(vecs), [float(x) for x in v], label))
+
+    add([0.0] * dim)                      # zero vector (zero norm)
+    add([])                               # empty array
+    add([1.0, 2.0])                       # shorter than the corpus dim
+    add([1.0] * dim, 1)
+    add([1.0] * dim, 1)                   # identical pair (cosine tie = 1)
+    add([-1.0] * dim, 2)                  # antipodal
+    add([1e4] * dim, 3)                   # large magnitude
+    add([1e-10] * dim, 3)                 # denormal-ish
+    add([(-1) ** i * (i + 1) for i in range(dim)], 4)
+    for i in range(dim):                  # unit basis vectors
+        v = [0.0] * dim
+        v[i] = 1.0
+        add(v, 5)
+    return vecs
+
+
 def main():
     if WORK.exists():
         shutil.rmtree(WORK)
     WORK.mkdir(parents=True)
-    # copy every base table, then replace documents with the adversarial set
+    # copy every base table, then replace documents + embeddings with the
+    # adversarial sets
     for f in BASE.glob("*.parquet"):
         shutil.copy(f, WORK / f.name)
     con = duckdb.connect()
@@ -70,8 +93,16 @@ def main():
         "source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", adversarial_docs())
     con.execute(f"COPY d TO '{WORK}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", adversarial_embeddings())
+    con.execute(f"COPY e TO '{WORK}/embeddings.parquet' (FORMAT PARQUET)")
 
     out = "/tmp/graft_fuzz_out"
+    # stale outputs from a previous run would be silently compared when a
+    # query THROWS (Verify's overwrite never happens for failed keys)
+    if Path(out).exists():
+        shutil.rmtree(out)
     print(f"[fuzz] {con.sql('SELECT count(*) FROM d').fetchone()[0]} adversarial docs; running Verify...")
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {WORK} {out}"],
