@@ -78,7 +78,12 @@ object Tables {
         // integer div, NOT `/`: long./(long) widens to double, whose
         // 256ns ulp at 1.7e18 corrupts ~2% of timestamps by 1µs
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // future Spark versions may read nanos natively
+      case _: TimestampNTZType =>
+        // µs-precision files without timezone annotation read as NTZ,
+        // which unix_micros/window functions reject — normalize to the
+        // session-zoned type (UTC session ⇒ identical wall times)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
     }
   }
 

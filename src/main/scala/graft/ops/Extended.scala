@@ -97,14 +97,21 @@ object Extended {
     "json_extract_agg",
     (s, d) =>
       events(s, d)
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        // garbage-in, NULL-out on BOTH sides: get_json_object already
+        // returns NULL for malformed JSON, and try_cast extends that to
+        // non-numeric k values (ANSI cast would throw); the oracle
+        // mirrors with json_valid + TRY_CAST (DuckDB's strict
+        // json_extract_string throws on malformed input)
+        .select(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"),
                 col("event_type"), cents(col("value")).as("v_cents"))
         .withColumn("k_bucket", col("k") % 10)
         .groupBy("k_bucket", "event_type")
         .agg(count(lit(1)).as("event_cnt"),
              sum(col("v_cents")).as("total_value_cents"))
         .orderBy(col("k_bucket").asc_nulls_first, col("event_type")),
-    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+    Some("""SELECT TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                                 THEN json_extract_string(props, '$.k') END
+                            AS BIGINT) % 10 AS k_bucket,
                    event_type, count(*) AS event_cnt,
                    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
             FROM events
@@ -114,9 +121,10 @@ object Extended {
   /** Event sessionization as a batch query: Spark's `session_window`
     * (30-min gap) against the classic gaps-and-islands SQL (LAG + running
     * flag-sum) in DuckDB — two very different formulations, same
-    * sessions. Boundary semantics pinned: Spark sessions are
-    * closed-open `[first, last+gap)`, so a gap of exactly 30:00 starts a
-    * new session → the island condition is `>=`. */
+    * sessions. Boundary semantics pinned EMPIRICALLY (fuzz gate with
+    * exact-30:00 gaps): Spark MERGES an event landing exactly at
+    * prev + gap (windows [a, a+gap) and [a+gap, …) touch and Spark's
+    * merge test is inclusive) → the island condition is strict `>`. */
   val eventSessions = QuerySpec(
     "event_sessions",
     (s, d) =>
@@ -130,7 +138,7 @@ object Extended {
     Some("""WITH m AS (
               SELECT user_id, ts, value,
                      CASE WHEN LAG(ts) OVER w IS NULL
-                            OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                            OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

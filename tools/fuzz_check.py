@@ -79,6 +79,28 @@ def adversarial_embeddings(dim=8):
     return vecs
 
 
+def adversarial_events():
+    evs = []
+
+    def add(ts, user, etype, value, props):
+        evs.append((len(evs), ts, user, etype, value, props))
+
+    t0 = "2024-03-01 10:00:00"
+    add(t0, 1, "purchase", 10.00, '{"k": 7}')          # band boundary: exactly $10
+    add(t0, 1, "click", 9.99, '{"k": 3}')              # same user, SAME timestamp (asof tie)
+    add("2024-03-01 10:30:00", 1, "view", 50.00, '{"k": "12"}')   # k as string number
+    add("2024-03-01 11:00:01", 1, "purchase", 199.99, '{"k": "abc"}')  # non-numeric k
+    add("2024-03-01 11:30:01", 1, "click", 0.01, "not json at all")    # malformed JSON
+    add("2024-03-01 12:00:02", 2, "error", 999.99, None)           # NULL props
+    add("2024-03-01 12:00:02", 2, "error", 999.99, "{}")           # missing key
+    add("2024-03-01 13:00:00", 3, "signup", -5.00, '{"k": -1}')    # negative value (below all bands)
+    add("2024-03-01 13:00:00.000001", 3, "click", 0.0, '{"k": 0}') # 1µs apart; zero value
+    add("2024-03-02 09:59:59", 4, "view", 1000.00, '{"k": 99999999999999}')  # > band max
+    add("2024-03-02 10:29:59", 4, "purchase", 49.995, '{"k": 5}')  # half-cent rounding
+    add("2024-03-02 10:59:59", 4, "click", 49.995, '{"k": 5}')     # session chain 30-min gaps
+    return evs
+
+
 def main():
     if WORK.exists():
         shutil.rmtree(WORK)
@@ -97,6 +119,12 @@ def main():
         "CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
     con.executemany("INSERT INTO e VALUES (?, ?, ?)", adversarial_embeddings())
     con.execute(f"COPY e TO '{WORK}/embeddings.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)",
+                    adversarial_events())
+    con.execute(f"COPY ev TO '{WORK}/events.parquet' (FORMAT PARQUET)")
 
     out = "/tmp/graft_fuzz_out"
     # stale outputs from a previous run would be silently compared when a
