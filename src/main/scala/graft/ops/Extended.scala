@@ -80,13 +80,16 @@ object Extended {
               FROM orders GROUP BY 1, 3, 4, 5)
             SELECT CAST(strftime(dt, '%Y%m%d') AS BIGINT) AS date_key,
                    year, quarter, month, day_rev_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year ORDER BY dt)
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year
+                                                  ORDER BY dt NULLS FIRST)
                         AS BIGINT) AS rev_ytd_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, quarter ORDER BY dt)
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, quarter
+                                                 ORDER BY dt NULLS FIRST)
                         AS BIGINT) AS rev_qtd_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, month ORDER BY dt)
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, month
+                                                 ORDER BY dt NULLS FIRST)
                         AS BIGINT) AS rev_mtd_cents
-            FROM daily ORDER BY date_key""")
+            FROM daily ORDER BY date_key NULLS FIRST""")
   )
 
   /** Semi-structured extraction: events.props is a JSON string — parse

@@ -40,7 +40,9 @@ object Parity {
         .orderBy("order_id", "line_no", "qty", "flag"),
     Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
             l_quantity AS qty, 'film' AS unit_type, l_returnflag AS flag
-            FROM lineitem ORDER BY order_id, line_no, qty, flag""")
+            FROM lineitem
+            ORDER BY order_id NULLS FIRST, line_no NULLS FIRST,
+                     qty NULLS FIRST, flag NULLS FIRST""")
   )
 
   /** P3/P4/P5 — IS NOT NULL + comparison + IN-list predicates
@@ -341,7 +343,7 @@ object Parity {
     Some("""SELECT year(o_orderdate) AS order_year,
                    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_revenue_cents,
                    count(*) AS order_cnt
-            FROM orders GROUP BY 1 ORDER BY order_year""")
+            FROM orders GROUP BY 1 ORDER BY order_year NULLS FIRST""")
   )
 
   /** A4 — AVG revenue per transaction by country (Rmd:154). The average is
@@ -427,9 +429,15 @@ object Parity {
     * false-positive. */
   val rollupTotals = QuerySpec(
     "rollup_totals",
+    // GROUPING()-based labels: a subtotal row's 'ALL' must not collide
+    // with a genuine NULL-valued detail group (a NULL order date yields a
+    // real NULL quarter) — COALESCE alone renders both identically and
+    // the tie then orders differently across engines
     (s, d) => s.sql(
-      s"""SELECT coalesce(nation, 'ALL') AS nation_g,
-                 coalesce(cast(qtr AS string), 'ALL') AS quarter_g,
+      s"""SELECT CASE WHEN grouping(nation) = 1 THEN 'ALL'
+                      ELSE coalesce(nation, 'NULL') END AS nation_g,
+                 CASE WHEN grouping(qtr) = 1 THEN 'ALL'
+                      ELSE coalesce(cast(qtr AS string), 'NULL') END AS quarter_g,
                  CAST(SUM(tp_cents) AS BIGINT) AS total_revenue_cents,
                  count(1) AS order_cnt
           FROM (SELECT n_name AS nation, quarter(o_orderdate) AS qtr,
@@ -438,9 +446,12 @@ object Parity {
                 JOIN parquet.`$d/customer.parquet` ON o_custkey = c_custkey
                 JOIN parquet.`$d/nation.parquet` ON c_nationkey = n_nationkey)
           GROUP BY ROLLUP(nation, qtr)
-          ORDER BY nation_g, quarter_g"""),
-    Some("""SELECT COALESCE(nation, 'ALL') AS nation_g,
-                   COALESCE(CAST(qtr AS VARCHAR), 'ALL') AS quarter_g,
+          ORDER BY nation_g, quarter_g, order_cnt,
+                   total_revenue_cents NULLS FIRST"""),
+    Some("""SELECT CASE WHEN GROUPING(nation) = 1 THEN 'ALL'
+                        ELSE COALESCE(nation, 'NULL') END AS nation_g,
+                   CASE WHEN GROUPING(qtr) = 1 THEN 'ALL'
+                        ELSE COALESCE(CAST(qtr AS VARCHAR), 'NULL') END AS quarter_g,
                    CAST(SUM(tp_cents) AS BIGINT) AS total_revenue_cents,
                    count(*) AS order_cnt
             FROM (SELECT n_name AS nation, quarter(o_orderdate) AS qtr,
@@ -448,7 +459,8 @@ object Parity {
                   FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey) t
             GROUP BY ROLLUP(nation, qtr)
-            ORDER BY nation_g, quarter_g""")
+            ORDER BY nation_g, quarter_g, order_cnt,
+                     total_revenue_cents NULLS FIRST""")
   )
 
   /** A5/O1 — ORDER BY count DESC LIMIT k (Rmd:199-205 top-3/5 countries by
@@ -596,8 +608,9 @@ object Parity {
             JOIN orders ON l_orderkey = o_orderkey
             LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
               ON o_custkey = c.c_custkey
-            ORDER BY order_id, line_no, product_key, units_sold_cents,
-                     revenue_tenthcents""")
+            ORDER BY order_id NULLS FIRST, line_no NULLS FIRST,
+                     product_key NULLS FIRST, units_sold_cents NULLS FIRST,
+                     revenue_tenthcents NULLS FIRST""")
   )
 
   /** §2.9 — the declared-but-never-populated YTD running totals
@@ -624,9 +637,10 @@ object Parity {
               FROM orders GROUP BY 1)
             SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
                    year(d) AS year, day_rev_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year(d) ORDER BY d)
+                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year(d)
+                                                  ORDER BY d NULLS FIRST)
                         AS BIGINT) AS ytd_rev_cents
-            FROM daily ORDER BY date_key""")
+            FROM daily ORDER BY date_key NULLS FIRST""")
   )
 
   /** §2.10 — event-time tumbling window (batch-executable; the streaming

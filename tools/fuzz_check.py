@@ -126,6 +126,43 @@ def main():
                     adversarial_events())
     con.execute(f"COPY ev TO '{WORK}/events.parquet' (FORMAT PARQUET)")
 
+    # adversarial relational rows APPENDED to the copies (the base data
+    # stays so every key remains meaningful): NULL dates/keys/amounts,
+    # negatives, dangling FKs, duplicate natural keys
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{BASE}/orders.parquet')
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (900001, NULL,   'O', 100.00, TIMESTAMP '1997-06-15 00:00:00', 'FUZZ'),
+          (900002, 1,      'O', NULL,   TIMESTAMP '1997-06-16 00:00:00', 'FUZZ'),
+          (900003, 1,      'F', -42.42, NULL,                            'FUZZ'),
+          (900004, 999999, 'F', 0.01,   TIMESTAMP '1997-06-18 00:00:00', 'FUZZ')
+        ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+      ) TO '{WORK}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{BASE}/customer.parquet')
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (910001, 'Fuzz NullNation', NULL, 12.34,  'FUZZ'),
+          (910002, 'Fuzz NullBal',    1,    NULL,   'FUZZ'),
+          (910003, 'Fuzz Negative',   2,    -99.99, 'FUZZ')
+        ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+      ) TO '{WORK}/customer.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{BASE}/lineitem.parquet')
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (900001, 1, 1, 1, NULL,  10.00, 0.05, 0.0, 'N', 'O', TIMESTAMP '1997-06-20 00:00:00'),
+          (900001, 1, 1, 1, 5.00,  10.00, NULL, 0.0, 'N', 'O', TIMESTAMP '1997-06-20 00:00:00'),
+          (900002, 2, 1, 1, 0.00,  10.00, 0.05, 0.0, 'A', 'F', NULL),
+          (900004, 3, 1, 2, 3.00,  -1.00, 1.00, 0.0, 'R', 'F', TIMESTAMP '1997-06-21 00:00:00')
+        ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+            l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+      ) TO '{WORK}/lineitem.parquet' (FORMAT PARQUET)""")
+
     out = "/tmp/graft_fuzz_out"
     # stale outputs from a previous run would be silently compared when a
     # query THROWS (Verify's overwrite never happens for failed keys)
