@@ -98,6 +98,8 @@ def adversarial_events():
     add("2024-03-02 09:59:59", 4, "view", 1000.00, '{"k": 99999999999999}')  # > band max
     add("2024-03-02 10:29:59", 4, "purchase", 49.995, '{"k": 5}')  # half-cent rounding
     add("2024-03-02 10:59:59", 4, "click", 49.995, '{"k": 5}')     # session chain 30-min gaps
+    add("2024-03-03 09:00:00", 5, "view", 0.125, '{"k": 8}')       # EXACT binary tie: HALF_UP parity
+    add("2024-03-03 09:00:01", 5, "view", -0.125, '{"k": 8}')      # negative tie (away-from-zero)
     return evs
 
 
