@@ -446,7 +446,55 @@ object Dedup {
             ORDER BY d.doc_id""")
   )
 
+  /** Decontamination: flag training documents that share ≥10 distinct
+    * 8-gram shingles with any benchmark/eval document (here: doc_id < 20
+    * plays the held-out eval set). The asymmetric corpus-vs-corpus twin
+    * of near-dup detection, and the shape is the 100 TB one: eval sets
+    * are SMALL by nature, so their shingle index is genuinely
+    * broadcastable and the training corpus is scanned exactly once —
+    * no self-join, no shuffle of the big side. */
+  val decontaminate = QuerySpec(
+    "decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") < 20)
+      val bsh = TextOps.shingleRows(bench, 8).select("s").distinct()
+      val tsh = TextOps.shingleRows(docs.filter(col("doc_id") >= 20), 8)
+        .distinct()
+      val overlap = tsh.join(broadcast(bsh), Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("overlap_cnt"))
+      docs.filter(col("doc_id") >= 20).select("doc_id")
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("overlap_cnt"), lit(0L)).as("overlap_cnt"),
+          (coalesce(col("overlap_cnt"), lit(0L)) >= 10).cast("long")
+            .as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH bsh AS (
+              SELECT DISTINCT substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)
+              WHERE doc_id < 20),
+            tsh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)
+              WHERE doc_id >= 20),
+            ov AS (
+              SELECT doc_id, count(*) AS overlap_cnt
+              FROM tsh JOIN bsh USING (s)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(ov.overlap_cnt, 0) AS overlap_cnt,
+                   CAST(COALESCE(ov.overlap_cnt, 0) >= 10 AS BIGINT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+            LEFT JOIN ov USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
-        clusters, keep)
+        clusters, keep, decontaminate)
 }
