@@ -253,11 +253,12 @@ object Similarity {
       val scored = comp.join(broadcast(cent), Seq("dim"))
         .groupBy(col("vec_id"), col("label"))
         .agg(sum(col("q") * col("c")).as("score"))
-      val wCell = Window.partitionBy("vec_id")
-        .orderBy(col("score").desc, col("label"))
-      val cells = scored.withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label").as("cell"))
+      // argmax as a hash aggregate, not a window: max_by over the unique
+      // ordering key (score, -label) picks the max-score cell with
+      // ties to the smallest label — no per-vec_id sort stage
+      val cells = scored.groupBy("vec_id")
+        .agg(max_by(col("label"), struct(col("score"), -col("label")))
+          .as("cell"))
         .localCheckpoint(false)
       val members = e.join(cells, "vec_id")
       val q = members.filter(col("vec_id") < 10)

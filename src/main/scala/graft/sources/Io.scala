@@ -107,7 +107,17 @@ object Io {
       val out = sinkDirs.computeIfAbsent(
         s.sparkContext.applicationId + "|" + d,
         _ => java.nio.file.Files.createTempDirectory("graft_fact_rt").toString)
-      writeFactPartitioned(graft.etl.StarSchema.factSales(s, d), out)
+      // source = the materialized fact (the warehouse artifact every
+      // report queries) — the thing under test here is the SINK path.
+      // Cluster the shuffle by the partition column first: without it,
+      // every one of the 32 map tasks holds rows of every year and emits
+      // one file per (task × year) — 224 small files at bench scale, and
+      // at 100 TB a file-count explosion. With it, a year's rows land
+      // together and `maxRecordsPerFile` re-splits oversized years, so
+      // within-year write parallelism survives at scale.
+      writeFactPartitioned(
+        graft.etl.StarSchema.factSalesMaterialized(s, d)
+          .repartition(col("year")), out)
       s.read.parquet(out)
         .groupBy(asLong(col("year")).as("year"))
         .agg(
