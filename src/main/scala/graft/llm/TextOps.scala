@@ -3,6 +3,7 @@ package graft.llm
 import graft.Tables._
 import graft.QuerySpec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines over
@@ -275,7 +276,178 @@ object TextOps {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** Repetition signals (the Gopher-rules quality family): per-document
+    * duplicate-token and duplicate-bigram fractions plus the
+    * most-frequent-token share, all as exact integer milli-ratios. High
+    * values flag boilerplate / template / degenerate-generation text.
+    * Shape at scale: explode → two-level hash aggregate per doc — the
+    * same embarrassingly-parallel per-document profile as quality_score,
+    * no corpus-wide state. */
+  val repetitionRatio = QuerySpec(
+    "repetition_ratio",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), tokens.as("toks"))
+      val tc = base.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      val ts = tc.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top_cnt"))
+      // adjacent-pair bigrams off the SAME filtered token list the token
+      // stats use; size > 1 guard keeps sequence() ascending (Spark's
+      // sequence(1, 0) is the DESCENDING [1, 0])
+      val bc = base.filter(size(col("toks")) > 1)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"),
+          concat(expr("element_at(toks, i)"), lit(" "),
+            expr("element_at(toks, i + 1)")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      val bs = bc.groupBy("doc_id").agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+      documents(s, d).select("doc_id")
+        .join(ts, Seq("doc_id"), "left")
+        .join(bs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+          coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          expr("(1000 * (n_tokens - n_distinct_tokens)) div greatest(n_tokens, 1)")
+            .as("dup_token_milli"),
+          expr("(1000 * top_cnt) div greatest(n_tokens, 1)")
+            .as("top_token_milli"),
+          col("n_bigrams"), col("n_distinct_bigrams"),
+          expr("(1000 * (n_bigrams - n_distinct_bigrams)) div greatest(n_bigrams, 1)")
+            .as("dup_bigram_milli"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH lst AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+              FROM documents),
+            tc AS (
+              SELECT doc_id, t, count(*) AS c
+              FROM (SELECT doc_id, UNNEST(toks) AS t FROM lst)
+              GROUP BY doc_id, t),
+            ts AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct_tokens,
+                     CAST(MAX(c) AS BIGINT) AS top_cnt
+              FROM tc GROUP BY doc_id),
+            bc AS (
+              SELECT doc_id, b, count(*) AS c
+              FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+                    FROM lst, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+                    WHERE len(toks) > 1)
+              GROUP BY doc_id, b),
+            bs AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     count(*) AS n_distinct_bigrams
+              FROM bc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(n_tokens, 0) AS n_tokens,
+                   COALESCE(n_distinct_tokens, 0) AS n_distinct_tokens,
+                   (1000 * (COALESCE(n_tokens, 0) - COALESCE(n_distinct_tokens, 0)))
+                     // greatest(COALESCE(n_tokens, 0), 1) AS dup_token_milli,
+                   (1000 * COALESCE(top_cnt, 0))
+                     // greatest(COALESCE(n_tokens, 0), 1) AS top_token_milli,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                   (1000 * (COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0)))
+                     // greatest(COALESCE(n_bigrams, 0), 1) AS dup_bigram_milli
+            FROM documents d
+            LEFT JOIN ts ON d.doc_id = ts.doc_id
+            LEFT JOIN bs ON d.doc_id = bs.doc_id
+            ORDER BY d.doc_id""")
+  )
+
+  /** Stratified sampling: per-language keep rates (balance the corpus
+    * mix), assignment by content hash — the same reproducibility contract
+    * as sampleSplit: a document's fate is a pure function of its content
+    * and the salt, independent of sharding or arrival order. Rates are
+    * per-mille; the filter is a pure integer comparison. */
+  val stratifiedSample = QuerySpec(
+    "stratified_sample",
+    (s, d) => {
+      val rate = when(col("lang") === "en", 250L)
+        .when(col("lang") === "de", 500L)
+        .when(col("lang") === "fr", 500L)
+        .when(col("lang") === "es", 750L)
+        .otherwise(1000L)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (expr("conv(substring(md5(concat('strat-v1:', text)), 1, 8), 16, 10)")
+            .cast("long") % 1000).as("bucket"),
+          rate.as("rate_milli"))
+        .filter(col("bucket") < col("rate_milli"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val v = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('strat-v1:' || text), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" + ")
+      s"""SELECT doc_id, lang, v % 1000 AS bucket,
+                 CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+                           WHEN 'fr' THEN 500 WHEN 'es' THEN 750
+                           ELSE 1000 END AS rate_milli
+          FROM (SELECT doc_id, lang, $v AS v FROM documents)
+          WHERE v % 1000 < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+                                     WHEN 'fr' THEN 500 WHEN 'es' THEN 750
+                                     ELSE 1000 END
+          ORDER BY doc_id"""
+    }
+  )
+
+  /** Per-document top-3 characteristic tokens by tf·idf-style rarity
+    * weighting: score = tf × (1/df) in integer micro units (the log-free
+    * idf variant, so scoring is exact integer math — monotone in tf/df,
+    * which is what the ranking needs). The document-frequency table is
+    * CORPUS-DERIVED, so it is never broadcast: the tf⋈df join shuffles on
+    * the token — at 100 TB that is one hash-partition of the vocabulary,
+    * the same shape as the inverted-index dedup joins. */
+  val tfidfTopk = QuerySpec(
+    "tfidf_topk",
+    (s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("t"))
+      tf.join(df, "t")
+        .withColumn("score_micro", expr("(1000000 * tf) div df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "t", "tf", "df", "score_micro")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tf AS (
+              SELECT doc_id, t, count(*) AS tf
+              FROM (SELECT doc_id,
+                      UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+                    FROM documents)
+              GROUP BY doc_id, t),
+            df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            scored AS (
+              SELECT tf.doc_id, tf.t, tf.tf, df.df,
+                     (1000000 * tf.tf) // df.df AS score_micro
+              FROM tf JOIN df ON tf.t = df.t),
+            ranked AS (
+              SELECT doc_id, t, tf, df, score_micro,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score_micro DESC, t) AS rank
+              FROM scored)
+            SELECT doc_id, rank, t, tf, df, score_micro
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
-        sampleSplit, piiDetect)
+        sampleSplit, piiDetect, repetitionRatio, stratifiedSample,
+        tfidfTopk)
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.QuerySpec
+import graft.Tables._
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Co-located join via bucketed tables — the shuffle-elimination story
+  * for the engine's recurring big⋈big joins.
+  *
+  * Broadcast covers the small-dim case; when BOTH sides are large (fact ⋈
+  * fact, orders ⋈ customer at 100 TB) the standard Spark answer is to
+  * write both tables bucketed (and sorted) by the join key: every
+  * subsequent join on that key reads bucket i against bucket i directly —
+  * no exchange, no sort, on every query that touches the pair. The write
+  * pays the shuffle once; the warehouse amortizes it across the query
+  * surface (the same write-once/read-many economics as
+  * `Materialize.once`, upgraded with key clustering).
+  *
+  * `BucketedPlanSpec` asserts the physical property: the join subtree
+  * contains a SortMergeJoin and ZERO shuffle exchanges.
+  */
+object Bucketed {
+
+  private val made =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def warehousePath(s: SparkSession): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+
+  // managed-table dirs are JVM-scoped caches like Materialize artifacts;
+  // the in-memory catalog forgets them at exit, so delete the files too
+  // (a leftover non-empty dir would fail the next run's CREATE TABLE)
+  private def rm(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(dir))
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  private val cleanup = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  sys.addShutdownHook { cleanup.forEach(rm(_)) }
+
+  /** Bucketed (orders, customer) table names for this (application, data
+    * dir), written once. Both sides use the SAME bucket count on the join
+    * key — mismatched counts still shuffle the smaller side. The
+    * pre-write `repartition` on the bucket key aligns task partitioning
+    * with bucket assignment so each task emits one file per bucket it
+    * owns instead of numBuckets files per task. */
+  def tables(s: SparkSession, d: String): (String, String) = {
+    val key = s.sparkContext.applicationId + "|" + d
+    var v = made.get(key)
+    if (v == null) {
+      // table identifiers must be [a-z0-9_]; key carries '|', '-', '/'
+      val tag = java.lang.Long.toHexString(
+        key.map(_.toLong).sum * 1000003L + key.length)
+      val oTbl = s"graft_orders_bkt_$tag"
+      val cTbl = s"graft_customer_bkt_$tag"
+      // sweep stale dirs from crashed previous runs before creating
+      val wh = warehousePath(s)
+      if (java.nio.file.Files.exists(wh))
+        java.nio.file.Files.list(wh).forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("graft_orders_bkt_") ||
+              n.startsWith("graft_customer_bkt_")) rm(p)
+        }
+      orders(s, d).repartition(8, col("o_custkey"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(oTbl)
+      customer(s, d).repartition(8, col("c_custkey"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(cTbl)
+      Seq(oTbl, cTbl).foreach(t => cleanup.add(wh.resolve(t)))
+      val prev = made.putIfAbsent(key, (oTbl, cTbl))
+      v = if (prev == null) (oTbl, cTbl) else prev
+    }
+    v
+  }
+
+  /** The exchange-free join itself, exposed for the plan assertion:
+    * hint("merge") pins SortMergeJoin (the planner would otherwise
+    * broadcast the bench-scale customer table and hide the bucketing),
+    * and the matching 8=8 sorted buckets make both exchanges AND both
+    * sorts unnecessary. */
+  def colocatedJoin(s: SparkSession, d: String) = {
+    val (oTbl, cTbl) = tables(s, d)
+    s.table(oTbl).hint("merge")
+      .join(s.table(cTbl), col("o_custkey") === col("c_custkey"))
+  }
+
+  val bucketedJoin = QuerySpec(
+    "bucketed_join",
+    (s, d) =>
+      colocatedJoin(s, d)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+             count(lit(1)).as("order_cnt"),
+             count_distinct(col("o_custkey")).as("n_customers"))
+        .orderBy("segment"),
+    Some("""SELECT c_mktsegment AS segment,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS order_cnt,
+                   COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY segment""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(bucketedJoin)
+}

@@ -158,6 +158,42 @@ object Extended {
             ORDER BY user_id, session_start, event_cnt, total_value_cents""")
   )
 
+  /** Month-over-month revenue deltas + revenue quartiles: the LAG /
+    * NTILE half of the window surface (windowQtdMtd covers running
+    * frames). The global (unpartitioned) windows are safe by
+    * construction: the input is ONE ROW PER MONTH — bounded by the data's
+    * calendar span, not its volume — so the single-partition sort never
+    * sees more than a few hundred rows no matter the corpus size; the
+    * volume-bearing work is the partial-agg monthly rollup before it.
+    * First month's delta is NULL (no prior) in both engines. */
+  val windowMomDelta = QuerySpec(
+    "window_mom_delta",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+             count(lit(1)).as("order_cnt"))
+      val byMonth = Window.orderBy("month_start")
+      val byRevenue =
+        Window.orderBy(col("revenue_cents").desc, col("month_start"))
+      monthly
+        .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(byMonth))
+        .withColumn("delta_cents", col("revenue_cents") - col("prev_cents"))
+        .withColumn("rev_quartile", ntile(4).over(byRevenue).cast("long"))
+        .orderBy("month_start")
+    },
+    Some("""WITH monthly AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                     count(*) AS order_cnt
+              FROM orders GROUP BY 1)
+            SELECT month_start, revenue_cents, order_cnt,
+                   LAG(revenue_cents) OVER (ORDER BY month_start) AS prev_cents,
+                   revenue_cents - LAG(revenue_cents) OVER (ORDER BY month_start) AS delta_cents,
+                   CAST(NTILE(4) OVER (ORDER BY revenue_cents DESC, month_start) AS BIGINT) AS rev_quartile
+            FROM monthly ORDER BY month_start""")
+  )
+
   /** Exact interpolated median per nation, in cents so the R-7
     * interpolation (`a + 0.5·(b−a)` over integers) is bit-exact in both
     * engines — the only percentile where cross-engine float interpolation
@@ -185,5 +221,6 @@ object Extended {
 
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
-    windowQtdMtd, jsonExtractAgg, eventSessions, medianByNation)
+    windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
+    medianByNation)
 }
