@@ -10,7 +10,7 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     (ops.Parity.all :+ etl.StarSchema.spec :+ etl.StarSchema.summarySpec :+
       sources.Io.writeRoundtrip) ++
-      ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++
+      ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
       report.Analytics.all ++
       llm.TextOps.all ++ llm.Dedup.all ++ llm.Similarity.all ++
       llm.Multimodal.all

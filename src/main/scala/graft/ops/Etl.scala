@@ -1,0 +1,284 @@
+package graft.ops
+
+import graft.QuerySpec
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: the mutation half of an ETL engine
+  * (the reference's loadAnalyticsDB.R is mostly this — staged loads,
+  * dedup-on-insert, dimension upkeep), re-expressed as deterministic
+  * batch transforms over immutable inputs.
+  *
+  * All change batches are DERIVED from the source tables by pure key
+  * arithmetic (`key % k`) so every run — Spark or the DuckDB oracle —
+  * sees the identical staged input without any side-channel fixture.
+  */
+object Etl {
+
+  /** SCD Type-2 dimension versioning (the standard warehouse answer to
+    * the reference's "UPDATE the dim row" pattern, loadAnalyticsDB.R's
+    * dimension upkeep): a staged batch is merged against the current
+    * dimension; changed keys close their old version and open a new one,
+    * unchanged/no-op rows carry through, unseen keys insert as v1.
+    *
+    * Scale shape: ONE full-outer shuffle join on the business key, then a
+    * per-row array-explode emitting 1 or 2 versions — no second pass over
+    * either side, no driver loop. At 100 TB both sides hash-partition on
+    * the key and the merge is embarrassingly parallel. */
+  val scd2Build = QuerySpec(
+    "scd2_build",
+    (s, d) => {
+      val d1 = to_date(lit("2020-01-01"))
+      val d2 = to_date(lit("2024-07-01"))
+      val dNull = lit(null).cast("date")
+      val cur = customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+      // staged batch: every key%3 row arrives (key%6 actually changes,
+      // the rest are no-ops the merge must NOT version), key%17 rows
+      // arrive under a fresh key range (pure inserts)
+      val staged = cur.filter(col("key") % 3 === 0)
+        .select(col("key"),
+          when(col("key") % 6 === 0, lit("REASSIGNED"))
+            .otherwise(col("segment")).as("new_segment"))
+        .unionByName(cur.filter(col("key") % 17 === 0)
+          .select((col("key") + 1000000L).as("key"),
+            lit("NEWSEG").as("new_segment")))
+      def ver(seg: Column, v: Long, curF: Long, from: Column, to: Column) =
+        struct(seg.as("segment"), lit(v).as("version"),
+          lit(curF).as("is_current"), from.as("valid_from"),
+          to.as("valid_to"))
+      val changed = col("segment").isNotNull &&
+        col("new_segment").isNotNull && col("new_segment") =!= col("segment")
+      cur.join(staged, Seq("key"), "full_outer")
+        .select(col("key"), explode(
+          when(changed, array(
+            ver(col("segment"), 1L, 0L, d1, d2),
+            ver(col("new_segment"), 2L, 1L, d2, dNull)))
+          .when(col("segment").isNotNull, array(
+            ver(col("segment"), 1L, 1L, d1, dNull)))
+          .otherwise(array(
+            ver(col("new_segment"), 1L, 1L, d2, dNull)))).as("r"))
+        .select(col("key"), col("r.segment"), col("r.version"),
+          col("r.is_current"), col("r.valid_from"), col("r.valid_to"))
+        .orderBy("key", "version")
+    },
+    Some("""WITH cur AS (
+              SELECT c_custkey AS key, c_mktsegment AS segment FROM customer),
+            staged AS (
+              SELECT key, CASE WHEN key % 6 = 0 THEN 'REASSIGNED'
+                               ELSE segment END AS new_segment
+              FROM cur WHERE key % 3 = 0
+              UNION ALL
+              SELECT key + 1000000 AS key, 'NEWSEG' AS new_segment
+              FROM cur WHERE key % 17 = 0),
+            j AS (
+              SELECT COALESCE(cur.key, staged.key) AS key, segment, new_segment
+              FROM cur FULL OUTER JOIN staged ON cur.key = staged.key)
+            SELECT key, segment, CAST(1 AS BIGINT) AS version,
+                   CAST(0 AS BIGINT) AS is_current,
+                   DATE '2020-01-01' AS valid_from,
+                   DATE '2024-07-01' AS valid_to
+            FROM j WHERE segment IS NOT NULL AND new_segment IS NOT NULL
+                     AND new_segment <> segment
+            UNION ALL
+            SELECT key, new_segment, CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+                   DATE '2024-07-01', CAST(NULL AS DATE)
+            FROM j WHERE segment IS NOT NULL AND new_segment IS NOT NULL
+                     AND new_segment <> segment
+            UNION ALL
+            SELECT key, segment, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                   DATE '2020-01-01', CAST(NULL AS DATE)
+            FROM j WHERE segment IS NOT NULL
+                     AND (new_segment IS NULL OR new_segment = segment)
+            UNION ALL
+            SELECT key, new_segment, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                   DATE '2024-07-01', CAST(NULL AS DATE)
+            FROM j WHERE segment IS NULL
+            ORDER BY key, version""")
+  )
+
+  /** CDC-style incremental upsert: a delta batch (updates + brand-new
+    * keys) merged into the base table, latest source wins per key — the
+    * set-based MERGE the reference emulates row-at-a-time with
+    * INSERT-or-UPDATE (loadAnalyticsDB.R's staged loads).
+    *
+    * Scale shape: union + one window over the business key. The window
+    * partitions by key, so it shuffles ONCE on the same key a real
+    * warehouse would cluster by; no per-row lookups. */
+  val incrementalUpsert = QuerySpec(
+    "incremental_upsert",
+    (s, d) => {
+      val base = orders(s, d).select(
+        col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("total_cents"),
+        lit(1L).as("src"))
+      val delta = base.filter(col("key") % 5 === 0)
+        .select(col("key"), lit("R").as("status"),
+          lit("0-REVISED").as("priority"),
+          (col("total_cents") + 500L).as("total_cents"),
+          lit(2L).as("src"))
+        .unionByName(base.filter(col("key") % 31 === 0)
+          .select((col("key") + 10000000L).as("key"), lit("N").as("status"),
+            lit("5-NEW").as("priority"), lit(0L).as("total_cents"),
+            lit(2L).as("src")))
+      val w = Window.partitionBy("key").orderBy(col("src").desc)
+      base.unionByName(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("key")
+    },
+    Some("""WITH base AS (
+              SELECT o_orderkey AS key, o_orderstatus AS status,
+                     o_orderpriority AS priority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
+                     CAST(1 AS BIGINT) AS src
+              FROM orders),
+            delta AS (
+              SELECT key, 'R' AS status, '0-REVISED' AS priority,
+                     total_cents + 500 AS total_cents, CAST(2 AS BIGINT) AS src
+              FROM base WHERE key % 5 = 0
+              UNION ALL
+              SELECT key + 10000000, 'N', '5-NEW', CAST(0 AS BIGINT),
+                     CAST(2 AS BIGINT)
+              FROM base WHERE key % 31 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                               ORDER BY src DESC) AS rn
+                  FROM u)
+            SELECT key, status, priority, total_cents, src
+            FROM r WHERE rn = 1 ORDER BY key""")
+  )
+
+  private val auditCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"),
+    "orders"   -> Seq("o_custkey", "o_orderpriority", "o_orderstatus",
+                      "o_totalprice"))
+
+  /** Data-quality audit: per-column row/null/distinct counts, the
+    * pre-load validation pass every warehouse load runs (the reference
+    * eyeballs this manually in BusinessAnalysis.Rmd's sanity chunks).
+    *
+    * Scale shape: ONE aggregation pass per table computes every column's
+    * metrics simultaneously (Spark plans the multi-distinct agg as a
+    * single Expand + two-phase aggregate — table scanned once, not once
+    * per column), then `stack` unpivots driver-side-free. At 100 TB swap
+    * the exact distincts for approx_count_distinct and the shape holds
+    * with the Expand removed. */
+  val dqAudit = QuerySpec(
+    "dq_audit",
+    (s, d) => {
+      def audit(df: DataFrame, tbl: String): DataFrame = {
+        val cols = auditCols(tbl)
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_nd")))
+        val stackExpr = s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', ${c}_nn, ${c}_nd").mkString(", ") +
+          ") as (column_name, n_notnull, n_distinct)"
+        df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .selectExpr("n_rows", stackExpr)
+          .select(lit(tbl).as("table_name"), col("column_name"),
+            col("n_rows"), (col("n_rows") - col("n_notnull")).as("n_null"),
+            col("n_distinct"))
+      }
+      audit(customer(s, d), "customer")
+        .unionByName(audit(orders(s, d), "orders"))
+        .orderBy("table_name", "column_name")
+    },
+    Some {
+      val parts = auditCols.toSeq.sortBy(_._1).flatMap { case (tbl, cols) =>
+        cols.map(c =>
+          s"""SELECT '$tbl' AS table_name, '$c' AS column_name,
+                     count(*) AS n_rows,
+                     count(*) - count($c) AS n_null,
+                     CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+              FROM $tbl""")
+      }
+      parts.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+    }
+  )
+
+  /** Skew-salted big⋈big join: the fact side carries a fabricated hot key
+    * (25% of all lineitems collapse onto one part), the canonical shape
+    * that stalls a shuffle join on one straggler task at scale. The cure:
+    * salt the fact side by a content-derived hash (deterministic — no
+    * rand(), so retries/replays route identically), replicate the dim
+    * side ×16, join on (key, salt). The oracle is the PLAIN join — the
+    * whole point is that salting must not change a single output value.
+    *
+    * `hint("shuffle_hash")` forces the shuffle join at bench scale where
+    * the planner would broadcast the dim and hide the salting; at real
+    * scale the dim outgrows broadcast and this is the plan anyway. */
+  val saltedSkewJoin = QuerySpec(
+    "salted_skew_join",
+    (s, d) => {
+      val skewKey = when(col("l_partkey") % 4 === 0, lit(1L))
+        .otherwise(col("l_partkey"))
+      val fact = lineitem(s, d).select(
+        skewKey.as("skew_key"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16))
+          .as("salt"))
+      val dim = part(s, d)
+        .select(col("p_partkey").as("skew_key"), col("p_brand"))
+        .withColumn("salt", explode(sequence(lit(0), lit(15))))
+      fact.join(dim.hint("shuffle_hash"), Seq("skew_key", "salt"))
+        .groupBy("p_brand")
+        .agg(sum(col("price_cents")).as("revenue_cents"),
+          count(lit(1)).as("line_cnt"),
+          count_distinct(col("skew_key")).as("n_parts"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS line_cnt,
+                   CAST(COUNT(DISTINCT CASE WHEN l_partkey % 4 = 0 THEN 1
+                                            ELSE l_partkey END) AS BIGINT) AS n_parts
+            FROM lineitem
+            JOIN part ON (CASE WHEN l_partkey % 4 = 0 THEN 1
+                               ELSE l_partkey END) = p_partkey
+            GROUP BY 1 ORDER BY p_brand""")
+  )
+
+  /** Full CUBE over (segment, year) — all four grouping sets in one
+    * Expand + one shuffle (the reference assembles the same cross-tab
+    * from four separate queries, BusinessAnalysis.Rmd:456-490).
+    * GROUPING()-based labels keep subtotal rows distinct from genuine
+    * NULL groups (same discipline as rollup_totals). SQL-path for the
+    * same reason as rollup_totals: Dataset cube() trips
+    * DetectAmbiguousSelfJoin on Expand-duplicated attributes in 4.1. */
+  val cubeTotals = QuerySpec(
+    "cube_totals",
+    (s, d) => s.sql(
+      s"""SELECT CASE WHEN grouping(segment) = 1 THEN 'ALL'
+                      ELSE coalesce(segment, 'NULL') END AS segment_g,
+                 CASE WHEN grouping(yr) = 1 THEN 'ALL'
+                      ELSE coalesce(cast(yr AS string), 'NULL') END AS year_g,
+                 CAST(SUM(tp_cents) AS BIGINT) AS total_revenue_cents,
+                 count(1) AS order_cnt
+          FROM (SELECT c_mktsegment AS segment, year(o_orderdate) AS yr,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS tp_cents
+                FROM parquet.`$d/orders.parquet`
+                JOIN parquet.`$d/customer.parquet` ON o_custkey = c_custkey)
+          GROUP BY CUBE(segment, yr)
+          ORDER BY segment_g, year_g"""),
+    Some("""SELECT CASE WHEN GROUPING(segment) = 1 THEN 'ALL'
+                        ELSE COALESCE(segment, 'NULL') END AS segment_g,
+                   CASE WHEN GROUPING(yr) = 1 THEN 'ALL'
+                        ELSE COALESCE(CAST(yr AS VARCHAR), 'NULL') END AS year_g,
+                   CAST(SUM(tp_cents) AS BIGINT) AS total_revenue_cents,
+                   count(*) AS order_cnt
+            FROM (SELECT c_mktsegment AS segment, year(o_orderdate) AS yr,
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS tp_cents
+                  FROM orders JOIN customer ON o_custkey = c_custkey) t
+            GROUP BY CUBE(segment, yr)
+            ORDER BY segment_g, year_g""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(
+    scd2Build, incrementalUpsert, dqAudit, saltedSkewJoin, cubeTotals)
+}
