@@ -70,6 +70,59 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions by gap + timeout") {
+    implicit val sctx = spark.sqlContext
+    def ue(uid: Long, t: String, c: Long) =
+      UserEvent(uid, Timestamp.valueOf(t), c)
+    val stream = MemoryStream[UserEvent]
+    val q = Events.sessionizeCustom(stream.toDS(), 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(ue(1, "2024-01-01 10:00:00", 100),
+        ue(1, "2024-01-01 10:10:00", 50), ue(2, "2024-01-01 10:05:00", 7))
+      q.processAllAvailable()
+      // same batch or later: the 11:30 event exceeds the gap → closes
+      // user 1's first session inline
+      stream.addData(ue(1, "2024-01-01 11:30:00", 1))
+      q.processAllAvailable()
+      // watermark pushers: 20:00 moves the watermark to 18:00 (2h wm),
+      // past every earlier session's (last + gap) timeout; the second
+      // event triggers the micro-batch in which those timeouts fire
+      stream.addData(ue(99, "2024-01-01 20:00:00", 0))
+      q.processAllAvailable()
+      stream.addData(ue(99, "2024-01-01 20:01:00", 0))
+      q.processAllAvailable()
+      val got = spark.table("custom_sessions")
+        .select("user_id", "session_start", "event_cnt", "total_value_cents")
+        .collect().map(_.toSeq).toSet
+      val exp = Set(
+        Seq(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 150L),
+        Seq(1L, Timestamp.valueOf("2024-01-01 11:30:00"), 1L, 1L),
+        Seq(2L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 7L))
+      assert(got == exp) // user 99's session is still open → not emitted
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event ids across micro-batches") {
+    implicit val sctx = spark.sqlContext
+    case class Replayed(event_id: Long, ts: Timestamp, value: Double)
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "value")
+    val q = Events.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      stream.addData((1L, t, 1.0), (2L, t, 2.0))
+      q.processAllAvailable()
+      stream.addData((2L, t, 2.0), (3L, t, 3.0)) // 2 is a replay
+      q.processAllAvailable()
+      assert(spark.table("dedup_events").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val data = Seq(
       ev("2024-01-01 10:00:00", "click", 1.0),
