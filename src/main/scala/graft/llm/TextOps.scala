@@ -446,8 +446,65 @@ object TextOps {
             ORDER BY doc_id, rank""")
   )
 
+  /** Concat-and-chunk sequence packing (the GPT-training layout: the
+    * corpus is one token stream cut into fixed-size bins): each document,
+    * in doc_id order, gets its stream start position; bin id and offset
+    * are pure arithmetic on that prefix sum.
+    *
+    * The prefix sum is computed SCALABLY — not with one global
+    * unpartitioned window (a single-reducer sort at 100 TB) but with the
+    * classic two-level scan: (1) per-chunk token totals (chunk = coarse
+    * doc_id range, a few thousand docs each), (2) a global window over
+    * the TINY chunk-totals table (row count = chunk count, bounded by
+    * corpus size / chunk span, not by document count) yields each chunk's
+    * stream offset, (3) broadcast-join the offsets back and run the
+    * intra-chunk window PARTITIONED by chunk. The oracle states the same
+    * semantics as the naive single global window. */
+  val sequencePack = QuerySpec(
+    "sequence_pack",
+    (s, d) => {
+      val binTokens = 2048L
+      val chunkSpan = 1000L
+      val toks = documents(s, d).select(col("doc_id"),
+        size(tokens).cast("long").as("n_tokens"),
+        expr(s"doc_id div $chunkSpan").as("chunk"))
+      val chunkTotals = toks.groupBy("chunk")
+        .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      val wChunks = Window.orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunkOffsets = chunkTotals
+        .withColumn("chunk_offset",
+          coalesce(sum(col("chunk_tokens")).over(wChunks), lit(0L)))
+        .select("chunk", "chunk_offset")
+      val wInChunk = Window.partitionBy("chunk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(broadcast(chunkOffsets), "chunk")
+        .withColumn("start_pos", col("chunk_offset") +
+          coalesce(sum(col("n_tokens")).over(wInChunk), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+          expr(s"start_pos div $binTokens").as("bin_id"),
+          (col("start_pos") % binTokens).as("bin_offset"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            pos AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_pos
+              FROM toks)
+            SELECT doc_id, n_tokens, start_pos,
+                   start_pos // 2048 AS bin_id,
+                   start_pos % 2048 AS bin_offset
+            FROM pos ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, repetitionRatio, stratifiedSample,
-        tfidfTopk)
+        tfidfTopk, sequencePack)
 }
