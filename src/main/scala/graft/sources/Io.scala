@@ -109,15 +109,18 @@ object Io {
         _ => java.nio.file.Files.createTempDirectory("graft_fact_rt").toString)
       // source = the materialized fact (the warehouse artifact every
       // report queries) — the thing under test here is the SINK path.
-      // Cluster the shuffle by the partition column first: without it,
-      // every one of the 32 map tasks holds rows of every year and emits
-      // one file per (task × year) — 224 small files at bench scale, and
-      // at 100 TB a file-count explosion. With it, a year's rows land
-      // together and `maxRecordsPerFile` re-splits oversized years, so
-      // within-year write parallelism survives at scale.
+      // Cluster the shuffle by (partition column, content salt): year
+      // alone bounds the file count but serializes each year's write
+      // into ONE task (7 writers at bench scale); no clustering gives
+      // every map task a file per year — task×year file explosion. The
+      // 4-way salt keeps the layout (each task still writes exactly one
+      // file in exactly one year dir) while 4×-ing write parallelism;
+      // at 100 TB, size the salt so salt × years ≈ cluster cores and
+      // `maxRecordsPerFile` re-splits any still-oversized slice.
       writeFactPartitioned(
         graft.etl.StarSchema.factSalesMaterialized(s, d)
-          .repartition(col("year")), out)
+          .repartition(col("year"),
+            pmod(hash(col("order_id"), col("line_no")), lit(4))), out)
       s.read.parquet(out)
         .groupBy(asLong(col("year")).as("year"))
         .agg(
