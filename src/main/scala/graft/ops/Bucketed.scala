@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * surface (the same write-once/read-many economics as
   * `Materialize.once`, upgraded with key clustering).
   *
-  * `BucketedPlanSpec` asserts the physical property: the join subtree
-  * contains a SortMergeJoin and ZERO shuffle exchanges.
+  * PlanSpec asserts the physical property: the join subtree contains a
+  * SortMergeJoin over `Bucketed: true` scans and ZERO shuffle exchanges.
+  * (In-partition sorts remain — Spark ≥3.0 doesn't assume bucket files
+  * arrive sorted unless the legacy single-file-per-bucket ordering conf
+  * is on; the exchange, not the local sort, is the at-scale cost.)
   */
 object Bucketed {
 
@@ -83,8 +86,7 @@ object Bucketed {
   /** The exchange-free join itself, exposed for the plan assertion:
     * hint("merge") pins SortMergeJoin (the planner would otherwise
     * broadcast the bench-scale customer table and hide the bucketing),
-    * and the matching 8=8 sorted buckets make both exchanges AND both
-    * sorts unnecessary. */
+    * and the matching 8=8 buckets make both exchanges unnecessary. */
   def colocatedJoin(s: SparkSession, d: String) = {
     val (oTbl, cTbl) = tables(s, d)
     s.table(oTbl).hint("merge")

@@ -86,4 +86,55 @@ class PlanSpec extends SparkSpec {
     // "*(n)" prefixes mark WholeStageCodegen spans in the plan string
     assert(p.contains("*("), p)
   }
+
+  test("bucketed co-located join: SortMergeJoin over bucketed scans with ZERO exchanges") {
+    // the entire point of bucketBy(8): bucket i reads against bucket i —
+    // the shuffle is paid once at write time, never per query. The
+    // in-partition Sorts remain: Spark ≥3.0 won't assume bucket files
+    // are sorted (multi-file buckets are the norm at scale; the legacy
+    // single-file guarantee is behind
+    // spark.sql.legacy.bucketedTableScan.outputOrdering) — and an
+    // in-partition sort is cheap; the EXCHANGE is the scale cost.
+    val joined = ops.Bucketed.colocatedJoin(spark, sf)
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"), s"exchange under the join:\n$p")
+  }
+
+  test("salted_skew_join executes as a shuffle hash join on (key, salt)") {
+    val df = SparkEntry.queries("salted_skew_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("skew_key") && p.contains("salt"), p)
+  }
+
+  test("dq_audit scans each audited table exactly once") {
+    val df = SparkEntry.queries("dq_audit")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"expected 2 scans (customer, orders), got $scans:\n$p")
+  }
+
+  test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
+    val df = SparkEntry.queries("sequence_pack")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the partitioned intra-chunk window must exist...
+    assert(p.contains("Window") &&
+      p.contains("windowspecdefinition(chunk"), p)
+    // ...and the single-partition exchange must feed only the tiny
+    // chunk-totals aggregate, never the per-document rows: the
+    // SinglePartition subtree must contain no documents-parquet scan
+    // before the next exchange boundary
+    val idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, p)
+    val after = p.substring(idx)
+    val nextExchange = after.indexOf("Exchange hashpartitioning")
+    val globalSubtree = if (nextExchange > 0) after.substring(0, nextExchange) else after
+    assert(globalSubtree.contains("HashAggregate"),
+      s"single-partition window not over the aggregated chunk totals:\n$p")
+  }
 }
