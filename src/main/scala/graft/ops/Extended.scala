@@ -194,6 +194,30 @@ object Extended {
             FROM monthly ORDER BY month_start""")
   )
 
+  /** Left-anti join: lapsed customers — no orders since the cutoff (the
+    * NOT-EXISTS churn probe; every customer has SOME order in the
+    * testdata, so the anti join runs against the date-filtered side to
+    * produce a real survivor set). Spark plans the anti join with the
+    * same broadcast/shuffle machinery as inner joins — the filter is
+    * pushed into the orders scan, then both sides hash-partition on the
+    * key once; no NOT-IN rewrite, no nested loop. */
+  val antiJoinOrphans = QuerySpec(
+    "anti_join_orphans",
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-07-01").cast("date")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '2000-07-01')
+            ORDER BY c_custkey""")
+  )
+
   /** Exact interpolated median per nation, in cents so the R-7
     * interpolation (`a + 0.5·(b−a)` over integers) is bit-exact in both
     * engines — the only percentile where cross-engine float interpolation
@@ -222,5 +246,5 @@ object Extended {
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
-    medianByNation)
+    medianByNation, antiJoinOrphans)
 }
