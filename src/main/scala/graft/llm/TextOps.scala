@@ -503,8 +503,37 @@ object TextOps {
             FROM pos ORDER BY doc_id""")
   )
 
+  /** Overlapping-window document chunking (embedding / retrieval prep):
+    * 200-char windows at stride 150, so consecutive chunks share a
+    * 50-char overlap and no content is lost at boundaries. Pure per-row
+    * explode arithmetic — embarrassingly parallel, stays in codegen
+    * (primitive int sequence + substring, no lambda), and at 100 TB the
+    * chunk stream inherits the input's partitioning with zero shuffle. */
+  val docChunk = QuerySpec(
+    "doc_chunk",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1),
+            greatest(length(col("text")), lit(1)), lit(150))).as("start"))
+        .select(col("doc_id"),
+          expr("((start - 1) div 150) + 1").cast("long").as("chunk_id"),
+          col("start").cast("long").as("chunk_start"),
+          expr("substring(text, start, 200)").as("chunk_text"))
+        .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""SELECT doc_id,
+                   CAST((start - 1) // 150 + 1 AS BIGINT) AS chunk_id,
+                   CAST(start AS BIGINT) AS chunk_start,
+                   substr(text, start, 200) AS chunk_text,
+                   CAST(length(substr(text, start, 200)) AS BIGINT) AS chunk_len
+            FROM documents,
+                 UNNEST(generate_series(1, greatest(length(text), 1), 150)) AS t(start)
+            ORDER BY doc_id, chunk_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, repetitionRatio, stratifiedSample,
-        tfidfTopk, sequencePack)
+        tfidfTopk, sequencePack, docChunk)
 }
