@@ -156,5 +156,93 @@ object Multimodal {
                               acc + CAST(conv(substring(h, 2 * i - 1, 2), 16, 10) AS BIGINT)))""")
           .as("features"))
 
-  val all: Seq[QuerySpec] = Seq(meta, frames)
+  /** Feature extraction as an oracle-gated key: 8 byte-value bucket sums
+    * per payload (the deterministic stand-in for an embedding model; the
+    * interpreted-HOF twin is `featureStub`). Kept codegen-friendly: byte
+    * positions explode as a primitive long sequence, each byte reads via
+    * its hex pair, and ONLY (doc_id, bucket, byteval) reaches the
+    * shuffle — the payload never leaves the map stage. Empty payloads
+    * keep their 8 zero rows via the grid left-join (and dodge Spark's
+    * sequence(1,0) = DESCENDING [1,0] trap). */
+  val features = QuerySpec(
+    "multimodal_features",
+    (s, d) => {
+      val base = payloads(s, d).select(col("doc_id"),
+        hex(col("payload")).as("h"),
+        octet_length(col("payload")).cast("long").as("n"))
+      val sums = base.filter(col("n") > 0)
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(1L), col("n"))).as("i"))
+        .select(col("doc_id"), ((col("i") - 1) % 8).as("bucket"),
+          expr("CAST(conv(substring(h, CAST(2*i-1 AS INT), 2), 16, 10) AS BIGINT)")
+            .as("byteval"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("byteval")).as("feature_sum"))
+      base.select(col("doc_id"),
+          explode(sequence(lit(0L), lit(7L))).as("bucket"))
+        .join(sums, Seq("doc_id", "bucket"), "left")
+        .select(col("doc_id"), col("bucket"),
+          coalesce(col("feature_sum"), lit(0L)).as("feature_sum"))
+        .orderBy("doc_id", "bucket")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n
+              FROM documents),
+            sums AS (
+              SELECT doc_id, (i - 1) % 8 AS bucket,
+                     CAST(SUM(
+                       (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS BIGINT), 1)) - 1) * 16 +
+                       (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS BIGINT), 1)) - 1)
+                     ) AS BIGINT) AS feature_sum
+              FROM base, UNNEST(generate_series(1, n)) AS t(i)
+              WHERE n > 0
+              GROUP BY doc_id, (i - 1) % 8)
+            SELECT g.doc_id, CAST(g.bucket AS BIGINT) AS bucket,
+                   COALESCE(s.feature_sum, 0) AS feature_sum
+            FROM (SELECT b.doc_id, bk.bucket
+                  FROM base b
+                  CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS bucket) bk) g
+            LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
+            ORDER BY g.doc_id, g.bucket""")
+  )
+
+  /** Resize planning: integer aspect-preserving scale to a 256-px max
+    * dimension, never upscaling — the metadata half of a resize stage
+    * (the pixel path would sit in `decodeAll`'s mapPartitions batch next
+    * to the decoder; no codecs in this container). Pure integer milli
+    * arithmetic so both engines agree bit-for-bit. */
+  val resize = QuerySpec(
+    "multimodal_resize",
+    (s, d) =>
+      payloads(s, d)
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+        .select(col("doc_id"),
+          (col("byte_len") % 640 + 16).as("width"),
+          (col("byte_len") * 7 % 480 + 16).as("height"))
+        .withColumn("scale_milli",
+          least(lit(1000L), expr("256000 div greatest(width, height)")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("scale_milli"),
+          greatest(expr("(width * scale_milli) div 1000"), lit(1L))
+            .as("out_width"),
+          greatest(expr("(height * scale_milli) div 1000"), lit(1L))
+            .as("out_height"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, width, height, scale_milli,
+                   greatest((width * scale_milli) // 1000, 1) AS out_width,
+                   greatest((height * scale_milli) // 1000, 1) AS out_height
+            FROM (SELECT doc_id, width, height,
+                         least(1000, 256000 // greatest(width, height)) AS scale_milli
+                  FROM (SELECT doc_id,
+                               byte_len % 640 + 16 AS width,
+                               (byte_len * 7) % 480 + 16 AS height
+                        FROM (SELECT doc_id,
+                                     CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+                              FROM documents)))
+            ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(meta, frames, features, resize)
 }
