@@ -9,7 +9,7 @@ object SparkEntry {
     * the LLM-pipeline extensions. */
   def specs: Seq[QuerySpec] =
     (ops.Parity.all :+ etl.StarSchema.spec :+ etl.StarSchema.summarySpec :+
-      sources.Io.writeRoundtrip) ++
+      sources.Io.writeRoundtrip :+ sources.Io.jdbcRoundtrip) ++
       ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
       report.Analytics.all ++
       llm.TextOps.all ++ llm.Dedup.all ++ llm.Similarity.all ++

@@ -101,6 +101,49 @@ object Io {
   private val sinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** S1's row-store half under the driver gate: the reference reads its
+    * warehouse straight from SQLite (loadAnalyticsDB.R:537-538). Here the
+    * nation dim is pushed through `df.write.jdbc` into embedded Derby
+    * (the one JDBC engine shipped in Spark's jars dir — JdbcSpec covers
+    * the unit-level contract) and read back with a PARTITIONED range
+    * scan: 4 concurrent cursors over the key range, the scale shape for
+    * row-store extraction, vs the reference's single serial cursor. The
+    * oracle recomputes from the parquet source, so a type-mapping or
+    * range-split bug anywhere in the JDBC write/read path breaks the
+    * hash. Derby types round-trip as BIGINT/VARCHAR→LongType/StringType. */
+  private val jdbcDbs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val jdbcRoundtrip = QuerySpec(
+    "jdbc_dim_roundtrip",
+    (s, d) => {
+      val db = jdbcDbs.computeIfAbsent(
+        s.sparkContext.applicationId + "|" + d,
+        _ => {
+          val dir = java.nio.file.Files.createTempDirectory("graft_derby")
+          // keep Derby's log file out of the process working directory
+          System.setProperty("derby.stream.error.file",
+            dir.resolve("derby.log").toString)
+          dir.resolve("db").toString
+        })
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      s.read.parquet(s"$d/nation.parquet")
+        .select(asLong(col("n_nationkey")).as("nation_key"),
+          col("n_name").as("nation_name"),
+          asLong(col("n_regionkey")).as("region_key"))
+        .write.mode(SaveMode.Overwrite).jdbc(url, "dim_nation", props)
+      s.read.jdbc(url, "dim_nation", "nation_key", 0L, 25L, 4, props)
+        .select(col("nation_key"), col("nation_name"), col("region_key"))
+        .orderBy("nation_key")
+    },
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+                   n_name AS nation_name,
+                   CAST(n_regionkey AS BIGINT) AS region_key
+            FROM nation ORDER BY nation_key""")
+  )
+
   val writeRoundtrip = QuerySpec(
     "fact_write_roundtrip",
     (s, d) => {
