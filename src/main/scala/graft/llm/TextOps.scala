@@ -532,8 +532,83 @@ object TextOps {
             ORDER BY doc_id, chunk_id""")
   )
 
+  /** PII redaction — the action stage behind pii_detect's gate: emails,
+    * URLs and long digit runs rewritten to typed placeholder tokens.
+    * Replacements apply in a FIXED order (email → url → digit-run) so
+    * overlapping matches (an email inside a URL path) resolve identically
+    * in both engines; the per-kind counts are surface counts on the raw
+    * text (pii_detect semantics), deliberately order-independent. Same
+    * per-document codegen'd shape as the rest of the family — redaction
+    * adds zero shuffles over the detect pass. */
+  val piiRedact = QuerySpec(
+    "pii_redact",
+    (s, d) => {
+      // function API, NOT expr(): Spark's SQL parser would unescape the
+      // string literal and change the regex (see pii_detect)
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val digits = "[0-9]{7,}"
+      def cnt(p: String) =
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+      documents(s, d)
+        .select(col("doc_id"),
+          cnt(email).as("email_cnt"),
+          cnt(url).as("url_cnt"),
+          cnt(digits).as("digit_run_cnt"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              url, "<URL>"),
+            digits, "<NUM>").as("redacted"))
+        .withColumn("redacted_len", length(col("redacted")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_cnt,
+                   len(regexp_extract_all(text, 'https?://[^ ]+')) AS url_cnt,
+                   len(regexp_extract_all(text, '[0-9]{7,}')) AS digit_run_cnt,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'),
+                     '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+                   CAST(length(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'),
+                     '[0-9]{7,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Canonical text normalization — the first map stage of every dedup /
+    * quality pipeline: lowercase, collapse whitespace runs to single
+    * spaces, trim. The whitespace class is spelled explicitly
+    * (`[ \t\n\r\f]`) because Java's `\s` includes vertical tab while
+    * RE2's does not — the one-char divergence that would silently fork
+    * the engines. Emits the md5 of the normalized form so the gate
+    * checks the full content without shipping it twice. */
+  val textNormalize = QuerySpec(
+    "text_normalize",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("raw_len"),
+          trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " "))
+            .as("norm"))
+        .select(col("doc_id"), col("raw_len"),
+          length(col("norm")).cast("long").as("norm_len"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+                   CAST(length(norm) AS BIGINT) AS norm_len,
+                   md5(norm) AS norm_md5
+            FROM (SELECT doc_id, text,
+                         trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS norm
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
-        sampleSplit, piiDetect, repetitionRatio, stratifiedSample,
-        tfidfTopk, sequencePack, docChunk)
+        sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
+        stratifiedSample, tfidfTopk, sequencePack, docChunk)
 }

@@ -243,8 +243,95 @@ object Extended {
             GROUP BY 1 ORDER BY nation""")
   )
 
+  /** Decile banding over order value — the percentile-bucket profile a
+    * feature-engineering pass computes before binning a numeric column.
+    * ntile is SQL-standard in both engines (leading buckets absorb the
+    * remainder) and the window ORDER BY carries the unique o_orderkey
+    * tiebreak so bucket boundaries are deterministic, not hash-order
+    * lottery. The global-sort window is the exact-semantics contract;
+    * at 100 TB the same banding comes from approx percentile cuts +
+    * range partitioning, trading exact boundary placement for a
+    * sort-free plan. */
+  val ntileDeciles = QuerySpec(
+    "ntile_deciles",
+    (s, d) =>
+      orders(s, d)
+        .select((money(col("o_totalprice")) * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("cents"), col("o_orderkey")))
+            .cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("order_cnt"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("decile"),
+    Some("""SELECT decile, count(*) AS order_cnt, min(cents) AS min_cents,
+                   max(cents) AS max_cents,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT cents,
+                         CAST(ntile(10) OVER (ORDER BY cents NULLS FIRST,
+                                              o_orderkey NULLS FIRST)
+                              AS BIGINT) AS decile
+                  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) AS cents, o_orderkey
+                        FROM orders))
+            GROUP BY decile ORDER BY decile""")
+  )
+
+  /** Per-nation 2-sigma outlier counts over customer balances, computed
+    * EXACTLY in integer space: |x − S/n| > 2·s is evaluated as
+    * (n−1)·(n·x − S)² > 4·n·(n·Q − S²) (S = Σx, Q = Σx², sample
+    * variance) so neither engine ever touches a float — the square-root
+    * and the division are both algebraically eliminated. Intermediates
+    * ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): bounded by
+    * n²·max(x)² ≈ 10²⁹ at a 600k-customer nation, well inside both.
+    * Plan shape: one partial-agg shuffle for the 25-row stats frame,
+    * broadcast back over the scan — two passes, zero sorts. */
+  val zscoreOutliers = QuerySpec(
+    "zscore_outliers",
+    (s, d) => {
+      val cust = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          (money(col("c_acctbal")) * 100).cast("long").as("cents"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val stats = cust.groupBy("nation").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(dec(col("cents")) * col("cents")).as("q"))
+      cust.join(broadcast(stats), "nation")
+        .withColumn("dev", dec(col("n")) * col("cents") - dec(col("s")))
+        .withColumn("is_out",
+          (dec(col("n") - 1) * col("dev") * col("dev") >
+            dec(lit(4)) * dec(col("n")) *
+              (dec(col("n")) * col("q") - dec(col("s")) * col("s")))
+            .cast("long"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_custs"), sum(col("is_out")).as("outlier_cnt"))
+        .orderBy("nation")
+    },
+    Some("""WITH cust AS (
+              SELECT n_name AS nation,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM customer JOIN nation ON c_nationkey = n_nationkey),
+            st AS (
+              SELECT nation, count(*) AS n,
+                     CAST(SUM(cents) AS HUGEINT) AS s,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS q
+              FROM cust GROUP BY nation)
+            SELECT c.nation, count(*) AS n_custs,
+                   CAST(SUM(CASE WHEN (n - 1) * (n * CAST(cents AS HUGEINT) - s)
+                                      * (n * CAST(cents AS HUGEINT) - s)
+                                 > 4 * n * (n * q - s * s)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS outlier_cnt
+            FROM cust c JOIN st ON c.nation = st.nation
+            GROUP BY c.nation ORDER BY c.nation""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
-    medianByNation, antiJoinOrphans)
+    medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers)
 }
