@@ -315,7 +315,93 @@ object Similarity {
             WHERE rank <= 3 ORDER BY qid, rank""")
   )
 
+  /** k-means (Lloyd) over embeddings: 2 fixed iterations, k = 8, seeds =
+    * the 8 smallest vec_ids — everything deterministic, everything exact
+    * integer math in the shared quantized space (squared L2 over milli
+    * components; centroid update is `sum div count`, the
+    * embedding_centroids idiom). Assignment ties break to the smallest
+    * cluster id via the same min_by-over-struct hash aggregate ann_ivf
+    * uses for argmax — no per-vector sort anywhere. Distances are
+    * computed over the dims the vector and centroid share (inner join on
+    * dim), so short/degenerate vectors stay defined; empty vectors carry
+    * no components and drop out, exactly as in ann_ivf.
+    *
+    * Scale shape per iteration: centroids are k×64 rows → broadcast;
+    * the only shuffles are the (vec_id, cluster) partial-agg for
+    * distances and the (cluster, dim) partial-agg for the update — both
+    * map-side combined, both keyed fine-grained enough to never skew.
+    * A production loop runs the same two stages to convergence with the
+    * assignment checkpointed per round (the dedup_clusters pattern). */
+  val kmeansLloyd = QuerySpec(
+    "kmeans_lloyd",
+    (s, d) => {
+      val comp = quantComponents(embeddings(s, d)).select("vec_id", "dim", "q")
+      val cent0 = comp.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
+      def assign(cent: DataFrame): DataFrame =
+        comp.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("cluster"))
+          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+          .groupBy("vec_id")
+          .agg(min_by(col("cluster"), struct(col("d2"), col("cluster")))
+            .as("cluster"))
+      def update(a: DataFrame): DataFrame =
+        comp.join(a, "vec_id")
+          .groupBy("cluster", "dim")
+          .agg(expr("sum(q) div count(1)").as("c"))
+      val a2 = assign(update(assign(cent0)))
+      val cent2 = update(a2)
+      a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .join(cent2.groupBy("cluster")
+          .agg(sum(abs(col("c"))).as("centroid_l1_milli")), "cluster")
+        .select(col("cluster").cast("long").as("cluster"),
+          col("n_members"), col("centroid_l1_milli"))
+        .orderBy("cluster")
+    },
+    Some("""WITH comp AS (
+              SELECT vec_id, i AS dim,
+                     CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+            cent0 AS (
+              SELECT vec_id AS cluster, dim, q AS c FROM comp WHERE vec_id < 8),
+            s1 AS (
+              SELECT comp.vec_id, cluster, SUM((q - c) * (q - c)) AS d2
+              FROM comp JOIN cent0 ON comp.dim = cent0.dim
+              GROUP BY comp.vec_id, cluster),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS rn
+                FROM s1) WHERE rn = 1),
+            cent1 AS (
+              SELECT cluster, dim, CAST(SUM(q) AS BIGINT) // count(*) AS c
+              FROM comp JOIN a1 ON comp.vec_id = a1.vec_id
+              GROUP BY cluster, dim),
+            s2 AS (
+              SELECT comp.vec_id, cluster, SUM((q - c) * (q - c)) AS d2
+              FROM comp JOIN cent1 ON comp.dim = cent1.dim
+              GROUP BY comp.vec_id, cluster),
+            a2 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS rn
+                FROM s2) WHERE rn = 1),
+            cent2 AS (
+              SELECT cluster, dim, CAST(SUM(q) AS BIGINT) // count(*) AS c
+              FROM comp JOIN a2 ON comp.vec_id = a2.vec_id
+              GROUP BY cluster, dim)
+            SELECT CAST(m.cluster AS BIGINT) AS cluster, m.n_members,
+                   CAST(l.centroid_l1_milli AS BIGINT) AS centroid_l1_milli
+            FROM (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster) m
+            JOIN (SELECT cluster, SUM(ABS(c)) AS centroid_l1_milli
+                  FROM cent2 GROUP BY cluster) l
+              ON m.cluster = l.cluster
+            ORDER BY cluster""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, embeddingCentroids,
-        annIvf)
+        annIvf, kmeansLloyd)
 }

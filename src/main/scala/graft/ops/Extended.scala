@@ -169,7 +169,13 @@ object Extended {
   val windowMomDelta = QuerySpec(
     "window_mom_delta",
     (s, d) => {
+      // dateless orders have no month to land in — and a NULL window key
+      // is also a portability trap: DuckDB's parallel window evaluation
+      // was observed intermittently ignoring an explicit NULLS FIRST
+      // inside LAG's ORDER BY, so the contract here is date-bearing rows
+      // only (mirrored in the oracle's WHERE)
       val monthly = orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
         .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
         .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
              count(lit(1)).as("order_cnt"))
@@ -186,12 +192,12 @@ object Extended {
               SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
                      count(*) AS order_cnt
-              FROM orders GROUP BY 1)
+              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
             SELECT month_start, revenue_cents, order_cnt,
-                   LAG(revenue_cents) OVER (ORDER BY month_start) AS prev_cents,
-                   revenue_cents - LAG(revenue_cents) OVER (ORDER BY month_start) AS delta_cents,
-                   CAST(NTILE(4) OVER (ORDER BY revenue_cents DESC, month_start) AS BIGINT) AS rev_quartile
-            FROM monthly ORDER BY month_start""")
+                   LAG(revenue_cents) OVER (ORDER BY month_start NULLS FIRST) AS prev_cents,
+                   revenue_cents - LAG(revenue_cents) OVER (ORDER BY month_start NULLS FIRST) AS delta_cents,
+                   CAST(NTILE(4) OVER (ORDER BY revenue_cents DESC, month_start NULLS FIRST) AS BIGINT) AS rev_quartile
+            FROM monthly ORDER BY month_start NULLS FIRST""")
   )
 
   /** Left-anti join: lapsed customers — no orders since the cutoff (the

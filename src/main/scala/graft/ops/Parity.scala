@@ -565,7 +565,7 @@ object Parity {
           asLong(row_number().over(Window.orderBy("n_name"))).as("nation_key"),
           col("n_name").as("nation"))
         .orderBy("nation_key"),
-    Some("""SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS nation_key,
+    Some("""SELECT ROW_NUMBER() OVER (ORDER BY n_name NULLS FIRST) AS nation_key,
                    n_name AS nation
             FROM nation ORDER BY nation_key""")
   )
