@@ -336,8 +336,117 @@ object Extended {
             GROUP BY c.nation ORDER BY c.nation""")
   )
 
+  /** Exact sufficient statistics for correlation / OLS regression of
+    * order value against line count, per order-priority group: n, Σx,
+    * Σy, Σxy, Σx², Σy² in integer cents — everything downstream
+    * (Pearson r, slope, intercept, R²) is a driver-side scalar formula
+    * over these six numbers. This is THE distributed-ML aggregation
+    * shape: one map-side-combinable pass, no floats until the final
+    * scalar math, so a 100 TB fit costs exactly one shuffle of 6 longs
+    * per group. DECIMAL(38,0)/HUGEINT keep Σxy and Σx² exact. */
+  val regressionMoments = QuerySpec(
+    "regression_moments",
+    (s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val li = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("x"))
+      orders(s, d)
+        .join(li, col("o_orderkey") === col("key"))
+        .select(col("o_orderpriority").as("priority"), col("x"),
+          (money(col("o_totalprice")) * 100).cast("long").as("y"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"),
+          sum(dec(col("x")) * col("y")).cast("decimal(38,0)").as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(dec(col("y")) * col("y")).cast("decimal(38,0)").as("sum_y2"))
+        .select(col("priority"), col("n"), col("sum_x"), col("sum_y"),
+          col("sum_xy").cast("string").as("sum_xy"),
+          col("sum_x2"),
+          col("sum_y2").cast("string").as("sum_y2"))
+        .orderBy("priority")
+    },
+    Some("""WITH li AS (
+              SELECT l_orderkey AS key, count(*) AS x
+              FROM lineitem GROUP BY 1),
+            j AS (
+              SELECT o_orderpriority AS priority, x,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+              FROM orders JOIN li ON o_orderkey = key)
+            SELECT priority, count(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS sum_y2
+            FROM j GROUP BY priority ORDER BY priority NULLS FIRST""")
+  )
+
+  /** Fixed-width histogram of customer balances: 20 × $1000 bins with
+    * clamped tails — the feature-distribution profile a data-quality
+    * pass draws before choosing normalization. Bin id is pure integer
+    * arithmetic on cents (floor division clamps identically in both
+    * engines); one map-side-combinable group-by, no sort until the
+    * 20-row result. */
+  val histogramBins = QuerySpec(
+    "histogram_bins",
+    (s, d) =>
+      customer(s, d)
+        .filter(col("c_acctbal").isNotNull)
+        .select((money(col("c_acctbal")) * 100).cast("long").as("cents"))
+        // clamp-then-divide: negatives hit bin 0 before any division, so
+        // floor-vs-truncate semantics can never diverge between engines
+        .select(least(expr("greatest(cents, 0L) div 100000"), lit(19L))
+          .as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bin"),
+    Some("""SELECT bin, count(*) AS cnt FROM (
+              SELECT least(greatest(
+                       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+                       0) // 100000, 19) AS bin
+              FROM customer WHERE c_acctbal IS NOT NULL)
+            GROUP BY bin ORDER BY bin""")
+  )
+
+  /** Per-group top-k: the 3 highest-value orders per market segment via
+    * a partitioned row_number — the grouped cousin of the global
+    * TakeOrderedAndProject (topk_orderby_limit). Partitioning bounds the
+    * sort to each segment's rows; at 100 TB the standard refinement is a
+    * per-partition partial top-k before the shuffle so only k rows per
+    * map task move. Ties break on the unique order key. */
+  val topkPerGroup = QuerySpec(
+    "topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("segment")
+        .orderBy(col("cents").desc, col("o_orderkey"))
+      orders(s, d)
+        .join(broadcast(customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("segment"), col("o_orderkey"),
+          (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("segment", "rank", "o_orderkey", "cents")
+        .orderBy("segment", "rank")
+    },
+    Some("""SELECT segment, rank, o_orderkey, cents FROM (
+              SELECT c_mktsegment AS segment, o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                DESC, o_orderkey) AS BIGINT) AS rank
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            WHERE rank <= 3 ORDER BY segment NULLS FIRST, rank""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
-    medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers)
+    medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
+    regressionMoments, histogramBins, topkPerGroup)
 }
