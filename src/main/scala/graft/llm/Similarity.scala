@@ -335,7 +335,14 @@ object Similarity {
   val kmeansLloyd = QuerySpec(
     "kmeans_lloyd",
     (s, d) => {
+      // the component table feeds every stage (6 scans in the naive
+      // plan); a LAZY local checkpoint collapses them to one compute —
+      // safe here because the query is a single action (the lazy-
+      // checkpoint-under-AQE re-plan trap only bites iterative actions).
+      // Downstream joins against it carry explicit broadcast hints, so
+      // the checkpoint's unknown stats can't flip a build side.
       val comp = quantComponents(embeddings(s, d)).select("vec_id", "dim", "q")
+        .localCheckpoint(false)
       val cent0 = comp.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
       def assign(cent: DataFrame): DataFrame =
@@ -349,7 +356,10 @@ object Similarity {
         comp.join(a, "vec_id")
           .groupBy("cluster", "dim")
           .agg(expr("sum(q) div count(1)").as("c"))
-      val a2 = assign(update(assign(cent0)))
+      // a2 feeds both output branches (sizes + centroid recompute):
+      // checkpoint so the whole two-iteration pipeline runs once, not
+      // twice under the final join
+      val a2 = assign(update(assign(cent0))).localCheckpoint(false)
       val cent2 = update(a2)
       a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
         .join(cent2.groupBy("cluster")
