@@ -11,6 +11,7 @@ object SparkEntry {
     (ops.Parity.all :+ etl.StarSchema.spec :+ etl.StarSchema.summarySpec :+
       sources.Io.writeRoundtrip :+ sources.Io.jdbcRoundtrip) ++
       ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
+      ops.Graph.all ++
       report.Analytics.all ++
       llm.TextOps.all ++ llm.Dedup.all ++ llm.Similarity.all ++
       llm.Multimodal.all

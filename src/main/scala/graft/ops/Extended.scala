@@ -444,9 +444,108 @@ object Extended {
             WHERE rank <= 3 ORDER BY segment NULLS FIRST, rank""")
   )
 
+  /** Exact per-group quartiles by POSITIONAL SELECTION: row_number over
+    * the partition-sorted values, pick indices ((n−1)·k) div 4 (the
+    * lower-quantile definition) via conditional max — output stays in
+    * integer cents, so the DECIMAL(18,x) interpolation hazard that
+    * median_by_nation dodges by luck (x.0/x.5 renders stably) never
+    * arises at .25/.75 quantiles. Tied values at the pick index agree
+    * between engines regardless of tiebreak: the sorted multiset has one
+    * value per position. One partitioned sort + one 25-row stats
+    * broadcast — no global sort, no interpolation. */
+  val quartilesExact = QuerySpec(
+    "quartiles_exact",
+    (s, d) => {
+      val src = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_totalprice").isNotNull)
+        .select(col("n_name").as("nation"),
+          (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val stats = src.groupBy("nation").agg(count(lit(1)).as("n"))
+      src
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("nation").orderBy("cents")).cast("long"))
+        .join(broadcast(stats), "nation")
+        .groupBy("nation")
+        .agg(max(col("n")).as("order_cnt"),
+          max(when(col("rn") === expr("((n-1) * 1) div 4 + 1"), col("cents")))
+            .as("p25_cents"),
+          max(when(col("rn") === expr("((n-1) * 2) div 4 + 1"), col("cents")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("((n-1) * 3) div 4 + 1"), col("cents")))
+            .as("p75_cents"))
+        .orderBy("nation")
+    },
+    Some("""WITH src AS (
+              SELECT n_name AS nation,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE o_totalprice IS NOT NULL),
+            st AS (SELECT nation, count(*) AS n FROM src GROUP BY 1),
+            r AS (
+              SELECT nation, cents,
+                     ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents) AS rn
+              FROM src)
+            SELECT r.nation, max(n) AS order_cnt,
+                   max(CASE WHEN rn = ((n-1) * 1) // 4 + 1 THEN cents END) AS p25_cents,
+                   max(CASE WHEN rn = ((n-1) * 2) // 4 + 1 THEN cents END) AS p50_cents,
+                   max(CASE WHEN rn = ((n-1) * 3) // 4 + 1 THEN cents END) AS p75_cents
+            FROM r JOIN st ON r.nation = st.nation
+            GROUP BY r.nation ORDER BY r.nation""")
+  )
+
+  /** Ordered-step funnel over the event stream: users reaching
+    * view → click-after-view → purchase-after-that-click. All step
+    * comparisons run on µs-integer event time (`unix_micros` /
+    * `epoch_ns // 1000`) — timestamps never surface, so cross-engine
+    * rendering can't touch the hash. Each step is one filtered
+    * aggregation joined to the previous frontier: three
+    * map-side-combined shuffles total, state bounded by |users|, the
+    * standard funnel shape at any scale. */
+  val eventFunnel = QuerySpec(
+    "event_funnel",
+    (s, d) => {
+      val e = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("m"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("m")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("m") >= col("t1"))
+        .groupBy("user_id").agg(min(col("m")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("m") >= col("t2"))
+        .groupBy("user_id").agg(min(col("m")).as("t3"))
+      def cnt(df: org.apache.spark.sql.DataFrame, step: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(step).as("step"), col("users"))
+      cnt(t1, "1_view").union(cnt(t2, "2_click"))
+        .union(cnt(t3, "3_purchase"))
+        .orderBy("step")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, epoch_ns(ts) // 1000 AS m
+              FROM events),
+            t1 AS (SELECT user_id, min(m) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(m) AS t2
+                   FROM e JOIN t1 USING (user_id)
+                   WHERE event_type = 'click' AND m >= t1.t1 GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(m) AS t3
+                   FROM e JOIN t2 USING (user_id)
+                   WHERE event_type = 'purchase' AND m >= t2.t2 GROUP BY 1)
+            SELECT '1_view' AS step, count(*) AS users FROM t1
+            UNION ALL SELECT '2_click', count(*) FROM t2
+            UNION ALL SELECT '3_purchase', count(*) FROM t3
+            ORDER BY step""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
-    regressionMoments, histogramBins, topkPerGroup)
+    regressionMoments, histogramBins, topkPerGroup, quartilesExact,
+    eventFunnel)
 }
