@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Semantic-quality checks for the statistics/graph operators — the
+  * oracle gate proves Spark≡DuckDB, these prove the operators compute
+  * the RIGHT thing (planted ground truth, closed-form fixed points,
+  * invariants). */
+class StatsGraphSpec extends SparkSpec {
+
+  test("graph_pagerank: a regular graph is a fixed point at 1000 milli") {
+    // every region in the testdata has 5 nations → the graph is
+    // 4-regular per component; share = 1000/4 = 250, inflow = 4·250 →
+    // r' = 150 + 850·1000 div 1000 = 1000 exactly, every round
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getAs[Long]("rank_milli") == 1000L), rows.mkString(","))
+    assert(rows.forall(_.getAs[Long]("outdeg") == 4L))
+  }
+
+  test("event_funnel: step counts are monotonically non-increasing") {
+    val m = SparkEntry.queries("event_funnel")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("users")).toMap
+    assert(m("1_view") >= m("2_click") && m("2_click") >= m("3_purchase"), m)
+    assert(m("1_view") > 0)
+  }
+
+  test("quartiles_exact: ordered and drawn from the group's own values") {
+    val rows = SparkEntry.queries("quartiles_exact")(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Long]("p25_cents"),
+        r.getAs[Long]("p50_cents"), r.getAs[Long]("p75_cents"))
+      assert(p25 <= p50 && p50 <= p75, r.toString)
+    }
+    // exactness: each quartile IS the element at its lower-quantile
+    // position of the independently sorted group values
+    val groups = spark.sql(
+      s"""SELECT n_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM parquet.`$sf/orders.parquet` o
+          JOIN parquet.`$sf/customer.parquet` c ON o_custkey = c_custkey
+          JOIN parquet.`$sf/nation.parquet` n ON c_nationkey = n_nationkey""")
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    rows.foreach { r =>
+      val vs = groups(r.getString(0))
+      def pos(k: Int) = vs((vs.length - 1) * k / 4)
+      assert(r.getAs[Long]("p25_cents") == pos(1), r.toString)
+      assert(r.getAs[Long]("p50_cents") == pos(2), r.toString)
+      assert(r.getAs[Long]("p75_cents") == pos(3), r.toString)
+    }
+  }
+
+  test("zscore_outliers: flags exactly the planted outlier") {
+    val dir = Files.createTempDirectory("graft_zscore").toString
+    // nation table: 2 nations
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(0, "AAA", 0), Row(1, "BBB", 0)),
+      StructType(Seq(StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    // AAA: 40 tight values + one huge spike; BBB: uniform → no outliers
+    val aaa = (1 to 40).map(i => Row(i, s"c$i", 0, 100.0 + (i % 5))) :+
+      Row(41, "spike", 0, 100000.0)
+    val bbb = (50 to 60).map(i => Row(i, s"c$i", 1, 500.0))
+    spark.createDataFrame(
+      java.util.Arrays.asList((aaa ++ bbb): _*),
+      StructType(Seq(StructField("c_custkey", IntegerType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType))))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("zscore_outliers")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_custs"), r.getAs[Long]("outlier_cnt"))).toMap
+    assert(out("AAA") == ((41L, 1L)), out)
+    assert(out("BBB") == ((11L, 0L)), out)
+  }
+
+  test("kmeans_lloyd: a planted far cluster consolidates on its seed") {
+    val dir = Files.createTempDirectory("graft_km").toString
+    def vec(base: Float, jitter: Float): Seq[Float] =
+      Seq.fill(8)(base).zipWithIndex.map { case (v, i) => v + jitter * i }
+    // seeds 0..6 sit near (+10); seed 7 is the lone (−10) seed; vectors
+    // 8..19 are all near (−10) → Lloyd must gather every far vector
+    // into seed 7's cluster while the near group stays on seeds 0..6
+    val rows = (0 to 6).map(i => Row(i.toLong, vec(10f, 0.01f * i), 0)) ++
+      Seq(Row(7L, vec(-10f, 0f), 1)) ++
+      (8 to 19).map(i => Row(i.toLong, vec(-10f, 0.01f * (i - 8)), 1))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("kmeans_lloyd")(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_members")).toMap
+    assert(out(7L) == 13L, s"far cluster did not consolidate: $out")
+    assert(out.values.sum == 20L, out)
+  }
+}
