@@ -607,8 +607,40 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** Character-trigram familiarity: the mean corpus frequency of a
+    * document's trigram occurrences — the integer-exact stand-in for a
+    * character-LM perplexity filter (LOW familiarity = text unlike the
+    * corpus: wrong language, encoding garbage, machine noise). The
+    * corpus model is just the trigram count table; scoring is one
+    * shuffle join on the trigram string + a per-doc average. The count
+    * table is corpus-derived and therefore NEVER broadcast (the
+    * ngram_jaccard lesson); at 100 TB it gets bucketed by trigram and
+    * reused across scoring runs. */
+  val trigramFamiliarity = QuerySpec(
+    "trigram_familiarity",
+    (s, d) => {
+      val tri = shingleRows(documents(s, d), 3)
+      val counts = tri.groupBy("s").agg(count(lit(1)).as("c"))
+      tri.join(counts, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          expr("sum(c) div count(1)").as("familiarity"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tri AS (
+              SELECT doc_id, substr(text, i, 3) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-2, 1))) AS t(i)),
+            counts AS (SELECT s, count(*) AS c FROM tri GROUP BY s)
+            SELECT doc_id, count(*) AS n_trigrams,
+                   CAST(CAST(SUM(c) AS BIGINT) // count(*) AS BIGINT) AS familiarity
+            FROM tri JOIN counts USING (s)
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
-        stratifiedSample, tfidfTopk, sequencePack, docChunk)
+        stratifiedSample, tfidfTopk, sequencePack, docChunk,
+        trigramFamiliarity)
 }
