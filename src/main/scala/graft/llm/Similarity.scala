@@ -343,7 +343,11 @@ object Similarity {
       // the checkpoint's unknown stats can't flip a build side.
       val comp = quantComponents(embeddings(s, d)).select("vec_id", "dim", "q")
         .localCheckpoint(false)
-      val cent0 = comp.filter(col("vec_id") < 8)
+      // seeds = the 8 smallest ids among NON-EMPTY vectors (not a dense
+      // `< 8` assumption — a filtered corpus slice whose ids start at
+      // 1000 must still get k = 8)
+      val seeds = comp.select("vec_id").distinct().orderBy("vec_id").limit(8)
+      val cent0 = comp.join(broadcast(seeds), "vec_id")
         .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
       def assign(cent: DataFrame): DataFrame =
         comp.join(broadcast(cent), Seq("dim"))
@@ -373,7 +377,9 @@ object Similarity {
                      CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
               FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
             cent0 AS (
-              SELECT vec_id AS cluster, dim, q AS c FROM comp WHERE vec_id < 8),
+              SELECT vec_id AS cluster, dim, q AS c FROM comp
+              WHERE vec_id IN (SELECT DISTINCT vec_id FROM comp
+                               ORDER BY vec_id LIMIT 8)),
             s1 AS (
               SELECT comp.vec_id, cluster, SUM((q - c) * (q - c)) AS d2
               FROM comp JOIN cent0 ON comp.dim = cent0.dim

@@ -37,9 +37,12 @@ object Bucketed {
   // (a leftover non-empty dir would fail the next run's CREATE TABLE)
   private def rm(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(dir))
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverseIterator
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   private val cleanup = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
@@ -55,19 +58,28 @@ object Bucketed {
     val key = s.sparkContext.applicationId + "|" + d
     var v = made.get(key)
     if (v == null) {
-      // table identifiers must be [a-z0-9_]; key carries '|', '-', '/'
-      val tag = java.lang.Long.toHexString(
-        key.map(_.toLong).sum * 1000003L + key.length)
+      // table identifiers must be [a-z0-9_]; key carries '|', '-', '/'.
+      // md5, not a char sum: a positional hash can't collide on
+      // reordered/anagram keys (two data dirs must never share tables)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val oTbl = s"graft_orders_bkt_$tag"
       val cTbl = s"graft_customer_bkt_$tag"
-      // sweep stale dirs from crashed previous runs before creating
+      // sweep stale dirs from crashed previous runs before creating —
+      // but never a dir some OTHER (appId, dataDir) key in this JVM is
+      // still serving
+      import scala.jdk.CollectionConverters._
+      val live = made.values.asScala.flatMap(t => Seq(t._1, t._2)).toSet
       val wh = warehousePath(s)
-      if (java.nio.file.Files.exists(wh))
-        java.nio.file.Files.list(wh).forEach { p =>
+      if (java.nio.file.Files.exists(wh)) {
+        val ls = java.nio.file.Files.list(wh)
+        try ls.forEach { p =>
           val n = p.getFileName.toString
-          if (n.startsWith("graft_orders_bkt_") ||
-              n.startsWith("graft_customer_bkt_")) rm(p)
+          if ((n.startsWith("graft_orders_bkt_") ||
+               n.startsWith("graft_customer_bkt_")) && !live.contains(n)) rm(p)
         }
+        finally ls.close()
+      }
       orders(s, d).repartition(8, col("o_custkey"))
         .write.mode(SaveMode.Overwrite)
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -107,7 +119,7 @@ object Bucketed {
                    count(*) AS order_cnt,
                    COUNT(DISTINCT o_custkey) AS n_customers
             FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY 1 ORDER BY segment""")
+            GROUP BY 1 ORDER BY segment NULLS FIRST""")
   )
 
   val all: Seq[QuerySpec] = Seq(bucketedJoin)

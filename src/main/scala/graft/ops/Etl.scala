@@ -241,7 +241,7 @@ object Etl {
             FROM lineitem
             JOIN part ON (CASE WHEN l_partkey % 4 = 0 THEN 1
                                ELSE l_partkey END) = p_partkey
-            GROUP BY 1 ORDER BY p_brand""")
+            GROUP BY 1 ORDER BY p_brand NULLS FIRST""")
   )
 
   /** Full CUBE over (segment, year) — all four grouping sets in one

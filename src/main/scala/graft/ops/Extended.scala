@@ -235,7 +235,7 @@ object Extended {
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name").as("nation"),
-          (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+          cents(col("o_totalprice")).as("cents"))
         .groupBy("nation")
         .agg(expr("percentile(cents, 0.5)").cast("decimal(18,1)").as("median_cents"),
              count(lit(1)).as("order_cnt"))
@@ -262,7 +262,7 @@ object Extended {
     "ntile_deciles",
     (s, d) =>
       orders(s, d)
-        .select((money(col("o_totalprice")) * 100).cast("long").as("cents"),
+        .select(cents(col("o_totalprice")).as("cents"),
           col("o_orderkey"))
         .withColumn("decile",
           ntile(10).over(Window.orderBy(col("cents"), col("o_orderkey")))
@@ -301,7 +301,7 @@ object Extended {
       val cust = customer(s, d)
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name").as("nation"),
-          (money(col("c_acctbal")) * 100).cast("long").as("cents"))
+          cents(col("c_acctbal")).as("cents"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val stats = cust.groupBy("nation").agg(
         count(lit(1)).as("n"),
@@ -354,7 +354,7 @@ object Extended {
       orders(s, d)
         .join(li, col("o_orderkey") === col("key"))
         .select(col("o_orderpriority").as("priority"), col("x"),
-          (money(col("o_totalprice")) * 100).cast("long").as("y"))
+          cents(col("o_totalprice")).as("y"))
         .groupBy("priority")
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sum_x"),
@@ -395,7 +395,7 @@ object Extended {
     (s, d) =>
       customer(s, d)
         .filter(col("c_acctbal").isNotNull)
-        .select((money(col("c_acctbal")) * 100).cast("long").as("cents"))
+        .select(cents(col("c_acctbal")).as("cents"))
         // clamp-then-divide: negatives hit bin 0 before any division, so
         // floor-vs-truncate semantics can never diverge between engines
         .select(least(expr("greatest(cents, 0L) div 100000"), lit(19L))
@@ -427,7 +427,7 @@ object Extended {
             .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("segment"), col("o_orderkey"),
-          (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+          cents(col("o_totalprice")).as("cents"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("segment", "rank", "o_orderkey", "cents")
@@ -461,7 +461,7 @@ object Extended {
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .filter(col("o_totalprice").isNotNull)
         .select(col("n_name").as("nation"),
-          (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+          cents(col("o_totalprice")).as("cents"))
       val stats = src.groupBy("nation").agg(count(lit(1)).as("n"))
       src
         .withColumn("rn", row_number().over(

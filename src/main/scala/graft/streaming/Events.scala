@@ -12,6 +12,13 @@ case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value_cents: Long)
   * state store serializes product encoders directly). */
 case class SessionAcc(start: Long, last: Long, cnt: Long, cents: Long)
 
+/** All of a user's not-yet-finalized sessions. More than one can be open
+  * at once: a later session may start while an earlier one is still
+  * inside the watermark's lateness allowance (a late event could still
+  * extend or bridge it), so sessions are only closed once the watermark
+  * passes their gap window. */
+case class SessionBuf(sessions: Seq[SessionAcc])
+
 /** A closed session emitted by the sessionizer. */
 case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, event_cnt: Long,
@@ -76,37 +83,43 @@ object Events {
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, UserSession](
+      .flatMapGroupsWithState[SessionBuf, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[UserEvent],
-         state: GroupState[SessionAcc]) =>
+         state: GroupState[SessionBuf]) =>
           def close(a: SessionAcc) = UserSession(uid,
             new java.sql.Timestamp(a.start), new java.sql.Timestamp(a.last),
             a.cnt, a.cents)
-          if (evs.isEmpty) {
-            // timeout fired: the open session's gap elapsed → emit it
-            val out = state.getOption.map(close).toList
-            state.remove()
-            out.iterator
-          } else {
-            // micro-batch arrival order is not event-time order — sort the
-            // batch before folding (bounded by the batch, not the stream)
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            var acc = state.getOption.orNull
-            val closed = List.newBuilder[UserSession]
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              if (acc == null) acc = SessionAcc(t, t, 1L, e.value_cents)
-              else if (t - acc.last > gapMs) {
-                closed += close(acc)
-                acc = SessionAcc(t, t, 1L, e.value_cents)
-              } else acc = SessionAcc(acc.start, math.max(acc.last, t),
-                acc.cnt + 1, acc.cents + e.value_cents)
+          // ALL not-yet-finalized sessions stay in state: a session may
+          // only be closed once the watermark passes (last + gap) —
+          // closing inline on the first out-of-gap successor would
+          // misattribute a late-but-in-watermark event that belongs to
+          // the earlier session (Spark admits such events; the 2h
+          // watermark is a promise the operator must honor)
+          var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
+            val t = e.ts.getTime
+            // merge the event with every session it bridges (it can
+            // connect two sessions whose gap it closes)
+            val (touch, rest) = sessions.partition(
+              a => t >= a.start - gapMs && t <= a.last + gapMs)
+            val merged = touch.foldLeft(SessionAcc(t, t, 1L, e.value_cents)) {
+              (m, a) => SessionAcc(math.min(m.start, a.start),
+                math.max(m.last, a.last), m.cnt + a.cnt, m.cents + a.cents)
             }
-            state.update(acc)
-            state.setTimeoutTimestamp(acc.last + gapMs)
-            closed.result().iterator
+            sessions = merged :: rest
           }
+          // finalize every session whose whole gap window is behind the
+          // watermark — nothing can change it anymore
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) = sessions.partition(_.last + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(open))
+            // earliest possible finalization of anything still open
+            state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+          }
+          done.sortBy(_.start).map(close).iterator
       }
   }
 }

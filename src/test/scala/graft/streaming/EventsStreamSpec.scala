@@ -106,7 +106,6 @@ class EventsStreamSpec extends SparkSpec {
 
   test("streaming dedup drops replayed event ids across micro-batches") {
     implicit val sctx = spark.sqlContext
-    case class Replayed(event_id: Long, ts: Timestamp, value: Double)
     val stream = MemoryStream[(Long, Timestamp, Double)]
     val df = stream.toDF().toDF("event_id", "ts", "value")
     val q = Events.dedupEvents(df)
