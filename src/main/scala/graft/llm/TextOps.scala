@@ -638,9 +638,52 @@ object TextOps {
             GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Source-mix profile: per-origin document counts and volume, where a
+    * document's origin is the DOMAIN of its first URL when it carries
+    * one (lowercased host, scheme/port/path stripped) and its `source`
+    * tag otherwise — the report a crawl-derived corpus runs before
+    * weighting or filtering by origin. The URL branch is gated on an
+    * explicit rlike/regexp_matches test (DuckDB's and Java's no-match
+    * return values differ; a boolean gate sidesteps both), and the host
+    * extraction is a capture-group-free two-step in the Java∩RE2 regex
+    * subset. Shape: per-doc projection + one count shuffle keyed by
+    * origin. */
+  val sourceMix = QuerySpec(
+    "source_mix",
+    (s, d) => {
+      val url = "https?://[^ ]+"
+      val firstUrl = regexp_extract(col("text"), url, 0)
+      val domain = regexp_replace(
+        lower(regexp_replace(firstUrl, "^https?://", "")), "[/:?#].*$", "")
+      documents(s, d)
+        .select(
+          when(col("text").rlike(url), domain)
+            .otherwise(col("source")).as("origin"),
+          length(col("text")).cast("long").as("n"))
+        .groupBy("origin")
+        .agg(count(lit(1)).as("doc_cnt"),
+          sum(col("n")).as("total_chars"),
+          expr("sum(n) div count(1)").as("mean_chars"))
+        .orderBy("origin")
+    },
+    Some("""SELECT origin, count(*) AS doc_cnt,
+                   CAST(SUM(n) AS BIGINT) AS total_chars,
+                   CAST(CAST(SUM(n) AS BIGINT) // count(*) AS BIGINT) AS mean_chars
+            FROM (SELECT CASE WHEN regexp_matches(text, 'https?://[^ ]+')
+                              THEN regexp_replace(
+                                     lower(regexp_replace(
+                                       regexp_extract(text, 'https?://[^ ]+'),
+                                       '^https?://', '')),
+                                     '[/:?#].*$', '')
+                              ELSE source END AS origin,
+                         CAST(length(text) AS BIGINT) AS n
+                  FROM documents)
+            GROUP BY origin ORDER BY origin NULLS FIRST""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
-        trigramFamiliarity)
+        trigramFamiliarity, sourceMix)
 }

@@ -542,10 +542,44 @@ object Extended {
             ORDER BY step""")
   )
 
+  /** Rolling 30-day revenue via a RANGE window frame — the time-window
+    * cousin of the ROWS-framed running totals (window_running_totals):
+    * the frame is defined by VALUE distance on an integer day key, so
+    * calendar gaps (days with no orders) still shrink the window. The
+    * day key is days-since-epoch on both sides — RANGE frames over raw
+    * dates/intervals differ subtly between engines; integers don't. */
+  val rolling30dRevenue = QuerySpec(
+    "rolling_30d_revenue",
+    (s, d) => {
+      val daily = orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(cents(col("o_totalprice"))).as("day_rev_cents"))
+        .withColumn("day_key", datediff(col("dt"), lit("1970-01-01")).cast("long"))
+      val w = Window.orderBy("day_key").rangeBetween(-29, 0)
+      daily
+        .select(col("day_key"), col("day_rev_cents"),
+          sum(col("day_rev_cents")).over(w).as("rev_30d_cents"),
+          count(lit(1)).over(w).as("active_days_30d"))
+        .orderBy("day_key")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_key,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_rev_cents
+              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+            SELECT day_key, day_rev_cents,
+                   CAST(SUM(day_rev_cents) OVER w AS BIGINT) AS rev_30d_cents,
+                   count(*) OVER w AS active_days_30d
+            FROM daily
+            WINDOW w AS (ORDER BY day_key
+                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+            ORDER BY day_key""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
     regressionMoments, histogramBins, topkPerGroup, quartilesExact,
-    eventFunnel)
+    eventFunnel, rolling30dRevenue)
 }
