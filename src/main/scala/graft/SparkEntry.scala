@@ -9,7 +9,8 @@ object SparkEntry {
     * the LLM-pipeline extensions. */
   def specs: Seq[QuerySpec] =
     (ops.Parity.all :+ etl.StarSchema.spec :+ etl.StarSchema.summarySpec :+
-      sources.Io.writeRoundtrip :+ sources.Io.jdbcRoundtrip) ++
+      sources.Io.writeRoundtrip :+ sources.Io.jdbcRoundtrip :+
+      sources.Io.orcRoundtrip :+ sources.Io.csvRoundtrip) ++
       ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
       ops.Graph.all ++
       report.Analytics.all ++

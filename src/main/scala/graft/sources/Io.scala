@@ -101,6 +101,48 @@ object Io {
   private val sinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The other two source formats under the driver gate, same pattern as
+    * the parquet/JDBC round-trips: the dim is pushed out through the
+    * engine's writer and read back through its schema-on-read path, so a
+    * serialization, header, quoting or type-mapping bug in either
+    * direction breaks the hash against the parquet-derived oracle. CSV
+    * reads with the DECLARED StructType from the model.Schemas catalog
+    * (never inferSchema — one pass saved, drift caught at read time). */
+  private val fmtDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fmtDir(s: SparkSession, which: String, d: String): String =
+    fmtDirs.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + which + "|" + d,
+      _ => java.nio.file.Files.createTempDirectory(s"graft_$which").toString)
+
+  val orcRoundtrip = QuerySpec(
+    "orc_roundtrip",
+    (s, d) => {
+      val out = fmtDir(s, "orc", d) + "/dim_location"
+      writeOrc(graft.etl.StarSchema.dimLocation(s, d), out)
+      readOrc(s, out).orderBy("location_key")
+    },
+    Some("""SELECT DISTINCT n_nationkey AS location_key,
+                   n_name AS country, r_name AS region
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY location_key""")
+  )
+
+  val csvRoundtrip = QuerySpec(
+    "csv_roundtrip",
+    (s, d) => {
+      val out = fmtDir(s, "csv", d) + "/dim_location"
+      writeCsv(graft.etl.StarSchema.dimLocation(s, d), out)
+      readCsv(s, out, graft.model.Schemas.dimLocation)
+        .orderBy("location_key")
+    },
+    Some("""SELECT DISTINCT n_nationkey AS location_key,
+                   n_name AS country, r_name AS region
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY location_key""")
+  )
+
   /** S1's row-store half under the driver gate: the reference reads its
     * warehouse straight from SQLite (loadAnalyticsDB.R:537-538). Here the
     * nation dim is pushed through `df.write.jdbc` into embedded Derby
