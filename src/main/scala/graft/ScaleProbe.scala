@@ -61,8 +61,80 @@ object ScaleProbe {
     println(s"""{"probe":"prefix_sum_strategy","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe kmeans [vectorCounts...]`: one Lloyd
+    * iteration (assign + centroid update, the kmeans_lloyd round) on
+    * synthetic 64-d quantized vectors, timed at increasing corpus
+    * sizes — ROW-form assignment (comp⋈cent on dim: N·d·k intermediate
+    * rows, N·k groups) head-to-head against the WIDE form the shipped
+    * key uses (centroids pivoted to k columns: N·d rows, N groups, k
+    * multiply-adds per row inside codegen). The row form measured
+    * superlinear past ~10⁸ intermediate rows (agg-memory pressure);
+    * wide is the 100 TB shape. Synthetic components are pinned with an
+    * EAGER checkpoint so generation stays out of the timing. */
+  private def kmeansProbe(spark: org.apache.spark.sql.SparkSession,
+      ns: Seq[Long]): Unit = {
+    val ks = 0 until 8
+    val runs = ns.map { n =>
+      val comp = spark.range(n).select(col("id").as("vec_id"),
+          explode(expr("sequence(1, 64)")).as("dim"))
+        .select(col("vec_id"), col("dim"),
+          (hash(col("vec_id") * 64 + col("dim")) % 2000).cast("long").as("q"))
+        .localCheckpoint()
+      val cent = comp.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val rowSec = time {
+        val scored = comp.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("cluster"))
+          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+        val assigned = scored.groupBy("vec_id")
+          .agg(min_by(col("cluster"), struct(col("d2"), col("cluster")))
+            .as("cluster"))
+        comp.join(assigned, "vec_id").groupBy("cluster", "dim")
+          .agg(expr("sum(q) div count(1)").as("c")).count()
+      }
+      // NO sweep between the two passes — it would free comp's local
+      // checkpoint blocks out from under the second timing
+      val wideSec = time {
+        val wide = cent.groupBy("dim")
+          .agg(coalesce(sum(when(col("cluster") === 0, col("c"))), lit(0L)).as("c0"),
+            ks.drop(1).map(k =>
+              coalesce(sum(when(col("cluster") === k, col("c"))), lit(0L))
+                .as(s"c$k")): _*)
+        val scored = comp.join(broadcast(wide), Seq("dim"))
+          .groupBy("vec_id")
+          .agg(sum(col("c0") * (col("c0") - lit(2L) * col("q"))).as("s0"),
+            ks.drop(1).map(k =>
+              sum(col(s"c$k") * (col(s"c$k") - lit(2L) * col("q"))).as(s"s$k")): _*)
+        val best = least(ks.map(k => col(s"s$k")): _*)
+        val pick = ks.foldRight(lit(7L)) { (k, el) =>
+          when(col(s"s$k") === best, lit(k.toLong)).otherwise(el) }
+        comp.join(scored.select(col("vec_id"), pick.as("cluster")), "vec_id")
+          .groupBy("cluster", "dim")
+          .agg(expr("sum(q) div count(1)").as("c")).count()
+      }
+      Harness.sweepBlocks(spark)
+      println(f"[probe] vectors=$n%-9d row_form=${rowSec}%6.1f s   wide_form=${wideSec}%6.1f s")
+      (n, rowSec, wideSec)
+    }
+    val qs = runs.map { case (n, r, w) =>
+      s"""{"vectors":$n,"row_sec":$r,"wide_sec":$w}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"kmeans_lloyd_round","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("kmeans")) {
+      val spark = Harness.session()
+      val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+               else Seq(100000L, 500000L, 2000000L)
+      kmeansProbe(spark, ns)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("pack")) {
       val spark = Harness.session()
       val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)

@@ -345,17 +345,51 @@ object Similarity {
         .localCheckpoint(false)
       // seeds = the 8 smallest ids among NON-EMPTY vectors (not a dense
       // `< 8` assumption — a filtered corpus slice whose ids start at
-      // 1000 must still get k = 8)
-      val seeds = comp.select("vec_id").distinct().orderBy("vec_id").limit(8)
-      val cent0 = comp.join(broadcast(seeds), "vec_id")
+      // 1000 must still get k = 8). Collected to the driver: k scalar
+      // ids, the sanctioned scalar-feedback shape — the WIDE assignment
+      // below needs cluster ids as column slots, not rows.
+      val seedIds: Array[Long] = comp.select("vec_id").distinct()
+        .orderBy("vec_id").limit(8).collect().map(_.getLong(0))
+      val ks = seedIds.indices
+      if (seedIds.isEmpty)
+        // corpus with no non-empty vectors: nothing to cluster
+        s.range(0).select(col("id").as("cluster"),
+          col("id").as("n_members"), col("id").as("centroid_l1_milli"))
+      else {
+      val cent0 = comp
+        .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
         .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
-      def assign(cent: DataFrame): DataFrame =
-        comp.join(broadcast(cent), Seq("dim"))
-          .groupBy(col("vec_id"), col("cluster"))
-          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+      // WIDE assignment — the scale-shape fix the kmeans ScaleProbe
+      // demanded: the row-form comp⋈cent-on-dim plan fans every
+      // component row out k× before aggregating (N·d·k rows, N·k
+      // groups; measured superlinear past ~10⁸ rows from agg-memory
+      // pressure). Pivoting the k×d centroid table to d rows × k
+      // columns keeps the scan at N·d rows and N groups: each row does
+      // k multiply-adds inside codegen instead of existing k times.
+      // Missing centroid dims count as 0 (a short seed's absent dims
+      // penalize, not vanish) — mirrored exactly in the oracle.
+      def assign(cent: DataFrame): DataFrame = {
+        val slot = ks.foldLeft(lit(-1L)) { (acc, k) =>
+          when(col("cluster") === seedIds(k), lit(k.toLong)).otherwise(acc) }
+        val wide = cent.withColumn("k", slot)
+          .groupBy("dim")
+          .agg(coalesce(sum(when(col("k") === 0, col("c"))), lit(0L)).as("c0"),
+            ks.drop(1).map(k =>
+              coalesce(sum(when(col("k") === k, col("c"))), lit(0L)).as(s"c$k")): _*)
+        // d2_k = Σq² − 2·dot_k + Σc_k² over the VECTOR's dims; Σq² is
+        // common to all k → argmin over (Σc_k² − 2·dot_k) alone
+        val scored = comp.join(broadcast(wide), Seq("dim"))
           .groupBy("vec_id")
-          .agg(min_by(col("cluster"), struct(col("d2"), col("cluster")))
-            .as("cluster"))
+          .agg(sum(col("c0") * (col("c0") - lit(2L) * col("q"))).as("s0"),
+            ks.drop(1).map(k =>
+              sum(col(s"c$k") * (col(s"c$k") - lit(2L) * col("q"))).as(s"s$k")): _*)
+        val best = least(ks.map(k => col(s"s$k")): _*)
+        // first-match on the ascending slot order = smallest cluster id
+        // wins ties (seeds are sorted), matching the row-form min_by
+        val pick = ks.foldRight(lit(seedIds.last)) { (k, el) =>
+          when(col(s"s$k") === best, lit(seedIds(k))).otherwise(el) }
+        scored.select(col("vec_id"), pick.as("cluster"))
+      }
       def update(a: DataFrame): DataFrame =
         comp.join(a, "vec_id")
           .groupBy("cluster", "dim")
@@ -371,19 +405,28 @@ object Similarity {
         .select(col("cluster").cast("long").as("cluster"),
           col("n_members"), col("centroid_l1_milli"))
         .orderBy("cluster")
+      }
     },
     Some("""WITH comp AS (
               SELECT vec_id, i AS dim,
                      CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
               FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+            seeds AS (
+              SELECT vec_id AS cluster FROM
+                (SELECT DISTINCT vec_id FROM comp ORDER BY vec_id LIMIT 8)),
             cent0 AS (
               SELECT vec_id AS cluster, dim, q AS c FROM comp
-              WHERE vec_id IN (SELECT DISTINCT vec_id FROM comp
-                               ORDER BY vec_id LIMIT 8)),
+              WHERE vec_id IN (SELECT cluster FROM seeds)),
+            -- zero-fill semantics, mirroring the wide assignment: a
+            -- centroid's missing dim counts as 0, every vector is scored
+            -- against ALL k slots
             s1 AS (
-              SELECT comp.vec_id, cluster, SUM((q - c) * (q - c)) AS d2
-              FROM comp JOIN cent0 ON comp.dim = cent0.dim
-              GROUP BY comp.vec_id, cluster),
+              SELECT comp.vec_id, s.cluster,
+                     SUM((q - COALESCE(c, 0)) * (q - COALESCE(c, 0))) AS d2
+              FROM comp CROSS JOIN seeds s
+              LEFT JOIN cent0 ON cent0.cluster = s.cluster
+                             AND cent0.dim = comp.dim
+              GROUP BY comp.vec_id, s.cluster),
             a1 AS (
               SELECT vec_id, cluster FROM (
                 SELECT vec_id, cluster,
@@ -395,9 +438,12 @@ object Similarity {
               FROM comp JOIN a1 ON comp.vec_id = a1.vec_id
               GROUP BY cluster, dim),
             s2 AS (
-              SELECT comp.vec_id, cluster, SUM((q - c) * (q - c)) AS d2
-              FROM comp JOIN cent1 ON comp.dim = cent1.dim
-              GROUP BY comp.vec_id, cluster),
+              SELECT comp.vec_id, s.cluster,
+                     SUM((q - COALESCE(c, 0)) * (q - COALESCE(c, 0))) AS d2
+              FROM comp CROSS JOIN seeds s
+              LEFT JOIN cent1 ON cent1.cluster = s.cluster
+                             AND cent1.dim = comp.dim
+              GROUP BY comp.vec_id, s.cluster),
             a2 AS (
               SELECT vec_id, cluster FROM (
                 SELECT vec_id, cluster,
