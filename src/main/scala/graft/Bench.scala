@@ -61,11 +61,22 @@ object Bench {
         s""""load_avg":${fmt(loadAfter, 1)},"detail":"BENCH_FULL.json"}"""
     }
 
-    // full-precision record for humans / the judge (repo-root file)
+    // full-precision record for humans / the judge (repo-root file).
+    // `stages` breaks out one-time Materialize builds (signature tables,
+    // fact_sales, candidate pairs) so readers can subtract them from
+    // whichever query key happened to trigger the build this run —
+    // per-key round-over-round comparisons are meaningless without it
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
+    val stages = {
+      import scala.jdk.CollectionConverters._
+      Materialize.buildSecs.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
+    }
     val full =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,""" +
+        s""""stages":$stages,""" +
         s""""sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,""" +
         s""""failed":$failed,"load_avg_before":${fmt(loadBefore, 1)},"load_avg":${fmt(loadAfter, 1)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -79,8 +90,11 @@ object Bench {
     val bySlowest = results.sortBy { case (_, v) =>
       -(if (v < 0) Double.MaxValue else v)
     }
+    // keep may reach 0: the envelope alone (empty queries map +
+    // queries_omitted=N) must always fit, or a long sf path would
+    // overflow the consumer's 2000-char tail window and clip the head
     var keep = bySlowest.length
-    while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1), bySlowest.length - keep).length > 1850)
+    while (keep > 0 && line(bySlowest.take(keep).sortBy(_._1), bySlowest.length - keep).length > 1850)
       keep -= 1
     println(line(bySlowest.take(keep).sortBy(_._1), bySlowest.length - keep))
     spark.stop()

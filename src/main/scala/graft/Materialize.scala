@@ -22,6 +22,16 @@ object Materialize {
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Seconds spent building each stage (logical key → build wall time),
+    * recorded by the winning builder. Bench emits this as the `stages`
+    * map in BENCH_FULL.json so readers can subtract one-time pipeline
+    * materialization from whichever query key happened to trigger it —
+    * without it, per-key timings jitter with run order (a stage billed
+    * to dedup_simhash one round lands on simhash_hamming_pairs the
+    * next). */
+  val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   /** Recursively delete a temp artifact dir. */
   private def rm(dir: String): Unit = {
     import java.nio.file._
@@ -47,10 +57,14 @@ object Materialize {
     val k = s.sparkContext.applicationId + "|" + key
     var path = store.get(k)
     if (path == null) {
+      val t0 = System.nanoTime()
       val out = java.nio.file.Files.createTempDirectory("graft_mv").toString
       build.write.mode("overwrite").parquet(out)
       val prev = store.putIfAbsent(k, out)
-      path = if (prev == null) out else { rm(out); prev }
+      path = if (prev == null) {
+        buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+        out
+      } else { rm(out); prev }
     }
     s.read.parquet(path)
   }

@@ -125,8 +125,48 @@ object ScaleProbe {
     println(s"""{"probe":"kmeans_lloyd_round","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe ngram [ks...]`: replication curve for the
+    * rare-shingle ngram pipeline (the SHIPPED ngramPhase1 plan, not a
+    * probe re-derivation). Replicas are exact near-dup groups, so the
+    * df∈[2,20] rare filter and the ≥10-shared-rare candidate cut face
+    * exactly the adversarial shape they exist for: every shingle's df
+    * multiplies by k, every replica group is all-pairs-similar. A
+    * bucketed-bounded pipeline grows near-linearly in corpus size (plus
+    * the k²-per-group pair output that near-dup data intrinsically
+    * implies); an all-pairs shape would grow quadratically in the WHOLE
+    * corpus. */
+  private def ngramProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs0.count()
+    val runs = ks.map { k =>
+      val docs = (0 until k).map(i =>
+          docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val (_, cand) = llm.Dedup.ngramPhase1(docs)
+      val pairs = cand.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] k=$k%-2d docs=${k * base}%-7d cand_pairs=$pairs%-9d ${secs}%.1f s")
+      (k, secs, pairs)
+    }
+    val qs = runs.map { case (k, s, p) =>
+      s"""{"k":$k,"sec":$s,"pairs":$p}""" }.mkString("[", ",", "]")
+    println(s"""{"probe":"ngram_rare_shingle_candidates","sf":"$sfDir","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("ngram")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 2, 4, 8)
+      ngramProbe(spark, sfDir, ks)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("kmeans")) {
       val spark = Harness.session()
       val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)

@@ -221,38 +221,48 @@ object Dedup {
     * candidates share ≥10 shingles with document frequency in [2, 20];
     * Jaccard emitted as exact floor-scaled micro units; threshold ≥ 0.3
     * applied as a pure integer comparison. */
+  /** Rare-shingle phase 1 of ngram_jaccard, exposed so ScaleProbe can
+    * measure its replication curve with the exact shipped plan (no
+    * probe-only re-derivation that could drift): returns the distinct
+    * shingle index (checkpointed — it feeds 6 plan subtrees) and the
+    * ≥10-shared-rare candidate pair list. */
+  def ngramPhase1(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = TextOps.shingleRows(docs, 8)
+      .distinct()
+      .localCheckpoint(false)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 20)
+      .select("s")
+    // candidate pairs share ≥10 rare shingles (bounds fan-out;
+    // true near-dups share hundreds, coincidental template overlap
+    // shares a handful — measured 295k pairs @ ≥1 vs 153 @ ≥10 on 5k
+    // docs). rarity is a property of the shingle, so both self-join
+    // sides can be pre-filtered to rare rows (~3% of the index) before
+    // pairing. The rare list is CORPUS-SIZED (every shingle with
+    // df∈[2,20]) — never broadcast it; a shuffle_hash join with rare as
+    // the build side is scale-safe AND leaves rsh hash-partitioned by
+    // s, which the self-join below then reuses without a new exchange.
+    // (Explicit hint, not planner choice: the checkpointed shingle
+    // subtree has unknown stats and the static planner picks the wrong
+    // broadcast side — measured 6× slower in round 1.)
+    val rsh = sh.join(rare.hint("shuffle_hash"), Seq("s"))
+    val cand = rsh.as("a")
+      .join(rsh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= 10)
+      .select("id1", "id2")
+    (sh, cand)
+  }
+
   val ngramJaccard = QuerySpec(
     "ngram_jaccard",
     (s, d) => {
-      // the distinct shingle set feeds 6 plan subtrees (sizes, rare, both
-      // candidate sides, both intersection sides) — materialize it once
-      val sh = TextOps.shingleRows(documents(s, d), 8)
-        .distinct()
-        .localCheckpoint(false)
+      // phase 1 (shared with ScaleProbe's ngram curve): distinct shingle
+      // index + rare-shingle candidate pairs
+      val (sh, cand) = ngramPhase1(documents(s, d))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 20)
-        .select("s")
-      // phase 1: candidate pairs share ≥10 rare shingles (bounds fan-out;
-      // true near-dups share hundreds, coincidental template overlap
-      // shares a handful — measured 295k pairs @ ≥1 vs 153 @ ≥10 on 5k
-      // docs). rarity is a property of the shingle, so both self-join
-      // sides can be pre-filtered to rare rows (~3% of the index) before
-      // pairing. The rare list is CORPUS-SIZED (every shingle with
-      // df∈[2,20]) — never broadcast it; a shuffle_hash join with rare as
-      // the build side is scale-safe AND leaves rsh hash-partitioned by
-      // s, which the self-join below then reuses without a new exchange.
-      // (Explicit hint, not planner choice: the checkpointed shingle
-      // subtree has unknown stats and the static planner picks the wrong
-      // broadcast side — measured 6× slower in round 1.)
-      val rsh = sh.join(rare.hint("shuffle_hash"), Seq("s"))
-      val cand = rsh.as("a")
-        .join(rsh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("shared_rare"))
-        .filter(col("shared_rare") >= 10)
-        .select("id1", "id2")
       // phase 2: exact intersection over the candidates' FULL shingle
       // sets. cand is tiny (a pair list after the ≥10-shared-rare cut) —
       // genuinely broadcastable — so both intersection inputs are first

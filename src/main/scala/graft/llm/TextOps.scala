@@ -486,17 +486,21 @@ object TextOps {
           (col("start_pos") % binTokens).as("bin_offset"))
         .orderBy("doc_id")
     },
+    // oracle is deliberately WINDOW-FREE: DuckDB's parallel evaluation of
+    // globally-ordered windows was observed intermittently mis-summing
+    // (the window_mom_delta finding, and the CORRECTNESS_r03 hash red on
+    // this key that never reproduced serially) — the prefix sum is the
+    // quadratic self-join form instead, trivial at oracle scale (<=5k rows)
     Some("""WITH toks AS (
               SELECT doc_id,
                      CAST(len(list_filter(string_split(lower(text), ' '),
                                           w -> w <> '')) AS BIGINT) AS n_tokens
               FROM documents),
             pos AS (
-              SELECT doc_id, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS start_pos
-              FROM toks)
+              SELECT a.doc_id, a.n_tokens,
+                     CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT) AS start_pos
+              FROM toks a LEFT JOIN toks b ON b.doc_id < a.doc_id
+              GROUP BY a.doc_id, a.n_tokens)
             SELECT doc_id, n_tokens, start_pos,
                    start_pos // 2048 AS bin_id,
                    start_pos % 2048 AS bin_offset

@@ -54,10 +54,14 @@ object Bucketed {
     * pre-write `repartition` on the bucket key aligns task partitioning
     * with bucket assignment so each task emits one file per bucket it
     * owns instead of numBuckets files per task. */
-  def tables(s: SparkSession, d: String): (String, String) = {
-    val key = s.sparkContext.applicationId + "|" + d
-    var v = made.get(key)
-    if (v == null) {
+  def tables(s: SparkSession, d: String): (String, String) =
+    // computeIfAbsent, NOT get + putIfAbsent: the side effects (stale-dir
+    // sweep + saveAsTable(Overwrite)) must run exactly once per key — two
+    // racing threads past a null check would both overwrite the same
+    // table dirs concurrently and could corrupt the bucketed write.
+    // The lambda only READS `made` (the live-set snapshot), so the
+    // no-recursive-update rule of computeIfAbsent is respected.
+    made.computeIfAbsent(s.sparkContext.applicationId + "|" + d, { key =>
       // table identifiers must be [a-z0-9_]; key carries '|', '-', '/'.
       // md5, not a char sum: a positional hash can't collide on
       // reordered/anagram keys (two data dirs must never share tables)
@@ -89,11 +93,8 @@ object Bucketed {
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(cTbl)
       Seq(oTbl, cTbl).foreach(t => cleanup.add(wh.resolve(t)))
-      val prev = made.putIfAbsent(key, (oTbl, cTbl))
-      v = if (prev == null) (oTbl, cTbl) else prev
-    }
-    v
-  }
+      (oTbl, cTbl)
+    })
 
   /** The exchange-free join itself, exposed for the plan assertion:
     * hint("merge") pins SortMergeJoin (the planner would otherwise

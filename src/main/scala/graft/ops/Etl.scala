@@ -35,6 +35,12 @@ object Etl {
       val dNull = lit(null).cast("date")
       val cur = customer(s, d)
         .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+      // insert keys are offset by max(key), not a constant: a fixed
+      // +1000000 collides with genuine customer keys once c_custkey
+      // exceeds 1M (sf>=7), silently breaking the one-current-version
+      // invariant. max(key) is sanctioned scalar feedback (A10 pattern)
+      // and keeps the insert range disjoint at every scale factor.
+      val insOff = cur.agg(max(col("key"))).first().getLong(0)
       // staged batch: every key%3 row arrives (key%6 actually changes,
       // the rest are no-ops the merge must NOT version), key%17 rows
       // arrive under a fresh key range (pure inserts)
@@ -43,7 +49,7 @@ object Etl {
           when(col("key") % 6 === 0, lit("REASSIGNED"))
             .otherwise(col("segment")).as("new_segment"))
         .unionByName(cur.filter(col("key") % 17 === 0)
-          .select((col("key") + 1000000L).as("key"),
+          .select((col("key") + insOff).as("key"),
             lit("NEWSEG").as("new_segment")))
       def ver(seg: Column, v: Long, curF: Long, from: Column, to: Column) =
         struct(seg.as("segment"), lit(v).as("version"),
@@ -71,7 +77,8 @@ object Etl {
                                ELSE segment END AS new_segment
               FROM cur WHERE key % 3 = 0
               UNION ALL
-              SELECT key + 1000000 AS key, 'NEWSEG' AS new_segment
+              SELECT key + (SELECT max(key) FROM cur) AS key,
+                     'NEWSEG' AS new_segment
               FROM cur WHERE key % 17 = 0),
             j AS (
               SELECT COALESCE(cur.key, staged.key) AS key, segment, new_segment
@@ -116,16 +123,25 @@ object Etl {
         col("o_orderpriority").as("priority"),
         cents(col("o_totalprice")).as("total_cents"),
         lit(1L).as("src"))
+      // insert-key offset derived from max(key) (a fixed +10000000
+      // collides with real o_orderkey at sf>=2); scalar feedback, A10
+      val insOff = base.agg(max(col("key"))).first().getLong(0)
       val delta = base.filter(col("key") % 5 === 0)
         .select(col("key"), lit("R").as("status"),
           lit("0-REVISED").as("priority"),
           (col("total_cents") + 500L).as("total_cents"),
           lit(2L).as("src"))
         .unionByName(base.filter(col("key") % 31 === 0)
-          .select((col("key") + 10000000L).as("key"), lit("N").as("status"),
+          .select((col("key") + insOff).as("key"), lit("N").as("status"),
             lit("5-NEW").as("priority"), lit(0L).as("total_cents"),
             lit(2L).as("src")))
-      val w = Window.partitionBy("key").orderBy(col("src").desc)
+      // unique-by-construction tiebreak columns after src: (key, src) is
+      // already unique given disjoint insert keys, but row_number over a
+      // non-total order is nondeterminism waiting for a refactor — make
+      // ties impossible by ordering on the full payload
+      val w = Window.partitionBy("key")
+        .orderBy(col("src").desc, col("status"), col("priority"),
+          col("total_cents"))
       base.unionByName(delta)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
@@ -142,12 +158,13 @@ object Etl {
                      total_cents + 500 AS total_cents, CAST(2 AS BIGINT) AS src
               FROM base WHERE key % 5 = 0
               UNION ALL
-              SELECT key + 10000000, 'N', '5-NEW', CAST(0 AS BIGINT),
-                     CAST(2 AS BIGINT)
+              SELECT key + (SELECT max(key) FROM base), 'N', '5-NEW',
+                     CAST(0 AS BIGINT), CAST(2 AS BIGINT)
               FROM base WHERE key % 31 = 0),
             u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
-                                               ORDER BY src DESC) AS rn
+                                               ORDER BY src DESC, status,
+                                                        priority, total_cents) AS rn
                   FROM u)
             SELECT key, status, priority, total_cents, src
             FROM r WHERE rn = 1 ORDER BY key""")

@@ -72,24 +72,33 @@ object Extended {
           running("year", "month").as("rev_mtd_cents"))
         .orderBy("date_key")
     },
+    // window-free oracle (DuckDB parallel-window flake guard): one
+    // same-year self-join feeds all three running frames — QTD/MTD are
+    // conditional sums over the year-bounded match; LEFT JOIN + COALESCE
+    // keeps a possible NULL-date row at its own value, matching the
+    // single-row window partition it would have formed
     Some("""WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS dt,
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_rev_cents,
                      year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
                      month(o_orderdate) AS month
               FROM orders GROUP BY 1, 3, 4, 5)
-            SELECT CAST(strftime(dt, '%Y%m%d') AS BIGINT) AS date_key,
-                   year, quarter, month, day_rev_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year
-                                                  ORDER BY dt NULLS FIRST)
+            SELECT CAST(strftime(a.dt, '%Y%m%d') AS BIGINT) AS date_key,
+                   a.year, a.quarter, a.month, a.day_rev_cents,
+                   CAST(COALESCE(SUM(b.day_rev_cents), a.day_rev_cents)
                         AS BIGINT) AS rev_ytd_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, quarter
-                                                 ORDER BY dt NULLS FIRST)
+                   CAST(COALESCE(SUM(CASE WHEN b.quarter = a.quarter
+                                          THEN b.day_rev_cents END),
+                                 a.day_rev_cents)
                         AS BIGINT) AS rev_qtd_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year, month
-                                                 ORDER BY dt NULLS FIRST)
+                   CAST(COALESCE(SUM(CASE WHEN b.month = a.month
+                                          THEN b.day_rev_cents END),
+                                 a.day_rev_cents)
                         AS BIGINT) AS rev_mtd_cents
-            FROM daily ORDER BY date_key NULLS FIRST""")
+            FROM daily a
+            LEFT JOIN daily b ON b.year = a.year AND b.dt <= a.dt
+            GROUP BY a.dt, a.year, a.quarter, a.month, a.day_rev_cents
+            ORDER BY date_key NULLS FIRST""")
   )
 
   /** Semi-structured extraction: events.props is a JSON string — parse
@@ -188,16 +197,45 @@ object Extended {
         .withColumn("rev_quartile", ntile(4).over(byRevenue).cast("long"))
         .orderBy("month_start")
     },
+    // window-free oracle — this key is where DuckDB's parallel
+    // global-window misbehavior was first documented, so LAG becomes a
+    // max-prior-month equi-join and NTILE(4) is computed from a
+    // self-join rank via the standard first-r-buckets-get-the-remainder
+    // formula (q = n//4, r = n%4); CROSS JOIN is fine on a months-sized
+    // table
     Some("""WITH monthly AS (
               SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
                      count(*) AS order_cnt
-              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
-            SELECT month_start, revenue_cents, order_cnt,
-                   LAG(revenue_cents) OVER (ORDER BY month_start NULLS FIRST) AS prev_cents,
-                   revenue_cents - LAG(revenue_cents) OVER (ORDER BY month_start NULLS FIRST) AS delta_cents,
-                   CAST(NTILE(4) OVER (ORDER BY revenue_cents DESC, month_start NULLS FIRST) AS BIGINT) AS rev_quartile
-            FROM monthly ORDER BY month_start NULLS FIRST""")
+              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+            prev AS (
+              SELECT a.month_start, max(b.month_start) AS pm
+              FROM monthly a
+              LEFT JOIN monthly b ON b.month_start < a.month_start
+              GROUP BY a.month_start),
+            rk AS (
+              SELECT a.month_start,
+                     CAST(1 + SUM(CASE WHEN b.revenue_cents > a.revenue_cents
+                                         OR (b.revenue_cents = a.revenue_cents
+                                             AND b.month_start < a.month_start)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS rn,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM monthly a CROSS JOIN monthly b
+              GROUP BY a.month_start)
+            SELECT m.month_start, m.revenue_cents, m.order_cnt,
+                   p2.revenue_cents AS prev_cents,
+                   m.revenue_cents - p2.revenue_cents AS delta_cents,
+                   CAST(CASE WHEN rk.rn <= (rk.n % 4) * (rk.n // 4 + 1)
+                             THEN (rk.rn - 1) // (rk.n // 4 + 1) + 1
+                             ELSE (rk.n % 4)
+                                  + (rk.rn - 1 - (rk.n % 4) * (rk.n // 4 + 1))
+                                    // (rk.n // 4) + 1
+                        END AS BIGINT) AS rev_quartile
+            FROM monthly m
+            JOIN prev p ON p.month_start = m.month_start
+            LEFT JOIN monthly p2 ON p2.month_start = p.pm
+            JOIN rk ON rk.month_start = m.month_start
+            ORDER BY m.month_start""")
   )
 
   /** Left-anti join: lapsed customers — no orders since the cutoff (the
@@ -273,17 +311,41 @@ object Extended {
           max(col("cents")).as("max_cents"),
           sum(col("cents")).as("sum_cents"))
         .orderBy("decile"),
-    Some("""SELECT decile, count(*) AS order_cnt, min(cents) AS min_cents,
+    // window-free oracle (DuckDB parallel-window flake guard): rank =
+    // 1 + strictly-before count under (cents NULLS FIRST, o_orderkey),
+    // NTILE(10) from that rank via the first-r-buckets formula
+    // (q = n//10, r = n%10); the quadratic self-count is fine at oracle
+    // scale (orders is 15k rows at sf0.01)
+    Some("""WITH src AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents, o_orderkey
+              FROM orders),
+            r AS (
+              SELECT a.cents, a.o_orderkey,
+                     CAST(1 + COUNT(CASE
+                       WHEN (b.cents IS NULL AND a.cents IS NOT NULL)
+                         OR (b.cents IS NULL AND a.cents IS NULL
+                             AND b.o_orderkey < a.o_orderkey)
+                         OR b.cents < a.cents
+                         OR (b.cents = a.cents
+                             AND b.o_orderkey < a.o_orderkey)
+                       THEN 1 END) AS BIGINT) AS rn,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM src a CROSS JOIN src b
+              GROUP BY a.cents, a.o_orderkey),
+            d AS (
+              SELECT cents,
+                     CAST(CASE WHEN rn <= (n % 10) * (n // 10 + 1)
+                               THEN (rn - 1) // (n // 10 + 1) + 1
+                               ELSE (n % 10)
+                                    + (rn - 1 - (n % 10) * (n // 10 + 1))
+                                      // (n // 10) + 1
+                          END AS BIGINT) AS decile
+              FROM r)
+            SELECT decile, count(*) AS order_cnt, min(cents) AS min_cents,
                    max(cents) AS max_cents,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
-            FROM (SELECT cents,
-                         CAST(ntile(10) OVER (ORDER BY cents NULLS FIRST,
-                                              o_orderkey NULLS FIRST)
-                              AS BIGINT) AS decile
-                  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                                    AS BIGINT) AS cents, o_orderkey
-                        FROM orders))
-            GROUP BY decile ORDER BY decile""")
+            FROM d GROUP BY decile ORDER BY decile""")
   )
 
   /** Per-nation 2-sigma outlier counts over customer balances, computed
@@ -563,17 +625,20 @@ object Extended {
           count(lit(1)).over(w).as("active_days_30d"))
         .orderBy("day_key")
     },
+    // window-free oracle (DuckDB parallel-window flake guard): the RANGE
+    // frame is literally a value-band self-join, so express it as one —
+    // inner join is safe (every row matches at least itself)
     Some("""WITH daily AS (
               SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_key,
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_rev_cents
               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
-            SELECT day_key, day_rev_cents,
-                   CAST(SUM(day_rev_cents) OVER w AS BIGINT) AS rev_30d_cents,
-                   count(*) OVER w AS active_days_30d
-            FROM daily
-            WINDOW w AS (ORDER BY day_key
-                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
-            ORDER BY day_key""")
+            SELECT a.day_key, a.day_rev_cents,
+                   CAST(SUM(b.day_rev_cents) AS BIGINT) AS rev_30d_cents,
+                   count(*) AS active_days_30d
+            FROM daily a
+            JOIN daily b ON b.day_key BETWEEN a.day_key - 29 AND a.day_key
+            GROUP BY a.day_key, a.day_rev_cents
+            ORDER BY a.day_key""")
   )
 
   val all: Seq[QuerySpec] = Seq(

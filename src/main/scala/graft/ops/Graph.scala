@@ -35,15 +35,21 @@ object Graph {
         .localCheckpoint(false)
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       var ranks = outdeg.select(col("src").as("id"), lit(1000L).as("rank"))
+      // the rank table is node-count-sized (corpus-derived) — NEVER
+      // broadcast it: shuffle_hash keeps each round a bounded hash join
+      // on src, and with edges bucketed by src (ops/Bucketed pattern)
+      // only the 8-byte rank column moves at 100 TB-graph scale
       for (_ <- 1 to 3)
         ranks = edges
-          .join(broadcast(ranks.join(outdeg, col("id") === col("src"))
-            .select(col("id"), expr("rank div outdeg").as("share"))),
+          .join(ranks.join(outdeg.hint("shuffle_hash"),
+              col("id") === col("src"))
+            .select(col("id"), expr("rank div outdeg").as("share"))
+            .hint("shuffle_hash"),
             col("src") === col("id"))
           .groupBy(col("dst"))
           .agg((lit(150L) + expr("(850 * sum(share)) div 1000")).as("rank"))
           .select(col("dst").as("id"), col("rank"))
-      ranks.join(broadcast(outdeg), col("id") === col("src"))
+      ranks.join(outdeg.hint("shuffle_hash"), col("id") === col("src"))
         .select(col("id").as("nation_id"), col("rank").as("rank_milli"),
           col("outdeg"))
         .orderBy("nation_id")

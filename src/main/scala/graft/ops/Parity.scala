@@ -565,9 +565,13 @@ object Parity {
           asLong(row_number().over(Window.orderBy("n_name"))).as("nation_key"),
           col("n_name").as("nation"))
         .orderBy("nation_key"),
-    Some("""SELECT ROW_NUMBER() OVER (ORDER BY n_name NULLS FIRST) AS nation_key,
-                   n_name AS nation
-            FROM nation ORDER BY nation_key""")
+    // window-free oracle (rank = 1 + count of strictly-smaller names):
+    // DuckDB's parallel global-window path is the documented flake source
+    Some("""SELECT CAST(1 + COUNT(b.n_name) AS BIGINT) AS nation_key,
+                   a.n_name AS nation
+            FROM nation a LEFT JOIN nation b ON b.n_name < a.n_name
+            GROUP BY a.n_name
+            ORDER BY nation_key""")
   )
 
   /** J2/J5/J7/P7/P8 — the fact-build join with broadcast surrogate-key
@@ -631,16 +635,21 @@ object Parity {
           sum(col("day_rev_cents")).over(w).as("ytd_rev_cents"))
         .orderBy("date_key")
     },
+    // window-free oracle (running sum = self-join over same-year earlier
+    // days); the LEFT JOIN + COALESCE keeps a possible NULL-date row,
+    // whose one-row partition sums to its own value in the window form
     Some("""WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS d,
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_rev_cents
               FROM orders GROUP BY 1)
-            SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
-                   year(d) AS year, day_rev_cents,
-                   CAST(SUM(day_rev_cents) OVER (PARTITION BY year(d)
-                                                  ORDER BY d NULLS FIRST)
+            SELECT CAST(strftime(a.d, '%Y%m%d') AS BIGINT) AS date_key,
+                   year(a.d) AS year, a.day_rev_cents,
+                   CAST(COALESCE(SUM(b.day_rev_cents), a.day_rev_cents)
                         AS BIGINT) AS ytd_rev_cents
-            FROM daily ORDER BY date_key NULLS FIRST""")
+            FROM daily a
+            LEFT JOIN daily b ON year(b.d) = year(a.d) AND b.d <= a.d
+            GROUP BY a.d, a.day_rev_cents
+            ORDER BY date_key NULLS FIRST""")
   )
 
   /** §2.10 — event-time tumbling window (batch-executable; the streaming

@@ -62,13 +62,16 @@ object Events {
               col("user_id"), col("event_cnt"), col("total_value_cents"))
 
   /** Exactly-once streaming dedup: drop replayed event_ids inside the
-    * watermark horizon (`dropDuplicates` keeps one state entry per id and
-    * the watermark evicts ids older than the horizon — bounded state on
-    * an unbounded stream). The at-least-once → exactly-once adapter every
-    * ingestion front-end needs. */
+    * watermark horizon — dedup is on the id ALONE, so a replay whose
+    * timestamp was jittered in transit is still dropped (keying on
+    * (id, ts) would let it through). dropDuplicatesWithinWatermark keeps
+    * one state entry per id and evicts it once the watermark passes its
+    * first-seen ts + delay — bounded state on an unbounded stream. The
+    * at-least-once → exactly-once adapter every ingestion front-end
+    * needs. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom-gap sessionization via flatMapGroupsWithState — the
     * explicit-state twin of `userSessions` for session semantics the

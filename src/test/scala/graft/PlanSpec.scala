@@ -112,6 +112,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("skew_key") && p.contains("salt"), p)
   }
 
+  test("graph_pagerank never statically broadcasts the rank table") {
+    // the rank table is node-count-sized (corpus-derived): the STATIC
+    // plan must choose shuffle-hash for every rank join — a broadcast
+    // here would OOM the driver at real graph scale. (AQE may still
+    // convert at runtime after observing the 25-row bench graph; that
+    // size-aware demotion is legitimate, so assert on sparkPlan, the
+    // pre-AQE strategy choice.)
+    val df = SparkEntry.queries("graph_pagerank")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived broadcast in static plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("dq_audit scans each audited table exactly once") {
     val df = SparkEntry.queries("dq_audit")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

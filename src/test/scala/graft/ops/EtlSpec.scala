@@ -31,8 +31,12 @@ class EtlSpec extends SparkSpec {
     val out = Etl.incrementalUpsert.fn(spark, sf).cache()
     try {
       assert(out.groupBy("key").count().filter(col("count") =!= 1).isEmpty)
-      // every key%5 survivor took the src=2 delta row
-      assert(out.filter(col("key") % 5 === 0 && col("key") < 10000000L &&
+      // every key%5 survivor took the src=2 delta row; base keys are
+      // <= max(o_orderkey) — insert keys live strictly above it now
+      // that the offset is derived from max(key), not a constant
+      val maxBase = graft.Tables.orders(spark, sf)
+        .agg(max(col("o_orderkey"))).first().getLong(0)
+      assert(out.filter(col("key") % 5 === 0 && col("key") <= maxBase &&
         col("src") =!= 2).isEmpty)
     } finally out.unpersist()
   }

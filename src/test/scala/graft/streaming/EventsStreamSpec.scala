@@ -115,7 +115,11 @@ class EventsStreamSpec extends SparkSpec {
       val t = Timestamp.valueOf("2024-01-01 10:00:00")
       stream.addData((1L, t, 1.0), (2L, t, 2.0))
       q.processAllAvailable()
-      stream.addData((2L, t, 2.0), (3L, t, 3.0)) // 2 is a replay
+      // 2 is a replay whose timestamp was JITTERED in transit — id-only
+      // dedup (dropDuplicatesWithinWatermark) must still drop it; a
+      // (id, ts) key would let it through as a phantom duplicate
+      val tJit = Timestamp.valueOf("2024-01-01 10:00:07")
+      stream.addData((2L, tJit, 2.0), (3L, t, 3.0))
       q.processAllAvailable()
       assert(spark.table("dedup_events").select("event_id")
         .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
