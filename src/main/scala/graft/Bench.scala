@@ -74,9 +74,18 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
     }
+    // janino attribution: whole-stage codegen compile time is a fixed
+    // per-plan tax (~0.5-0.8 s/key floor across 95 keys) that no plan
+    // improvement removes — report it so total-vs-total round comparisons
+    // can separate compile floor from genuine execution cost. Histogram
+    // total is count×mean (reservoir-approximate, fine for attribution).
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    val cgCount = cg.METRIC_COMPILATION_TIME.getCount
+    val cgSec = cgCount * cg.METRIC_COMPILATION_TIME.getSnapshot.getMean / 1000.0
     val full =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,""" +
         s""""stages":$stages,""" +
+        s""""codegen_compile_sec":${fmt(cgSec, 1)},"codegen_compiled_classes":$cgCount,""" +
         s""""sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,""" +
         s""""failed":$failed,"load_avg_before":${fmt(loadBefore, 1)},"load_avg":${fmt(loadAfter, 1)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -225,7 +225,15 @@ object Dedup {
     * measure its replication curve with the exact shipped plan (no
     * probe-only re-derivation that could drift): returns the distinct
     * shingle index (checkpointed — it feeds 6 plan subtrees) and the
-    * ≥10-shared-rare candidate pair list. */
+    * ≥10-shared-rare candidate pair list.
+    *
+    * Measured (`runMain graft.ScaleProbe ngram`, sf0.01 corpus
+    * replicated k×, replicas = exact near-dup groups): 1.9 s → 2.0 s →
+    * 3.3 s at k = 2/4/8 (the k=1 run absorbs JIT warmup) — runtime
+    * near-linear in corpus size while candidate output follows the
+    * k(k−1)/2-per-group growth near-dup data intrinsically implies
+    * (553 → 2 960 → 7 844 pairs). The df∈[2,20] + ≥10-shared bounds
+    * hold the pairing to candidate groups, not all-pairs. */
   def ngramPhase1(docs: DataFrame): (DataFrame, DataFrame) = {
     val sh = TextOps.shingleRows(docs, 8)
       .distinct()
