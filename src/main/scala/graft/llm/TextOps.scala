@@ -685,9 +685,90 @@ object TextOps {
             GROUP BY origin ORDER BY origin NULLS FIRST""")
   )
 
+  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): per document, hash every 8-char gram,
+    * slide a window of 4 consecutive gram hashes, and keep each
+    * window's minimum (rightmost on ties). The selected (position,
+    * hash) set is the standard LOCAL fingerprint for partial-overlap /
+    * containment detection — unlike whole-doc hashing (doc_fingerprint)
+    * or set-similarity signatures (minhash), matching fingerprints
+    * localize WHERE two documents share a passage, with the winnowing
+    * guarantee that any shared run of ≥ 11 chars (k+w−1) yields at
+    * least one common fingerprint.
+    *
+    * Cross-engine exactness: the argmin-with-rightmost-tie is encoded
+    * arithmetically — key = (v+1)·2²⁰ − pos, so MIN(key) picks smallest
+    * v then largest pos, and (v, pos) decode by floor division on a
+    * strictly positive key (no negative div, where Spark truncates but
+    * DuckDB floors). The 2²⁰ position base bounds docs at 1M chars
+    * here; at larger docs raise the base and drop the hash to 28 bits
+    * so (v+1)·base stays inside a long.
+    *
+    * Scale shape: gram explode + hash is map-side; ONE shuffle on
+    * doc_id feeds the partitioned ROWS-frame window (never global);
+    * the distinct on (doc_id, key) re-uses the same key's partitioning.
+    * At 100 TB fingerprints are the join key for cross-corpus overlap —
+    * bucketed by hash, the overlap probe is a co-located equi-join. */
+  /** The winnowing core over any (doc_id, text) frame — shared by the
+    * query key and the guarantee tests. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val C = 1L << 20
+    val grams = docs
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - 7L).cast("long").as("n"),
+        explode(sequence(lit(1), length(col("text")) - lit(7))).as("pos"))
+      .select(col("doc_id"), col("n"), col("pos").cast("long").as("pos"),
+        expr("cast(conv(substring(md5(substring(text, pos, 8)), 1, 8), 16, 10) as bigint)")
+          .as("v"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, 3)
+    grams
+      .withColumn("k", min((col("v") + 1L) * C - col("pos")).over(win))
+      // winnowing is defined on FULL windows: starts past n-w+1 see a
+      // truncated frame and must not pick
+      .filter(col("pos") <= col("n") - 3L)
+      .select(col("doc_id"), col("k")).distinct()
+      .select(col("doc_id"),
+        (expr(s"k div ${C}L") + 1L) * C - col("k") as "pos",
+        expr(s"k div ${C}L").as("fp_hash"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val winnowFingerprint = QuerySpec(
+    "winnow_fingerprint",
+    (s, d) => winnowFingerprints(documents(s, d)),
+    // window-free oracle (DuckDB parallel-window flake guard): each
+    // window start band-joins its 4 grams and MIN-picks the encoded key;
+    // hash = the same per-hex-digit md5 decode the simhash oracle uses
+    Some {
+      val v = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INTEGER), 8)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" + ")
+      s"""WITH docs8 AS (
+            SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS n
+            FROM documents WHERE length(text) >= 8),
+          g AS (
+            SELECT doc_id, n, CAST(i AS BIGINT) AS pos, CAST($v AS BIGINT) AS v
+            FROM docs8,
+                 UNNEST(generate_series(1, CAST(length(text) - 7 AS INTEGER))) AS t(i)),
+          pick AS (
+            SELECT a.doc_id, a.pos AS s, MIN((b.v + 1) * 1048576 - b.pos) AS k
+            FROM g a JOIN g b ON b.doc_id = a.doc_id
+                             AND b.pos BETWEEN a.pos AND a.pos + 3
+            WHERE a.pos <= a.n - 3
+            GROUP BY a.doc_id, a.pos),
+          fp AS (SELECT DISTINCT doc_id, k FROM pick)
+          SELECT doc_id,
+                 (k // 1048576 + 1) * 1048576 - k AS pos,
+                 k // 1048576 AS fp_hash
+          FROM fp ORDER BY doc_id, pos"""
+    }
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
-        trigramFamiliarity, sourceMix)
+        trigramFamiliarity, sourceMix, winnowFingerprint)
 }

@@ -84,4 +84,32 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((2L, 2L), (9L, 1L)))
   }
+
+  test("winnowing: every full window of 4 gram starts contains a fingerprint") {
+    // the w-coverage guarantee that makes winnowing a LOCAL fingerprint:
+    // consecutive selected positions can never be more than w apart, the
+    // first pick is within the first window, the last within the last
+    val text = "the quick brown fox jumps over the lazy dog while a " +
+      "second sentence pads this document long enough to winnow properly"
+    val fps = TextOps.winnowFingerprints(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().map(_.getAs[Long]("pos")).sorted
+    val n = text.length - 7L
+    assert(fps.nonEmpty && fps.head <= 4 && fps.last >= n - 3)
+    fps.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a <= 4, s"coverage gap $a -> $b")
+    }
+  }
+
+  test("winnowing: a shared passage at different offsets shares fingerprints") {
+    val passage = "an identical long passage spliced into both documents " +
+      "that must produce at least one common winnowing fingerprint hash"
+    val d1 = s"unique prefix one ${passage} unique suffix alpha"
+    val d2 = s"a totally different and longer leading section ${passage} tail"
+    val fp = TextOps.winnowFingerprints(
+        Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"))
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp_hash")).toSet }
+    val shared = fp(1L) intersect fp(2L)
+    assert(shared.nonEmpty, "shared passage produced no common fingerprint")
+  }
 }
