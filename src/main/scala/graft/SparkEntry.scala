@@ -12,7 +12,7 @@ object SparkEntry {
       sources.Io.writeRoundtrip :+ sources.Io.jdbcRoundtrip :+
       sources.Io.orcRoundtrip :+ sources.Io.csvRoundtrip) ++
       ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
-      ops.Graph.all ++
+      ops.Graph.all ++ ops.Relational.all ++
       report.Analytics.all ++
       llm.TextOps.all ++ llm.Dedup.all ++ llm.Similarity.all ++
       llm.Multimodal.all

@@ -1,0 +1,261 @@
+package graft.ops
+
+import graft.Tables._
+import graft.QuerySpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface beyond Parity/Extended: full-outer reconciliation,
+  * set operators (INTERSECT / EXCEPT), wide→long unpivot, rank banding
+  * (percent_rank / cume_dist as exact basis points), and a Pareto
+  * skyline. Same determinism contract as the rest of the engine —
+  * integer-cents outputs, window-free DuckDB oracles, total-order
+  * result sorts. */
+object Relational {
+
+  /** Two-ledger reconciliation: per-customer 1998 H1 spend vs H2 spend,
+    * FULL OUTER joined so one-sided customers surface with a presence
+    * tag — the classic source-vs-target audit query a migration runs.
+    *
+    * Scale shape: both halves partial-agg down to one row per customer
+    * before the join, so the full outer join is |customers|-sized, hash
+    * partitioned on the key; the date filters push into the parquet
+    * scan (one scan per half until CTE reuse kicks in — at 100 TB the
+    * two halves read disjoint partition ranges of a date-partitioned
+    * fact, so there is no double read). */
+  val fullOuterReconcile = QuerySpec(
+    "full_outer_reconcile",
+    (s, d) => {
+      def half(lo: String, hi: String, out: String) =
+        orders(s, d)
+          .filter(col("o_orderdate") >= lit(lo).cast("date") &&
+            col("o_orderdate") < lit(hi).cast("date"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as(out))
+      val h1 = half("1998-01-01", "1998-07-01", "h1_cents")
+        .withColumnRenamed("o_custkey", "k1")
+      val h2 = half("1998-07-01", "1999-01-01", "h2_cents")
+        .withColumnRenamed("o_custkey", "k2")
+      h1.join(h2, col("k1") === col("k2"), "full_outer")
+        .select(
+          coalesce(col("k1"), col("k2")).as("c_custkey"),
+          col("h1_cents"), col("h2_cents"),
+          when(col("k1").isNotNull && col("k2").isNotNull, "both")
+            .when(col("k1").isNotNull, "h1_only")
+            .otherwise("h2_only").as("presence"),
+          (coalesce(col("h2_cents"), lit(0L)) -
+            coalesce(col("h1_cents"), lit(0L))).as("delta_cents"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH h1 AS (
+              SELECT o_custkey AS k,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS h1_cents
+              FROM orders
+              WHERE o_orderdate >= DATE '1998-01-01'
+                AND o_orderdate < DATE '1998-07-01'
+              GROUP BY 1),
+            h2 AS (
+              SELECT o_custkey AS k,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS h2_cents
+              FROM orders
+              WHERE o_orderdate >= DATE '1998-07-01'
+                AND o_orderdate < DATE '1999-01-01'
+              GROUP BY 1)
+            SELECT COALESCE(h1.k, h2.k) AS c_custkey, h1_cents, h2_cents,
+                   CASE WHEN h1.k IS NOT NULL AND h2.k IS NOT NULL THEN 'both'
+                        WHEN h1.k IS NOT NULL THEN 'h1_only'
+                        ELSE 'h2_only' END AS presence,
+                   COALESCE(h2_cents, 0) - COALESCE(h1_cents, 0) AS delta_cents
+            FROM h1 FULL OUTER JOIN h2 ON h1.k = h2.k
+            ORDER BY c_custkey""")
+  )
+
+  /** Set operators over buyer cohorts: customers buying in BOTH 1998 and
+    * 1999 (INTERSECT → retained) and in 1998 but NOT 1999 (EXCEPT →
+    * churned), tagged and unioned. Spark plans INTERSECT as a
+    * distinct + left-semi join and EXCEPT as distinct + left-anti — the
+    * same hash-join machinery as every other join, no sort-merge-only
+    * path; both sides partial-agg to distinct keys before any shuffle. */
+  val intersectExcept = QuerySpec(
+    "intersect_except",
+    (s, d) => {
+      def buyers(lo: String, hi: String) =
+        orders(s, d)
+          .filter(col("o_orderdate") >= lit(lo).cast("date") &&
+            col("o_orderdate") < lit(hi).cast("date"))
+          .select(col("o_custkey").as("c_custkey"))
+      val b98 = buyers("1998-01-01", "1999-01-01")
+      val b99 = buyers("1999-01-01", "2000-01-01")
+      b98.intersect(b99).withColumn("set_op", lit("retained"))
+        .union(b98.except(b99).withColumn("set_op", lit("churned")))
+        .select("set_op", "c_custkey")
+        .orderBy("set_op", "c_custkey")
+    },
+    Some("""SELECT 'retained' AS set_op, c_custkey FROM (
+              SELECT o_custkey AS c_custkey FROM orders
+              WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'
+              INTERSECT
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= DATE '1999-01-01' AND o_orderdate < DATE '2000-01-01')
+            UNION ALL
+            SELECT 'churned', c_custkey FROM (
+              SELECT o_custkey AS c_custkey FROM orders
+              WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'
+              EXCEPT
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= DATE '1999-01-01' AND o_orderdate < DATE '2000-01-01')
+            ORDER BY set_op, c_custkey""")
+  )
+
+  /** Wide→long unpivot (melt): per-nation quarterly revenue pivoted into
+    * q1..q4 columns, then unpivoted back with Spark's native
+    * `Dataset.unpivot` (the Unpivot logical node — an Expand under the
+    * hood, one pass, no joins). Missing quarters are pinned to 0 on the
+    * wide side so NULL-dropping semantics (Spark keeps, DuckDB UNPIVOT
+    * drops) can never diverge. The wide build is one partial-agg
+    * shuffle to 25 rows; the unpivot is row-local expansion. */
+  val unpivotMelt = QuerySpec(
+    "unpivot_melt",
+    (s, d) => {
+      def q(i: Int) =
+        coalesce(sum(when(quarter(col("o_orderdate")) === i,
+          cents(col("o_totalprice")))), lit(0L)).as(s"q$i")
+      val wide = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(q(1), q(2), q(3), q(4))
+      wide.unpivot(
+          Array(col("nation")),
+          Array(col("q1"), col("q2"), col("q3"), col("q4")),
+          "quarter", "rev_cents")
+        .orderBy("nation", "quarter")
+    },
+    Some("""WITH wide AS (
+              SELECT n_name AS nation,
+                     COALESCE(CAST(SUM(CASE WHEN quarter(o_orderdate) = 1
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT), 0) AS q1,
+                     COALESCE(CAST(SUM(CASE WHEN quarter(o_orderdate) = 2
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT), 0) AS q2,
+                     COALESCE(CAST(SUM(CASE WHEN quarter(o_orderdate) = 3
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT), 0) AS q3,
+                     COALESCE(CAST(SUM(CASE WHEN quarter(o_orderdate) = 4
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT), 0) AS q4
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1)
+            SELECT nation, 'q1' AS quarter, q1 AS rev_cents FROM wide
+            UNION ALL SELECT nation, 'q2', q2 FROM wide
+            UNION ALL SELECT nation, 'q3', q3 FROM wide
+            UNION ALL SELECT nation, 'q4', q4 FROM wide
+            ORDER BY nation, quarter""")
+  )
+
+  /** percent_rank / cume_dist as EXACT basis points: per-segment
+    * customer-spend ranking with rank (competition ranking — ties
+    * share), pr_bp = (rank−1)·10000 div (n−1) and
+    * cume_bp = |spend ≥ mine|·10000 div n. Integer division instead of
+    * the functions' double output: the two engines would compute the
+    * same IEEE quotient, but basis points keep the driver hash immune
+    * to float rendering entirely. The windows partition by segment —
+    * never global — and the rank input is one pre-aggregated row per
+    * (segment, customer). */
+  val percentRankBand = QuerySpec(
+    "percent_rank_band",
+    (s, d) => {
+      val spend = orders(s, d)
+        .filter(col("o_totalprice").isNotNull)
+        .join(broadcast(customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("segment", "c_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+      val bySpend = Window.partitionBy("segment")
+        .orderBy(col("spend_cents").desc)
+      spend
+        .withColumn("rnk", rank().over(bySpend).cast("long"))
+        .withColumn("ge_cnt", count(lit(1)).over(
+          bySpend.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("segment")))
+        .select(col("segment"), col("c_custkey"), col("spend_cents"),
+          col("rnk"),
+          when(col("n") > 1L, expr("((rnk - 1) * 10000) div (n - 1)"))
+            .otherwise(0L).as("pr_bp"),
+          expr("(ge_cnt * 10000) div n").as("cume_bp"))
+        .orderBy("segment", "rnk", "c_custkey")
+    },
+    // window-free oracle (DuckDB parallel-window flake guard): rank and
+    // the ≥-count come from one segment-bounded self-join; quadratic per
+    // segment but oracle scale is ~300 customers a segment
+    Some("""WITH spend AS (
+              SELECT c_mktsegment AS segment, c_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_totalprice IS NOT NULL
+              GROUP BY 1, 2),
+            r AS (
+              SELECT a.segment, a.c_custkey, a.spend_cents,
+                     CAST(1 + COUNT(CASE WHEN b.spend_cents > a.spend_cents THEN 1 END) AS BIGINT) AS rnk,
+                     CAST(COUNT(CASE WHEN b.spend_cents >= a.spend_cents THEN 1 END) AS BIGINT) AS ge_cnt,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM spend a JOIN spend b ON b.segment = a.segment
+              GROUP BY 1, 2, 3)
+            SELECT segment, c_custkey, spend_cents, rnk,
+                   CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 10000) // (n - 1)
+                             ELSE 0 END AS BIGINT) AS pr_bp,
+                   CAST((ge_cnt * 10000) // n AS BIGINT) AS cume_bp
+            FROM r ORDER BY segment, rnk, c_custkey""")
+  )
+
+  /** Pareto skyline over parts — minimize price, maximize size: a part
+    * is on the frontier iff no part is ≤ price AND ≥ size with one
+    * strict. Computed WITHOUT pairwise work: collapse to the distinct
+    * price grid with per-price max size, take a prefix max over
+    * strictly-cheaper prices (the staircase), and a part is dominated
+    * iff the staircase at its price ≥ its size, or its own price level
+    * holds a strictly larger size. The global window runs over the
+    * GRID — bounded by the price value domain, not row count; at 100 TB
+    * the same staircase comes from range-partitioning by price and
+    * broadcasting per-partition maxima (two passes, no global sort of
+    * raw rows). */
+  val skylinePareto = QuerySpec(
+    "skyline_pareto",
+    (s, d) => {
+      val pts = part(s, d)
+        .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+        .select(col("p_partkey"),
+          cents(col("p_retailprice")).as("price_cents"),
+          col("p_size").cast("long").as("size"))
+      val grid = pts.groupBy("price_cents").agg(max(col("size")).as("pmax"))
+      val stair = grid.withColumn("prefix_max",
+        max(col("pmax")).over(
+          Window.orderBy("price_cents")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      pts.join(stair, "price_cents")
+        .filter(!(coalesce(col("prefix_max") >= col("size"), lit(false)) ||
+          col("pmax") > col("size")))
+        .select(col("p_partkey"), col("price_cents"), col("size"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part a
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+                  AND CAST(CAST(b.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      <= CAST(CAST(a.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AND b.p_size >= a.p_size
+                  AND (CAST(CAST(b.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       < CAST(CAST(a.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       OR b.p_size > a.p_size))
+            ORDER BY p_partkey""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(
+    fullOuterReconcile, intersectExcept, unpivotMelt, percentRankBand,
+    skylinePareto)
+}

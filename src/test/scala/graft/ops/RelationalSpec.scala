@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic-quality checks for the relational-surface operators — the
+  * oracle gate proves Spark≡DuckDB; these prove the operators compute
+  * the RIGHT thing (set identities, dominance invariants, closed-form
+  * cross-checks against independent formulations). */
+class RelationalSpec extends SparkSpec {
+
+  test("full_outer_reconcile: presence tags partition, deltas reconcile") {
+    val rows = SparkEntry.queries("full_outer_reconcile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every presence class actually occurs (the join is genuinely FULL)
+    val classes = rows.map(_.getAs[String]("presence")).toSet
+    assert(classes == Set("both", "h1_only", "h2_only"), classes)
+    rows.foreach { r =>
+      val h1 = Option(r.getAs[java.lang.Long]("h1_cents")).map(_.longValue)
+      val h2 = Option(r.getAs[java.lang.Long]("h2_cents")).map(_.longValue)
+      val tag = r.getAs[String]("presence")
+      assert((h1.isDefined, h2.isDefined) == (tag != "h2_only", tag != "h1_only"), r)
+      assert(r.getAs[Long]("delta_cents") == h2.getOrElse(0L) - h1.getOrElse(0L), r)
+    }
+  }
+
+  test("intersect_except: retained ∩ churned = ∅, retained ∪ churned = 1998 buyers") {
+    val out = SparkEntry.queries("intersect_except")(spark, sf)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("c_custkey")).toSet }
+    val retained = out.getOrElse("retained", Set.empty)
+    val churned = out.getOrElse("churned", Set.empty)
+    assert(retained.nonEmpty && churned.nonEmpty)
+    assert((retained & churned).isEmpty)
+    val b98 = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("date") &&
+        col("o_orderdate") < lit("1999-01-01").cast("date"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(retained ++ churned == b98)
+  }
+
+  test("unpivot_melt: 4 quarters per nation, long total = wide total") {
+    val rows = SparkEntry.queries("unpivot_melt")(spark, sf).collect()
+    val byNation = rows.groupBy(_.getString(0))
+    assert(byNation.forall { case (_, rs) =>
+      rs.map(_.getAs[String]("quarter")).sorted.toSeq ==
+        Seq("q1", "q2", "q3", "q4")
+    })
+    val longTotal = rows.map(_.getAs[Long]("rev_cents")).sum
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate").isNotNull)
+      .agg(sum(graft.Tables.cents(col("o_totalprice")))).collect()(0).getLong(0)
+    assert(longTotal == direct, s"$longTotal != $direct")
+  }
+
+  test("percent_rank_band: bp bounds, rank-1 minimum per segment, ties share") {
+    val rows = SparkEntry.queries("percent_rank_band")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pr_bp") >= 0 && r.getAs[Long]("pr_bp") <= 10000, r)
+      assert(r.getAs[Long]("cume_bp") > 0 && r.getAs[Long]("cume_bp") <= 10000, r)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      // exactly the top spender(s) hold rank 1, and rank 1's pr_bp is 0
+      val top = rs.filter(_.getAs[Long]("rnk") == 1L)
+      assert(top.nonEmpty)
+      val maxSpend = rs.map(_.getAs[Long]("spend_cents")).max
+      assert(top.forall(_.getAs[Long]("spend_cents") == maxSpend))
+      assert(top.forall(_.getAs[Long]("pr_bp") == 0L))
+    }
+  }
+
+  test("skyline_pareto: frontier is mutually non-dominating and complete") {
+    val frontier = SparkEntry.queries("skyline_pareto")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("price_cents"), r.getAs[Long]("size")))
+    assert(frontier.nonEmpty)
+    def dominates(a: (Long, Long), b: (Long, Long)) =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    for (a <- frontier; b <- frontier)
+      assert(!dominates(a, b), s"$a dominates $b inside the frontier")
+    // completeness against the brute-force frontier of the raw points
+    val pts = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(graft.Tables.cents(col("p_retailprice")), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = pts.filter(p => !pts.exists(q => dominates(q, p)))
+    assert(frontier.toSet == brute.toSet)
+  }
+
+  test("triangle_count: per-node counts match brute-force triple enumeration") {
+    val got = SparkEntry.queries("triangle_count")(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("triangle_cnt"))
+      .toMap
+    // independent dense recount: rebuild the thresholded edge set in
+    // driver code and enumerate all triples (the graph at sf0.001 is
+    // tiny), bypassing the degree-orientation machinery entirely
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (sks <- byOrder; i <- sks.indices; j <- (i + 1) until sks.length)
+      w((sks(i), sks(j))) = w.getOrElse((sks(i), sks(j)), 0L) + 1L
+    val np = w.size
+    val sc = w.values.sum
+    // filter + keySet, NOT Map.collect: collecting (a,b) tuples out of a
+    // Map rebuilds a Map keyed on a, silently dropping parallel edges
+    val edges = w.filter { case (_, c) => c * np >= sc }.keySet.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val cnt = scala.collection.mutable.Map.empty[Long, Long]
+    def adj(a: Long, b: Long) =
+      edges((math.min(a, b), math.max(a, b)))
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) &&
+        adj(nodes(i), nodes(k))
+      n <- Seq(nodes(i), nodes(j), nodes(k))
+    } cnt(n) = cnt.getOrElse(n, 0L) + 1L
+    assert(got == cnt.toMap, s"got=$got want=$cnt")
+  }
+}
