@@ -10,7 +10,8 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     (ops.Parity.all :+ etl.StarSchema.spec :+ etl.StarSchema.summarySpec :+
       sources.Io.writeRoundtrip :+ sources.Io.jdbcRoundtrip :+
-      sources.Io.orcRoundtrip :+ sources.Io.csvRoundtrip) ++
+      sources.Io.orcRoundtrip :+ sources.Io.csvRoundtrip :+
+      sources.Io.jsonRoundtrip) ++
       ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
       ops.Graph.all ++ ops.Relational.all ++
       report.Analytics.all ++

@@ -604,7 +604,59 @@ object Dedup {
             ORDER BY e.id1, e.id2""")
   )
 
+  /** Bloom-pruned overlap join — decontaminate's constant-memory scale
+    * path: instead of broadcasting the eval-set's exact shingle SET, the
+    * training side is pre-filtered through a Bloom filter built over it
+    * (`DataFrameStat.bloomFilter`, Spark's own sketch — the same
+    * machinery its runtime row-group filtering injects), then only the
+    * survivors take the exact semi-join that removes the filter's false
+    * positives. The final counts are therefore EXACT — the bloom changes
+    * the plan, never the answer — which is what makes it oracle-checkable
+    * against the plain join.
+    *
+    * Why it matters at 100 TB: the exact set grows with the blocklist;
+    * the bloom is O(bits) at a chosen fpp no matter the cardinality, and
+    * the membership probe runs scan-side BEFORE any shuffle, so the
+    * join's input shrinks from |training shingles| to |hits + ε|. The
+    * probe is the one sanctioned UDF in the codebase: a broadcast sketch
+    * membership test Spark offers no builtin for (mirroring its internal
+    * BloomFilterMightContain, which is not public API). */
+  val bloomPruneJoin = QuerySpec(
+    "bloom_prune_join",
+    (s, d) => {
+      val docs = documents(s, d)
+      val bsh = TextOps.shingleRows(docs.filter(col("doc_id") < 20), 8)
+        .select("s").distinct().localCheckpoint(false)
+      // expectedNumItems from a count over the (small) eval side —
+      // sanctioned scalar feedback, same as kmeans' seed collect
+      val bf = bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), 0.03)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((x: String) => x != null && bfB.value.mightContainString(x))
+      val tsh = TextOps.shingleRows(docs.filter(col("doc_id") >= 20), 8)
+        .distinct()
+        .filter(mightContain(col("s")))
+      tsh.join(bsh, Seq("s"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("hit_cnt"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH bsh AS (
+              SELECT DISTINCT substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)
+              WHERE doc_id < 20),
+            tsh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)
+              WHERE doc_id >= 20)
+            SELECT doc_id, count(*) AS hit_cnt
+            FROM tsh SEMI JOIN bsh USING (s)
+            GROUP BY doc_id
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
-        clusters, keep, decontaminate, minhashSimEst)
+        clusters, keep, decontaminate, minhashSimEst, bloomPruneJoin)
 }

@@ -766,9 +766,176 @@ object TextOps {
     }
   )
 
+  /** Bigram collocations by pointwise-mutual-information LIFT — the
+    * phrase-mining pass that finds multiword units ("new york") before
+    * tokenizer/vocab training. lift = p(x,y)/(p(x)·p(y)) =
+    * c_xy·N²/(M·c_x·c_y), emitted as exact integer millis (the log is
+    * monotone, so ranking by lift IS ranking by PMI — no transcendental
+    * function ever runs, because libm rounding differs between engines).
+    * DECIMAL(38,0)/HUGEINT intermediates keep c_xy·N²·1000 exact to
+    * ~10¹¹-token corpora (vs ~10⁵ for a naive long); past that, rescale
+    * N on both sides before the ratio.
+    *
+    * Scale shape: bigram extraction is a per-row array HOF (consecutive
+    * token pairs — no self-join); counts are two map-side-combinable
+    * group-bys; the unigram joins key on single words (corpus-derived →
+    * shuffle, never broadcast); the two scalar totals ride a single-row
+    * crossJoin broadcast. */
+  val collocationPmi = QuerySpec(
+    "collocation_pmi",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("l"))
+      val uni = toks
+        .select(explode(col("l")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = toks
+        // ANSI guard: size≥2 BEFORE sequence — Spark's sequence(1, 0)
+        // counts DOWN ([1,0]) and l[1] on a 1-token doc would throw
+        // under ANSI; with the filter every index is in bounds
+        .filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))"))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      val n = uni.agg(sum(col("c")).as("n"))
+      val m = bi.agg(sum(col("cxy")).as("m"))
+      bi.filter(col("cxy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        // div (IntegralDivide), NOT decimal `/` + cast: decimal division
+        // rounds at its result scale before any cast, which can round UP
+        // across the integer boundary where DuckDB's // floors
+        .select(col("w1"), col("w2"), col("cxy"),
+          expr("""(cast(cxy AS DECIMAL(38,0)) * n * n * 1000)
+                  div (cast(m AS DECIMAL(38,0)) * c1 * c2)""").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
+        .limit(40)
+    },
+    // DuckDB's DECIMAL division semantics differ from Spark's at scale
+    // 38 — both sides therefore do the division on HUGEINT/decimal and
+    // FLOOR via integer semantics: Spark decimal-div then cast(long)
+    // truncates toward zero on positives; DuckDB // floors. All values
+    // positive → identical.
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+            uni AS (
+              SELECT u AS w, count(*) AS c
+              FROM (SELECT UNNEST(l) AS u FROM toks) WHERE u <> '' GROUP BY 1),
+            nn AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM uni),
+            bi AS (
+              SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS cxy
+              FROM toks,
+                   UNNEST(generate_series(1, CAST(len(l) - 1 AS INTEGER))) AS t(i)
+              WHERE l[i] <> '' AND l[i+1] <> ''
+              GROUP BY 1, 2),
+            mm AS (SELECT CAST(sum(cxy) AS HUGEINT) AS m FROM bi)
+            SELECT w1, w2, cxy,
+                   CAST((CAST(cxy AS HUGEINT) * n * n * 1000) // (m * c1.c * c2.c) AS BIGINT) AS lift_milli
+            FROM bi
+            JOIN uni c1 ON c1.w = w1
+            JOIN uni c2 ON c2.w = w2, nn, mm
+            WHERE cxy >= 5
+            ORDER BY lift_milli DESC, w1, w2 LIMIT 40""")
+  )
+
+  /** Group-aware (leakage-safe) split: every document of one SOURCE
+    * lands in the same train/val/test bucket, so near-duplicate pages
+    * from one site can never straddle the train/eval boundary — the
+    * group-level cousin of sample_split's per-document content hash.
+    * Same salted-md5 bucket arithmetic, keyed on the group column;
+    * pure projection, zero shuffle, assignment survives re-sharding. */
+  val leakageSafeSplit = QuerySpec(
+    "leakage_safe_split",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("conv(substring(md5(concat('grp-v1:', source)), 1, 8), 16, 10)")
+            .cast("long").as("h"))
+        .select(col("doc_id"), col("source"), (col("h") % 100).as("bucket"),
+          when(col("h") % 100 < 80, "train")
+            .when(col("h") % 100 < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+    Some {
+      val v = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('grp-v1:' || source), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" + ")
+      s"""SELECT doc_id, source, v % 100 AS bucket,
+                 CASE WHEN v % 100 < 80 THEN 'train'
+                      WHEN v % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, source, $v AS v FROM documents)
+          ORDER BY doc_id"""
+    }
+  )
+
+  /** Cross-document shared-passage detection — winnow_fingerprint's
+    * payoff query: doc pairs sharing ≥5 distinct winnowing fingerprint
+    * hashes, i.e. pairs with CONTIGUOUS common passages (each shared
+    * hash witnesses a ≥8-char verbatim run), not just similar shingle
+    * SETS (minhash) or similar hash profiles (simhash).
+    *
+    * The pairing is the rare-token inverted-index discipline from
+    * ngram_jaccard: fingerprints appearing in >10 docs are boilerplate
+    * and get dropped (df ∈ [2,10]) BEFORE the self-join, so bucket
+    * sizes — and the pair fan-out — stay bounded no matter the corpus;
+    * the only shuffles are the df count and the hash-keyed join. At
+    * 100 TB, fingerprints bucket by hash and the probe is co-located. */
+  val sharedPassagePairs = QuerySpec(
+    "shared_passage_pairs",
+    (s, d) => {
+      val fp = winnowFingerprints(documents(s, d))
+        .select(col("doc_id"), col("fp_hash")).distinct()
+      val df = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+      val rare = fp.join(df.filter(col("df").between(2, 10)), "fp_hash")
+        .select("doc_id", "fp_hash")
+      rare.select(col("doc_id").as("id1"), col("fp_hash"))
+        .join(rare.select(col("doc_id").as("id2"), col("fp_hash")), "fp_hash")
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2")
+        .agg(count(lit(1)).as("shared_cnt"))
+        .filter(col("shared_cnt") >= 5)
+        .orderBy("id1", "id2")
+    },
+    Some {
+      val v = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INTEGER), 8)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" + ")
+      s"""WITH docs8 AS (
+            SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS n
+            FROM documents WHERE length(text) >= 8),
+          g AS (
+            SELECT doc_id, n, CAST(i AS BIGINT) AS pos, CAST($v AS BIGINT) AS v
+            FROM docs8,
+                 UNNEST(generate_series(1, CAST(length(text) - 7 AS INTEGER))) AS t(i)),
+          pick AS (
+            SELECT a.doc_id, a.pos AS s, MIN((b.v + 1) * 1048576 - b.pos) AS k
+            FROM g a JOIN g b ON b.doc_id = a.doc_id
+                             AND b.pos BETWEEN a.pos AND a.pos + 3
+            WHERE a.pos <= a.n - 3
+            GROUP BY a.doc_id, a.pos),
+          fp AS (SELECT DISTINCT doc_id, k // 1048576 AS h FROM pick),
+          df AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+          rare AS (
+            SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h)
+            WHERE d BETWEEN 2 AND 10)
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_cnt
+          FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 5
+          ORDER BY id1, id2"""
+    }
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
-        trigramFamiliarity, sourceMix, winnowFingerprint)
+        trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
+        leakageSafeSplit, sharedPassagePairs)
 }

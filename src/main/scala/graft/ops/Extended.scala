@@ -641,10 +641,77 @@ object Extended {
             ORDER BY a.day_key""")
   )
 
+  /** Robust outliers by Median-Absolute-Deviation: |x − med| > 3·MAD,
+    * the heavy-tail-safe cousin of zscore_outliers (one extreme balance
+    * inflates a standard deviation but barely moves a median). Both
+    * medians are LOWER medians by positional selection (the
+    * quartiles_exact machinery) so everything stays in integer cents —
+    * no interpolation, no floats, and the 3·MAD comparison is exact
+    * long arithmetic. Plan: two partitioned sorts (values, then
+    * deviations) + two 25-row stat broadcasts; no global sort, and at
+    * 100 TB the positional pick swaps for one approx-quantile pass per
+    * column with the identical downstream comparison. */
+  val madOutliers = QuerySpec(
+    "mad_outliers",
+    (s, d) => {
+      val src = customer(s, d)
+        .filter(col("c_acctbal").isNotNull)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), cents(col("c_acctbal")).as("cents"))
+      val stats = src.groupBy("nation").agg(count(lit(1)).as("n"))
+      def pick(in: org.apache.spark.sql.DataFrame, valueCol: String, out: String) =
+        in.withColumn("rn", row_number().over(
+            Window.partitionBy("nation").orderBy(valueCol)).cast("long"))
+          .join(broadcast(stats), "nation")
+          .groupBy("nation")
+          .agg(max(when(col("rn") === expr("(n - 1) div 2 + 1"),
+            col(valueCol))).as(out))
+      val med = pick(src, "cents", "med_cents")
+      val devs = src.join(broadcast(med), "nation")
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val mad = pick(devs, "dev", "mad_cents")
+      devs.join(broadcast(mad), "nation")
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_custs"),
+          max(col("med_cents")).as("med_cents"),
+          max(col("mad_cents")).as("mad_cents"),
+          sum((col("dev") > lit(3L) * col("mad_cents")).cast("long"))
+            .as("outlier_cnt"))
+        .orderBy("nation")
+    },
+    Some("""WITH src AS (
+              SELECT n_name AS nation,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_acctbal IS NOT NULL),
+            st AS (SELECT nation, count(*) AS n FROM src GROUP BY 1),
+            med AS (
+              SELECT nation, max(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) AS med_cents
+              FROM (SELECT nation, cents,
+                           ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents) AS rn
+                    FROM src) r JOIN st USING (nation)
+              GROUP BY nation),
+            devs AS (
+              SELECT src.nation, cents, abs(cents - med_cents) AS dev, med_cents
+              FROM src JOIN med USING (nation)),
+            mad AS (
+              SELECT nation, max(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev END) AS mad_cents
+              FROM (SELECT nation, dev,
+                           ROW_NUMBER() OVER (PARTITION BY nation ORDER BY dev) AS rn
+                    FROM devs) r JOIN st USING (nation)
+              GROUP BY nation)
+            SELECT devs.nation, count(*) AS n_custs,
+                   max(devs.med_cents) AS med_cents,
+                   max(mad.mad_cents) AS mad_cents,
+                   CAST(SUM(CASE WHEN dev > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS outlier_cnt
+            FROM devs JOIN mad USING (nation)
+            GROUP BY devs.nation ORDER BY devs.nation""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
     regressionMoments, histogramBins, topkPerGroup, quartilesExact,
-    eventFunnel, rolling30dRevenue)
+    eventFunnel, rolling30dRevenue, madOutliers)
 }

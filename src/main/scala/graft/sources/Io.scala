@@ -47,6 +47,12 @@ object Io {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** JSON-lines export — the interchange format for row-oriented
+    * landing zones; reading back always goes through a declared schema
+    * (readJsonLines), never inference. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
   def readJdbc(s: SparkSession, url: String, table: String,
                props: java.util.Properties = new java.util.Properties()): DataFrame =
     s.read.jdbc(url, table, props)
@@ -141,6 +147,26 @@ object Io {
                    n_name AS country, r_name AS region
             FROM nation JOIN region ON n_regionkey = r_regionkey
             ORDER BY location_key""")
+  )
+
+  /** JSON-lines under the same gate, on the WIDER dim (dim_product:
+    * 2,000 rows, free-text product names) so string escaping in both
+    * directions is actually exercised — a quoting/escape bug in the
+    * writer or a type-mapping bug in the schema-on-read path breaks the
+    * hash against the parquet-derived oracle. */
+  val jsonRoundtrip = QuerySpec(
+    "json_roundtrip",
+    (s, d) => {
+      val out = fmtDir(s, "json", d) + "/dim_product"
+      writeJsonLines(graft.etl.StarSchema.dimProduct(s, d), out)
+      readJsonLines(s, out, graft.model.Schemas.dimProduct)
+        .orderBy("product_key")
+    },
+    Some("""SELECT p_partkey AS product_key,
+                   substr(p_name, 1, 255) AS product_name,
+                   p_type AS product_type, p_brand AS category,
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS list_price_cents
+            FROM part ORDER BY product_key""")
   )
 
   /** S1's row-store half under the driver gate: the reference reads its

@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic-quality checks for the round-4 corpus operators: the oracle
+  * gate proves Spark≡DuckDB; these prove the right thing is computed
+  * (independent recounts, group invariants, prune-is-invisible). */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("collocation_pmi: lift recomputes from raw counts, ordering is total") {
+    val rows = SparkEntry.queries("collocation_pmi")(spark, sf).collect()
+    assert(rows.length == 40)
+    // independent recount of the corpus stats in driver code
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(lower(col("text")), " ").as("l"))
+      .collect().map(_.getSeq[String](0).toArray)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (l <- toks) {
+      for (w <- l if w.nonEmpty) uni(w) = uni.getOrElse(w, 0L) + 1
+      for (i <- 0 until l.length - 1 if l(i).nonEmpty && l(i + 1).nonEmpty)
+        bi((l(i), l(i + 1))) = bi.getOrElse((l(i), l(i + 1)), 0L) + 1
+    }
+    val n = BigInt(uni.values.sum)
+    val m = BigInt(bi.values.sum)
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val cxy = BigInt(bi((w1, w2)))
+      assert(r.getAs[Long]("cxy") == cxy.toLong, r)
+      val want = (cxy * n * n * 1000) / (m * uni(w1) * uni(w2))
+      assert(r.getAs[Long]("lift_milli") == want.toLong, s"$r want=$want")
+    }
+    // rows arrive in the declared total order
+    val key = rows.map(r => (-r.getAs[Long]("lift_milli"), r.getString(0), r.getString(1)))
+    assert(key.sameElements(key.sorted))
+  }
+
+  test("leakage_safe_split: split is constant within a source group") {
+    val rows = SparkEntry.queries("leakage_safe_split")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[String]("split")).toSet.size == 1,
+        s"source $src straddles splits")
+    }
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
+  test("shared_passage_pairs: every reported pair shares a verbatim 8-gram") {
+    val pairs = SparkEntry.queries("shared_passage_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Long]("shared_cnt")))
+    assert(pairs.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String) = (0 to t.length - 8).map(i => t.substring(i, i + 8)).toSet
+    pairs.foreach { case (a, b, cnt) =>
+      assert(cnt >= 5, s"($a,$b) cnt=$cnt below threshold")
+      assert((grams(texts(a)) & grams(texts(b))).nonEmpty,
+        s"($a,$b) reported but no verbatim 8-gram in common")
+    }
+  }
+
+  test("bloom_prune_join: the bloom prune never changes the exact answer") {
+    val got = SparkEntry.queries("bloom_prune_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hit_cnt")).toMap
+    // plain exact semi-join, no bloom anywhere
+    val docs = graft.Tables.documents(spark, sf)
+    val bsh = TextOps.shingleRows(docs.filter(col("doc_id") < 20), 8)
+      .select("s").distinct()
+    val want = TextOps.shingleRows(docs.filter(col("doc_id") >= 20), 8)
+      .distinct()
+      .join(bsh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hit_cnt"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hit_cnt")).toMap
+    assert(got == want)
+  }
+
+  test("mad_outliers: medians are positional lower medians, counts recompute") {
+    val rows = SparkEntry.queries("mad_outliers")(spark, sf).collect()
+    assert(rows.length == 25)
+    val groups = spark.sql(
+      s"""SELECT n_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM parquet.`$sf/customer.parquet`
+          JOIN parquet.`$sf/nation.parquet` ON c_nationkey = n_nationkey
+          WHERE c_acctbal IS NOT NULL""")
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    def lowerMedian(v: Array[Long]) = v((v.length - 1) / 2)
+    rows.foreach { r =>
+      val vs = groups(r.getString(0))
+      val med = lowerMedian(vs)
+      assert(r.getAs[Long]("med_cents") == med, r)
+      val devs = vs.map(x => math.abs(x - med)).sorted
+      val mad = lowerMedian(devs)
+      assert(r.getAs[Long]("mad_cents") == mad, r)
+      assert(r.getAs[Long]("outlier_cnt") == devs.count(_ > 3 * mad), r)
+      assert(r.getAs[Long]("n_custs") == vs.length, r)
+    }
+  }
+}
