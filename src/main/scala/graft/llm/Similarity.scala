@@ -463,7 +463,125 @@ object Similarity {
             ORDER BY cluster""")
   )
 
+  /** Product-quantization ANN (the THIRD scale tier after LSH buckets
+    * and IVF cells — and the memory story: 64 float dims compress to
+    * m = 4 one-byte codes, a 64× shrink that is what lets a 100 TB
+    * embedding corpus live in cluster RAM). The vector space splits
+    * into 4 sub-spaces of 16 dims; each sub-vector is encoded as its
+    * nearest codebook entry (k = 16 per sub-space); a query scores a
+    * candidate ASYMMETRICALLY as Σ_sub dt[sub][code_sub] where dt is
+    * the query's exact distance table to every codebook entry.
+    *
+    * Codebook = the sub-vectors of the 16 smallest vec_ids (seed
+    * codebook; production trains it with the kmeans_lloyd loop — the
+    * encode/ADC machinery here is identical either way, and seeds keep
+    * the oracle tractable). All math in exact quantized integers.
+    *
+    * Scale shape: the codebook (k×d) and the per-query distance tables
+    * (|Q|·m·k rows) are the ONLY broadcasts — both config-sized, never
+    * corpus-derived. Encoding reuses kmeans' measured WIDE layout
+    * (d rows × k columns: N·d scan rows with k multiply-adds in
+    * codegen, not an N·d·k fan-out), and ONE scored frame feeds both
+    * the corpus codes and the query tables (the dims are shared, so
+    * including Σq² costs nothing and keeps dt a true distance). ADC
+    * itself is a map-side broadcast join on (sub, code) + one
+    * (qid, vec) partial agg — the corpus is scanned once, shuffled
+    * never. Top-k per query is a qid-partitioned window; at real query
+    * volume the per-partition partial top-k refinement applies. */
+  val annPq = QuerySpec(
+    "ann_pq",
+    (s, d) => {
+      val comp = quantComponents(embeddings(s, d)).select("vec_id", "dim", "q")
+        .localCheckpoint(false)
+      val seedIds: Array[Long] = comp.select("vec_id").distinct()
+        .orderBy("vec_id").limit(16).collect().map(_.getLong(0))
+      val ks = seedIds.indices
+      if (seedIds.isEmpty)
+        s.range(0).select(col("id").as("qid"), col("id").as("rank"),
+          col("id").as("vec_id"), col("id").as("adist"))
+      else {
+        val cent0 = comp
+          .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
+          .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
+        val slot = ks.foldLeft(lit(-1L)) { (acc, k) =>
+          when(col("cluster") === seedIds(k), lit(k.toLong)).otherwise(acc) }
+        val wide = cent0.withColumn("k", slot)
+          .groupBy("dim")
+          .agg(coalesce(sum(when(col("k") === 0, col("c"))), lit(0L)).as("c0"),
+            ks.drop(1).map(k =>
+              coalesce(sum(when(col("k") === k, col("c"))), lit(0L)).as(s"c$k")): _*)
+        // s_k(vec, sub) = Σ_dims∈sub (q − c_k)² — true sub-distances, so
+        // this one frame is BOTH the encode argmin input and (filtered
+        // to queries) the ADC distance table
+        val scored = comp.join(broadcast(wide), Seq("dim"))
+          .withColumn("sub", expr("(dim - 1) div 16"))
+          .groupBy("vec_id", "sub")
+          .agg(sum((col("c0") - col("q")) * (col("c0") - col("q"))).as("s0"),
+            ks.drop(1).map(k =>
+              sum((col(s"c$k") - col("q")) * (col(s"c$k") - col("q"))).as(s"s$k")): _*)
+          .localCheckpoint(false)
+        val best = least(ks.map(k => col(s"s$k")): _*)
+        // first-match on ascending slot order = smallest code wins ties,
+        // matching the oracle's ORDER BY (d2, slot)
+        val pick = ks.foldRight(lit(ks.last.toLong)) { (k, el) =>
+          when(col(s"s$k") === best, lit(k.toLong)).otherwise(el) }
+        val codes = scored.select(col("vec_id"), col("sub"), pick.as("code"))
+        val dtab = scored.filter(col("vec_id") < 10)
+          .selectExpr("vec_id AS qid", "sub",
+            s"stack(${ks.length}, ${ks.map(k => s"${k}L, s$k").mkString(", ")}) AS (code, dt)")
+        val scores = codes.join(broadcast(dtab), Seq("sub", "code"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("dt")).as("adist"))
+        val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id"))
+        scores.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("qid", "rank", "vec_id", "adist")
+          .orderBy("qid", "rank")
+      }
+    },
+    Some("""WITH comp AS (
+              SELECT vec_id, i AS dim,
+                     CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+            s16 AS (SELECT DISTINCT vec_id FROM comp ORDER BY vec_id LIMIT 16),
+            seeds AS (
+              SELECT a.vec_id,
+                     CAST((SELECT count(*) FROM s16 b WHERE b.vec_id < a.vec_id)
+                          AS BIGINT) AS slot
+              FROM s16 a),
+            cent AS (
+              SELECT s.slot, comp.dim, comp.q AS c
+              FROM comp JOIN seeds s ON comp.vec_id = s.vec_id),
+            d2 AS (
+              SELECT comp.vec_id, (comp.dim - 1) // 16 AS sub, c.slot,
+                     SUM((comp.q - c.c) * (comp.q - c.c)) AS d2
+              FROM comp JOIN cent c ON comp.dim = c.dim
+              GROUP BY 1, 2, 3),
+            codes AS (
+              SELECT vec_id, sub, slot AS code FROM (
+                SELECT vec_id, sub, slot,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, slot) AS rn
+                FROM d2) WHERE rn = 1),
+            dtab AS (
+              SELECT vec_id AS qid, sub, slot AS code, d2 AS dt
+              FROM d2 WHERE vec_id < 10),
+            scores AS (
+              SELECT t.qid, c.vec_id, CAST(SUM(t.dt) AS BIGINT) AS adist
+              FROM codes c JOIN dtab t ON t.sub = c.sub AND t.code = c.code
+              WHERE t.qid <> c.vec_id
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT qid, vec_id, adist,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY adist, vec_id) AS rank
+              FROM scores)
+            SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, adist
+            FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, embeddingCentroids,
-        annIvf, kmeansLloyd)
+        annIvf, kmeansLloyd, annPq)
 }

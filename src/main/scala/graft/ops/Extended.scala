@@ -641,6 +641,34 @@ object Extended {
             ORDER BY a.day_key""")
   )
 
+  /** §2.10's stream-static join, batch-executed under the oracle gate:
+    * events enriched against the customer→country dim (user_id lands in
+    * the customer key space), hourly revenue per country. The streaming
+    * twin (graft.streaming.Events.enrichedHourlyByCountry, watermarked,
+    * MemoryStream-tested) runs THIS transform — one definition, both
+    * execution modes, the incremental-refresh capability the reference
+    * lists as future work. */
+  val streamEnrich = QuerySpec(
+    "stream_enrich",
+    (s, d) => {
+      val dim = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("user_key"), col("n_name").as("country"))
+      graft.streaming.Events.enrichedHourlyByCountry(events(s, d), dim)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("country"), col("event_cnt"), col("total_value_cents"))
+        .orderBy("hour", "country")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   n_name AS country, count(*) AS event_cnt,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2 ORDER BY hour, country""")
+  )
+
   /** Robust outliers by Median-Absolute-Deviation: |x − med| > 3·MAD,
     * the heavy-tail-safe cousin of zscore_outliers (one extreme balance
     * inflates a standard deviation but barely moves a median). Both
@@ -713,5 +741,5 @@ object Extended {
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
     regressionMoments, histogramBins, topkPerGroup, quartilesExact,
-    eventFunnel, rolling30dRevenue, madOutliers)
+    eventFunnel, rolling30dRevenue, madOutliers, streamEnrich)
 }

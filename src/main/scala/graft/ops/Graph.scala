@@ -135,10 +135,14 @@ object Graph {
             (col("d1") === col("d2") && col("s1") < col("s2")),
             col("s2")).otherwise(col("s1")).as("v"))
         .localCheckpoint(false)
+      // wedge + close joins hinted shuffle_hash: both sides are
+      // corpus-derived (never broadcast), and hashing beats sorting the
+      // O(|E|^1.5) wedge stream
       val tri = oriented
-        .join(oriented.select(col("u").as("v"), col("v").as("w")), "v")
-        .join(oriented.select(col("u"), col("v").as("w"), lit(1).as("hit")),
-          Seq("u", "w"))
+        .join(oriented.select(col("u").as("v"), col("v").as("w"))
+          .hint("shuffle_hash"), "v")
+        .join(oriented.select(col("u"), col("v").as("w"), lit(1).as("hit"))
+          .hint("shuffle_hash"), Seq("u", "w"))
         .select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
         .groupBy("s_suppkey")

@@ -61,6 +61,26 @@ object Events {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
               col("user_id"), col("event_cnt"), col("total_value_cents"))
 
+  /** Stream-static enrichment: join the event stream to a slowly-changing
+    * dimension (user → country) and aggregate hourly revenue per country.
+    * Stream-static joins need NO state for the static side — Spark plans
+    * the dim as a broadcast against every micro-batch, so the stream is
+    * never shuffled for the join; only the windowed agg keeps
+    * (watermark-bounded) state. The dim frame is re-resolved per batch,
+    * which is what makes "slowly-changing" work: replacing the underlying
+    * files refreshes the enrichment without a restart. Stream-agnostic:
+    * apply to readStream for incremental execution or to a batch frame
+    * for backfill (the `stream_enrich` oracle key). */
+  def enrichedHourlyByCountry(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(userDim), col("user_id") === col("user_key"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("country"))
+      .agg(count(lit(1)).as("event_cnt"),
+           sum(cents(col("value"))).as("total_value_cents"))
+      .select(col("w.start").as("window_start"), col("country"),
+              col("event_cnt"), col("total_value_cents"))
+
   /** Exactly-once streaming dedup: drop replayed event_ids inside the
     * watermark horizon — dedup is on the id ALONE, so a replay whose
     * timestamp was jittered in transit is still dropped (keying on

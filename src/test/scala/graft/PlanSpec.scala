@@ -133,6 +133,57 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 scans (customer, orders), got $scans:\n$p")
   }
 
+  test("stream_enrich broadcasts the dim against the event scan") {
+    val p = plan("stream_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim enrichment degraded to SMJ:\n$p")
+  }
+
+  test("bloom_prune_join probes the sketch BEFORE the exact semi-join") {
+    val df = SparkEntry.queries("bloom_prune_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF membership filter must sit below the semi join in the tree
+    // (prune-then-join, not join-then-prune)
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(joinIdx >= 0, p)
+    val below = p.substring(joinIdx)
+    assert(below.contains("UDF"), s"bloom probe not below the semi join:\n$p")
+  }
+
+  test("triangle_count: wedge joins are shuffle-hash, nothing corpus-derived broadcasts") {
+    // edges/wedges are corpus-derived — same static rule as pagerank's
+    // rank table; hashing also beats sorting the |E|^1.5 wedge stream
+    val df = SparkEntry.queries("triangle_count")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived broadcast in static plan:\n$p")
+  }
+
+  test("ann_pq: ADC is one broadcast join on the query tables + partial top-k") {
+    val df = SparkEntry.queries("ann_pq")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    // the one visible join broadcasts the |Q|·m·k distance-table stack
+    // (filtered to vec_id < 10); the corpus codes side streams
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("< 10"), s"broadcast side is not the query tables:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // Spark 4 plants a partial WindowGroupLimit: per-partition top-k
+    // before the window's shuffle — the at-scale refinement, planned
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("skyline_pareto: the window runs over the price GRID, not raw parts") {
+    val df = SparkEntry.queries("skyline_pareto")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the staircase window's input subtree must aggregate (grid collapse)
+    // before the single-partition exchange
+    val idx = p.indexOf("Window")
+    assert(idx >= 0, p)
+    assert(p.substring(idx).contains("HashAggregate"),
+      s"window not over the collapsed price grid:\n$p")
+  }
+
   test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
     val df = SparkEntry.queries("sequence_pack")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -77,6 +77,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ann_pq: codes are true sub-space argmins, ADC sums reconstruct") {
+    val rows = SparkEntry.queries("ann_pq")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side ground truth: quantized vectors, seed codebook,
+    // per-sub argmin encode, asymmetric distance tables
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1000).toLong).toArray)
+      .toMap
+    val seeds = vecs.keys.toSeq.sorted.take(16)
+    def subDist(v: Array[Long], c: Array[Long], sub: Int): Long =
+      (sub * 16 until (sub + 1) * 16)
+        .map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+    def encode(v: Array[Long]): Array[Int] =
+      Array.tabulate(4) { sub =>
+        seeds.indices.minBy(k => (subDist(v, vecs(seeds(k)), sub), k))
+      }
+    val codes = vecs.map { case (id, v) => id -> encode(v) }
+    rows.foreach { r =>
+      val (qid, vid) = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      val want = (0 until 4).map(sub =>
+        subDist(vecs(qid), vecs(seeds(codes(vid)(sub))), sub)).sum
+      assert(r.getAs[Long]("adist") == want, s"$r want=$want")
+    }
+    // ranks are 1..5 per query, ascending adist
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val ds = sorted.map(_.getAs[Long]("adist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("mad_outliers: medians are positional lower medians, counts recompute") {
     val rows = SparkEntry.queries("mad_outliers")(spark, sf).collect()
     assert(rows.length == 25)

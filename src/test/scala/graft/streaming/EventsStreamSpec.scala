@@ -8,6 +8,9 @@ import java.sql.Timestamp
 /** Top-level so Spark encoders don't need an outer instance. */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 
+/** Event with a user key, for the stream-static enrichment test. */
+case class EvU(ts: Timestamp, user_id: Long, value: Double)
+
 /** Structured Streaming semantics: the hourly aggregation must produce
   * the same results incrementally (MemoryStream micro-batches) as in one
   * batch pass — the single-definition batch/stream contract. */
@@ -42,6 +45,33 @@ class EventsStreamSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(streamed == batch)
       assert(streamed.size == 3) // 10h click(2), 11h view, 12h click
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment == batch enrichment, unmatched users drop") {
+    implicit val sctx = spark.sqlContext
+    val dim = Seq((1L, "FRANCE"), (2L, "KENYA")).toDF("user_key", "country")
+    val data = Seq(
+      EvU(Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 1.0),
+      EvU(Timestamp.valueOf("2024-01-01 10:35:00"), 2L, 2.5),
+      EvU(Timestamp.valueOf("2024-01-01 11:10:00"), 1L, 4.0),
+      EvU(Timestamp.valueOf("2024-01-01 11:20:00"), 99L, 8.0)) // no dim row
+
+    val stream = MemoryStream[EvU]
+    val q = Events.enrichedHourlyByCountry(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data.take(2))
+      q.processAllAvailable()
+      stream.addData(data.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").collect().map(_.toSeq).toSet
+      val batch = Events.enrichedHourlyByCountry(data.toDF(), dim)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // 10h FRANCE, 10h KENYA, 11h FRANCE; user 99 enriches nothing
+      assert(streamed.size == 3)
     } finally q.stop()
   }
 
