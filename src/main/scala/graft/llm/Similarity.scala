@@ -553,10 +553,19 @@ object Similarity {
             cent AS (
               SELECT s.slot, comp.dim, comp.q AS c
               FROM comp JOIN seeds s ON comp.vec_id = s.vec_id),
+            -- zero-fill grid, mirroring the wide layout exactly: one row
+            -- per (slot, dim∈ANY seed's dims), missing entries count 0 —
+            -- a ragged codebook (short seed vectors) must penalize, not
+            -- vanish (the fuzz corpus catches the inner-join version)
+            wide AS (
+              SELECT s.slot, d.dim, COALESCE(c.c, 0) AS c
+              FROM (SELECT DISTINCT slot FROM cent) s
+              CROSS JOIN (SELECT DISTINCT dim FROM cent) d
+              LEFT JOIN cent c ON c.slot = s.slot AND c.dim = d.dim),
             d2 AS (
-              SELECT comp.vec_id, (comp.dim - 1) // 16 AS sub, c.slot,
-                     SUM((comp.q - c.c) * (comp.q - c.c)) AS d2
-              FROM comp JOIN cent c ON comp.dim = c.dim
+              SELECT comp.vec_id, (comp.dim - 1) // 16 AS sub, w.slot,
+                     SUM((comp.q - w.c) * (comp.q - w.c)) AS d2
+              FROM comp JOIN wide w ON comp.dim = w.dim
               GROUP BY 1, 2, 3),
             codes AS (
               SELECT vec_id, sub, slot AS code FROM (
