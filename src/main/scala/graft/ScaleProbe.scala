@@ -157,8 +157,45 @@ object ScaleProbe {
     println(s"""{"probe":"ngram_rare_shingle_candidates","sf":"$sfDir","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe winnow [ks...]`: replication curve for
+    * the winnowing shared-passage pipeline (the SHIPPED
+    * sharedPassagePairsOf plan). Replicated docs are verbatim copies, so
+    * every fingerprint's df multiplies by k and the df∈[2,10]
+    * boilerplate cut is stress-tested by construction: at k≥2 every
+    * base fingerprint clears df≥2 and replica groups are all-pairs
+    * shared-passage positives. Runtime should track corpus size plus
+    * the intrinsic k²-per-group pair output — not corpus all-pairs. */
+  private def winnowProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs0.count()
+    val runs = ks.map { k =>
+      val docs = (0 until k).map(i =>
+          docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val pairs = llm.TextOps.sharedPassagePairsOf(docs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] k=$k%-2d docs=${k * base}%-7d passage_pairs=$pairs%-9d ${secs}%.1f s")
+      (k, secs, pairs)
+    }
+    val qs = runs.map { case (k, s, p) =>
+      s"""{"k":$k,"sec":$s,"pairs":$p}""" }.mkString("[", ",", "]")
+    println(s"""{"probe":"winnow_shared_passages","sf":"$sfDir","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("winnow")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 2, 4, 8)
+      winnowProbe(spark, sfDir, ks)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ngram")) {
       val spark = Harness.session()
       val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)

@@ -886,22 +886,25 @@ object TextOps {
     * sizes — and the pair fan-out — stay bounded no matter the corpus;
     * the only shuffles are the df count and the hash-keyed join. At
     * 100 TB, fingerprints bucket by hash and the probe is co-located. */
+  /** The shared-passage pipeline over any (doc_id, text) frame — shared
+    * by the query key and the ScaleProbe replication curve. */
+  def sharedPassagePairsOf(docs: DataFrame): DataFrame = {
+    val fp = winnowFingerprints(docs)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val df = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+    val rare = fp.join(df.filter(col("df").between(2, 10)), "fp_hash")
+      .select("doc_id", "fp_hash")
+    rare.select(col("doc_id").as("id1"), col("fp_hash"))
+      .join(rare.select(col("doc_id").as("id2"), col("fp_hash")), "fp_hash")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("shared_cnt"))
+      .filter(col("shared_cnt") >= 5)
+  }
+
   val sharedPassagePairs = QuerySpec(
     "shared_passage_pairs",
-    (s, d) => {
-      val fp = winnowFingerprints(documents(s, d))
-        .select(col("doc_id"), col("fp_hash")).distinct()
-      val df = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
-      val rare = fp.join(df.filter(col("df").between(2, 10)), "fp_hash")
-        .select("doc_id", "fp_hash")
-      rare.select(col("doc_id").as("id1"), col("fp_hash"))
-        .join(rare.select(col("doc_id").as("id2"), col("fp_hash")), "fp_hash")
-        .filter(col("id1") < col("id2"))
-        .groupBy("id1", "id2")
-        .agg(count(lit(1)).as("shared_cnt"))
-        .filter(col("shared_cnt") >= 5)
-        .orderBy("id1", "id2")
-    },
+    (s, d) => sharedPassagePairsOf(documents(s, d)).orderBy("id1", "id2"),
     Some {
       val v = (0 until 8).map(i =>
         s"(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INTEGER), 8)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")

@@ -736,10 +736,89 @@ object Extended {
             GROUP BY devs.nation ORDER BY devs.nation""")
   )
 
+  /** Calendar gap-filling with last-observation-carried-forward: the
+    * daily revenue series per region densified onto the full date spine
+    * (regions sell nothing on some days — downstream time-series
+    * consumers need an unbroken series). LOCF is
+    * `last(value, ignoreNulls)` over a region-partitioned running
+    * frame; days before a region's first sale stay NULL. The spine is
+    * value-domain-sized (|regions| × |days|), never row-count-sized,
+    * so the crossJoin is config-small at any corpus scale; the raw
+    * aggregation is the usual one partial-agg shuffle. */
+  val gapFillLocf = QuerySpec(
+    "gap_fill_locf",
+    (s, d) => {
+      // null-PRICED orders are gaps, not observations: a day whose only
+      // orders carry no value must not emit a NULL daily row — Spark's
+      // ignoreNulls LOCF would skip it while a latest-day oracle picks
+      // it (fuzz-gate catch); filtering pins "observation = has a value"
+      val dated = orders(s, d)
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      val days = dated
+        .agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+      val spine = days.crossJoin(
+        broadcast(region(s, d).select(col("r_name").as("region"))))
+      val daily = dated
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"),
+          to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_raw"))
+      val w = Window.partitionBy("region").orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("region", "dt"), "left")
+        .withColumn("rev_cents", last(col("rev_raw"), ignoreNulls = true).over(w))
+        .select(col("region"),
+          datediff(col("dt"), lit("1970-01-01").cast("date")).cast("long")
+            .as("day_key"),
+          col("rev_cents"),
+          (col("rev_raw").isNull && col("rev_cents").isNotNull)
+            .cast("long").as("filled"))
+        .orderBy("region", "day_key")
+    },
+    // window-free oracle (DuckDB parallel-window flake guard): LOCF is
+    // literally "the value at the latest at-or-before observed day" —
+    // a grouped max over a band join, then one lookup join back
+    Some("""WITH dated AS (
+              SELECT CAST(o_orderdate AS DATE) AS dt, o_custkey, o_totalprice
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+            bounds AS (SELECT min(dt) AS lo, max(dt) AS hi FROM dated),
+            days AS (
+              SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS dt
+              FROM bounds),
+            daily AS (
+              SELECT r_name AS region, dt,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_raw
+              FROM dated
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2),
+            spine AS (
+              SELECT r_name AS region, dt FROM region CROSS JOIN days),
+            locf AS (
+              SELECT s.region, s.dt, max(b.dt) AS src_dt
+              FROM spine s
+              LEFT JOIN daily b ON b.region = s.region AND b.dt <= s.dt
+              GROUP BY 1, 2)
+            SELECT l.region,
+                   CAST(l.dt - DATE '1970-01-01' AS BIGINT) AS day_key,
+                   f.rev_raw AS rev_cents,
+                   CAST(o.dt IS NULL AND f.rev_raw IS NOT NULL AS BIGINT) AS filled
+            FROM locf l
+            LEFT JOIN daily f ON f.region = l.region AND f.dt = l.src_dt
+            LEFT JOIN daily o ON o.region = l.region AND o.dt = l.dt
+            ORDER BY l.region, day_key""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
     regressionMoments, histogramBins, topkPerGroup, quartilesExact,
-    eventFunnel, rolling30dRevenue, madOutliers, streamEnrich)
+    eventFunnel, rolling30dRevenue, madOutliers, streamEnrich, gapFillLocf)
 }

@@ -86,6 +86,40 @@ class RelationalSpec extends SparkSpec {
     assert(frontier.toSet == brute.toSet)
   }
 
+  test("gap_fill_locf: filled days carry the latest prior observation") {
+    val rows = SparkEntry.queries("gap_fill_locf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent raw series per region
+    val raw = spark.sql(
+      s"""SELECT r_name, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dk,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+          FROM parquet.`$sf/orders.parquet`
+          JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+          JOIN parquet.`$sf/nation.parquet` ON c_nationkey = n_nationkey
+          JOIN parquet.`$sf/region.parquet` ON n_regionkey = r_regionkey
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2""")
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    var filledSeen = 0
+    rows.foreach { r =>
+      val (reg, dk) = (r.getString(0), r.getAs[Long]("day_key"))
+      val series = raw(reg)
+      val priorDays = series.keys.filter(_ <= dk)
+      if (priorDays.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("rev_cents")), s"leading day not null: $r")
+        assert(r.getAs[Long]("filled") == 0L, r)
+      } else {
+        val want = series(priorDays.max)
+        assert(r.getAs[Long]("rev_cents") == want, s"$r want=$want")
+        val expectFilled = if (series.contains(dk)) 0L else 1L
+        assert(r.getAs[Long]("filled") == expectFilled, r)
+        if (expectFilled == 1L) filledSeen += 1
+      }
+    }
+    assert(filledSeen > 0, "corpus has no gap days — test is vacuous")
+  }
+
   test("triangle_count: per-node counts match brute-force triple enumeration") {
     val got = SparkEntry.queries("triangle_count")(spark, sf).collect()
       .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("triangle_cnt"))
