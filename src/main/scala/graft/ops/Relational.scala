@@ -255,7 +255,87 @@ object Relational {
             ORDER BY p_partkey""")
   )
 
+  /** Record linkage (entity resolution) under typo noise: a "dirty"
+    * catalog copy — every part name with ONE deterministically chosen
+    * character deleted (position pk mod len, so both engines corrupt
+    * identically) — is linked back to the clean catalog by edit
+    * distance ≤ 1 WITHOUT a cross join, using the FastSS deletion
+    * neighborhood: dist(a,b) ≤ 1 iff a and b share an element of their
+    * ≤1-deletion neighborhoods (the string itself + every 1-deletion).
+    * Candidates come from one equi-join on the variant string;
+    * `levenshtein` verifies and kills the blocking's false positives,
+    * so results are exact.
+    *
+    * Scale shape: the classic ER blocking pipeline — candidate
+    * generation is per-row (N·L variant rows, map-side), the only
+    * shuffle keys on the variant string, and verification touches
+    * candidates only: O(N·L + |cand|) vs the naive O(N²) levenshtein
+    * cross join. At production scale, high-frequency variants (shared
+    * boilerplate names) get the ngram_jaccard df cap before the join;
+    * this corpus's names don't need it. */
+  val fuzzyLink = QuerySpec(
+    "fuzzy_link",
+    (s, d) => {
+      val clean = part(s, d)
+        .filter(col("p_name").isNotNull)
+        .select(col("p_partkey").as("pk"), col("p_name").as("name"))
+      val dirty = clean.select(col("pk"),
+        expr("""concat(substring(name, 1, CAST(pk % length(name) AS INT)),
+                       substring(name, CAST(pk % length(name) AS INT) + 2, 100000))""")
+          .as("dname"))
+      def variants(df: org.apache.spark.sql.DataFrame, nameCol: String) =
+        df.select(col("*"),
+            explode(sequence(lit(0), length(col(nameCol)))).as("i"))
+          .select(col("*"),
+            when(col("i") === 0, col(nameCol))
+              .otherwise(expr(
+                s"concat(substring($nameCol, 1, i - 1), substring($nameCol, i + 1, 100000))"))
+              .as("v"))
+          .drop("i").distinct()
+      val cand = variants(dirty, "dname")
+        .join(variants(clean, "name")
+            .select(col("pk").as("cpk"), col("name"), col("v")), "v")
+        .select("pk", "dname", "cpk", "name").distinct()
+      cand.filter(levenshtein(col("dname"), col("name")) <= 1)
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_matches"),
+          max((col("cpk") === col("pk")).cast("long")).as("recovered"))
+        .select(col("pk").as("p_partkey"), col("n_matches"), col("recovered"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH clean AS (
+              SELECT p_partkey AS pk, p_name AS name
+              FROM part WHERE p_name IS NOT NULL),
+            dirty AS (
+              SELECT pk,
+                     substr(name, 1, CAST(pk % length(name) AS INTEGER))
+                     || substr(name, CAST(pk % length(name) AS INTEGER) + 2, 100000)
+                       AS dname
+              FROM clean),
+            dv AS (
+              SELECT DISTINCT pk, dname,
+                     CASE WHEN i = 0 THEN dname
+                          ELSE substr(dname, 1, i - 1) || substr(dname, i + 1, 100000)
+                     END AS v
+              FROM dirty,
+                   UNNEST(generate_series(0, CAST(length(dname) AS INTEGER))) AS t(i)),
+            cv AS (
+              SELECT DISTINCT pk AS cpk, name,
+                     CASE WHEN i = 0 THEN name
+                          ELSE substr(name, 1, i - 1) || substr(name, i + 1, 100000)
+                     END AS v
+              FROM clean,
+                   UNNEST(generate_series(0, CAST(length(name) AS INTEGER))) AS t(i)),
+            cand AS (
+              SELECT DISTINCT d.pk, d.dname, c.cpk, c.name
+              FROM dv d JOIN cv c ON d.v = c.v)
+            SELECT pk AS p_partkey, count(*) AS n_matches,
+                   CAST(max(CASE WHEN cpk = pk THEN 1 ELSE 0 END) AS BIGINT) AS recovered
+            FROM cand WHERE levenshtein(dname, name) <= 1
+            GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     fullOuterReconcile, intersectExcept, unpivotMelt, percentRankBand,
-    skylinePareto)
+    skylinePareto, fuzzyLink)
 }

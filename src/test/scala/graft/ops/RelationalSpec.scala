@@ -86,6 +86,44 @@ class RelationalSpec extends SparkSpec {
     assert(frontier.toSet == brute.toSet)
   }
 
+  test("fuzzy_link: deletion-neighborhood blocking finds exactly the brute-force matches") {
+    val rows = SparkEntry.queries("fuzzy_link")(spark, sf).collect()
+    val clean = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_name").isNotNull)
+      .select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == clean.length) // every dirty record matches ≥ its own source
+    // brute force: corrupt identically, score all pairs with levenshtein
+    def dirty(pk: Long, name: String) = {
+      val pos = (pk % name.length).toInt // delete char at pos (0-based)
+      name.substring(0, pos) + name.substring(pos + 1)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val want = clean.map { case (pk, _) =>
+      val dn = dirty(pk, clean.find(_._1 == pk).get._2)
+      val matches = clean.filter { case (_, cn) => lev(dn, cn) <= 1 }
+      pk -> (matches.length.toLong, if (matches.exists(_._1 == pk)) 1L else 0L)
+    }.toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert((r.getAs[Long]("n_matches"), r.getAs[Long]("recovered")) == want(pk),
+        s"$r want=${want(pk)}")
+      assert(r.getAs[Long]("recovered") == 1L, s"own record not recovered: $r")
+    }
+  }
+
   test("gap_fill_locf: filled days carry the latest prior observation") {
     val rows = SparkEntry.queries("gap_fill_locf")(spark, sf).collect()
     assert(rows.nonEmpty)
