@@ -804,8 +804,12 @@ object TextOps {
       val n = uni.agg(sum(col("c")).as("n"))
       val m = bi.agg(sum(col("cxy")).as("m"))
       bi.filter(col("cxy") >= 5)
-        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
-        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        // unigram counts are vocabulary-sized (corpus-derived) — the
+        // static plan must shuffle-hash them, never broadcast
+        .join(uni.select(col("w").as("w1"), col("c").as("c1"))
+          .hint("shuffle_hash"), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2"))
+          .hint("shuffle_hash"), "w2")
         .crossJoin(broadcast(n)).crossJoin(broadcast(m))
         // div (IntegralDivide), NOT decimal `/` + cast: decimal division
         // rounds at its result scale before any cast, which can round UP
@@ -892,10 +896,16 @@ object TextOps {
     val fp = winnowFingerprints(docs)
       .select(col("doc_id"), col("fp_hash")).distinct()
     val df = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
-    val rare = fp.join(df.filter(col("df").between(2, 10)), "fp_hash")
+    // rare feeds BOTH sides of the self-join: checkpoint it so the
+    // winnowing (gram explode + window + distinct) runs once, not
+    // twice; df is corpus-derived → shuffle_hash, never broadcast
+    val rare = fp.join(df.filter(col("df").between(2, 10))
+        .hint("shuffle_hash"), "fp_hash")
       .select("doc_id", "fp_hash")
+      .localCheckpoint(false)
     rare.select(col("doc_id").as("id1"), col("fp_hash"))
-      .join(rare.select(col("doc_id").as("id2"), col("fp_hash")), "fp_hash")
+      .join(rare.select(col("doc_id").as("id2"), col("fp_hash"))
+        .hint("shuffle_hash"), "fp_hash")
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("shared_cnt"))

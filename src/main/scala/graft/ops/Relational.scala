@@ -292,9 +292,13 @@ object Relational {
                 s"concat(substring($nameCol, 1, i - 1), substring($nameCol, i + 1, 100000))"))
               .as("v"))
           .drop("i").distinct()
+      // shuffle_hash, never broadcast: BOTH variant sides are
+      // corpus-derived (N·L rows) — the static plan must not pick a
+      // broadcast that only fits at bench scale
       val cand = variants(dirty, "dname")
         .join(variants(clean, "name")
-            .select(col("pk").as("cpk"), col("name"), col("v")), "v")
+            .select(col("pk").as("cpk"), col("name"), col("v"))
+            .hint("shuffle_hash"), "v")
         .select("pk", "dname", "cpk", "name").distinct()
       cand.filter(levenshtein(col("dname"), col("name")) <= 1)
         .groupBy(col("pk"))

@@ -184,6 +184,27 @@ class PlanSpec extends SparkSpec {
       s"window not over the collapsed price grid:\n$p")
   }
 
+  test("corpus-derived joins stay shuffle-hash: fuzzy_link variants, collocation unigrams, passage fingerprints") {
+    // the pagerank rule, locked for the round-4 keys: vocabulary/variant/
+    // fingerprint tables grow with the corpus — the static plan must
+    // never pick a broadcast that only fits at bench scale
+    for (key <- Seq("fuzzy_link", "collocation_pmi", "shared_passage_pairs")) {
+      val p = SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan.toString
+      assert(p.contains("ShuffledHashJoin"), s"[$key] no shuffle-hash join:\n$p")
+      // single-row scalar totals (collocation's n/m) ride BroadcastNestedLoopJoin
+      // crosses — equi-join broadcasts are what must not appear
+      assert(!p.contains("BroadcastHashJoin"),
+        s"[$key] corpus-derived broadcast in static plan:\n$p")
+    }
+  }
+
+  test("shared_passage_pairs: winnowing runs once (checkpointed), not once per self-join side") {
+    val p = SparkEntry.queries("shared_passage_pairs")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Window"),
+      s"winnow window recomputed above the checkpoint boundary:\n$p")
+  }
+
   test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
     val df = SparkEntry.queries("sequence_pack")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
