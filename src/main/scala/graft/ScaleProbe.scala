@@ -136,7 +136,19 @@ object ScaleProbe {
     * implies); an all-pairs shape would grow quadratically in the WHOLE
     * corpus. */
   private def ngramProbe(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, ks: Seq[Int]): Unit = {
+      sfDir: String, ks: Seq[Int]): Unit =
+    replicationProbe(spark, sfDir, ks, "ngram_rare_shingle_candidates")(
+      docs => llm.Dedup.ngramPhase1(docs)._2)
+
+  /** Shared replication-curve scaffold: replicate the corpus k×
+    * (doc_ids offset per replica → replicas are exact near-dup groups),
+    * time the SHIPPED candidate pipeline end-to-end at each k, print
+    * per-run lines + the JSON summary. One definition, so the timing
+    * protocol and the base-ids-below-10M offset assumption live here,
+    * not in one copy per probe. */
+  private def replicationProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int], probeName: String)(
+      pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
     val base = docs0.count()
     val runs = ks.map { k =>
@@ -145,16 +157,15 @@ object ScaleProbe {
             col("text")))
         .reduce(_ unionByName _)
       val t0 = System.nanoTime()
-      val (_, cand) = llm.Dedup.ngramPhase1(docs)
-      val pairs = cand.count()
+      val pairs = pairsOf(docs).count()
       val secs = (System.nanoTime() - t0) / 1e9
       Harness.sweepBlocks(spark)
-      println(f"[probe] k=$k%-2d docs=${k * base}%-7d cand_pairs=$pairs%-9d ${secs}%.1f s")
+      println(f"[probe] k=$k%-2d docs=${k * base}%-7d pairs=$pairs%-9d ${secs}%.1f s")
       (k, secs, pairs)
     }
     val qs = runs.map { case (k, s, p) =>
       s"""{"k":$k,"sec":$s,"pairs":$p}""" }.mkString("[", ",", "]")
-    println(s"""{"probe":"ngram_rare_shingle_candidates","sf":"$sfDir","runs":$qs}""")
+    println(s"""{"probe":"$probeName","sf":"$sfDir","runs":$qs}""")
   }
 
   /** `runMain graft.ScaleProbe winnow [ks...]`: replication curve for
@@ -166,25 +177,9 @@ object ScaleProbe {
     * shared-passage positives. Runtime should track corpus size plus
     * the intrinsic k²-per-group pair output — not corpus all-pairs. */
   private def winnowProbe(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, ks: Seq[Int]): Unit = {
-    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val base = docs0.count()
-    val runs = ks.map { k =>
-      val docs = (0 until k).map(i =>
-          docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            col("text")))
-        .reduce(_ unionByName _)
-      val t0 = System.nanoTime()
-      val pairs = llm.TextOps.sharedPassagePairsOf(docs).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      Harness.sweepBlocks(spark)
-      println(f"[probe] k=$k%-2d docs=${k * base}%-7d passage_pairs=$pairs%-9d ${secs}%.1f s")
-      (k, secs, pairs)
-    }
-    val qs = runs.map { case (k, s, p) =>
-      s"""{"k":$k,"sec":$s,"pairs":$p}""" }.mkString("[", ",", "]")
-    println(s"""{"probe":"winnow_shared_passages","sf":"$sfDir","runs":$qs}""")
-  }
+      sfDir: String, ks: Seq[Int]): Unit =
+    replicationProbe(spark, sfDir, ks, "winnow_shared_passages")(
+      docs => llm.TextOps.sharedPassagePairsOf(docs))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -222,23 +217,8 @@ object ScaleProbe {
     }
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
     val spark = Harness.session()
-    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val base = docs0.count()
-    val results = ks.map { k =>
-      val docs = (0 until k).map(i =>
-          docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            col("text")))
-        .reduce(_ unionByName _)
-      val t0 = System.nanoTime()
-      val pairs = llm.Dedup.candidatePairsOf(docs).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      Harness.sweepBlocks(spark)
-      println(f"[probe] k=$k%-2d docs=${k * base}%-7d pairs=$pairs%-9d ${secs}%.1f s")
-      (k, secs, pairs)
-    }
-    val qs = results.map { case (k, s, p) =>
-      s"""{"k":$k,"sec":$s,"pairs":$p}""" }.mkString("[", ",", "]")
-    println(s"""{"probe":"minhash_candidate_pairs","sf":"$sfDir","runs":$qs}""")
+    replicationProbe(spark, sfDir, ks, "minhash_candidate_pairs")(
+      docs => llm.Dedup.candidatePairsOf(docs))
     spark.stop()
   }
 }

@@ -625,8 +625,12 @@ object Dedup {
     "bloom_prune_join",
     (s, d) => {
       val docs = documents(s, d)
+      // EAGER checkpoint: bsh feeds THREE actions (the count, the bloom
+      // build, the final join) — a lazy checkpoint is re-planned per
+      // action under AQE (the dedup_clusters lesson), computing the
+      // shingle explode three times
       val bsh = TextOps.shingleRows(docs.filter(col("doc_id") < 20), 8)
-        .select("s").distinct().localCheckpoint(false)
+        .select("s").distinct().localCheckpoint()
       // expectedNumItems from a count over the (small) eval side —
       // sanctioned scalar feedback, same as kmeans' seed collect
       val bf = bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), 0.03)

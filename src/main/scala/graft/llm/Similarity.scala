@@ -195,6 +195,38 @@ object Similarity {
   /** Floor-quantized (×1000) integer components, position-exploded:
     * (vec_id, dim, q). The single definition of the quantization rule —
     * centroids, IVF assignment, and the oracle SQL all mirror it. */
+  /** Seed selection shared by kmeansLloyd and annPq: the k smallest
+    * ids among NON-EMPTY vectors (not a dense `< k` assumption — a
+    * filtered corpus slice whose ids start at 1000 must still seed).
+    * Collected to the driver: k scalar ids, the sanctioned
+    * scalar-feedback shape — the wide layouts below need cluster ids
+    * as column slots, not rows. */
+  private def seedIdsOf(comp: DataFrame, k: Int): Array[Long] =
+    comp.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0))
+
+  /** The measured WIDE centroid layout shared by kmeansLloyd and annPq:
+    * pivot a (cluster, dim, c) frame to d rows × k columns (c0..c_k-1),
+    * zero-filling a centroid's missing dims — so the scoring scan stays
+    * N·d rows with k multiply-adds in codegen instead of an N·d·k
+    * fan-out (the kmeans ScaleProbe A/B). */
+  private def widenByDim(cent: DataFrame, seedIds: Array[Long]): DataFrame = {
+    val ks = seedIds.indices
+    val slot = ks.foldLeft(lit(-1L)) { (acc, k) =>
+      when(col("cluster") === seedIds(k), lit(k.toLong)).otherwise(acc) }
+    cent.withColumn("k", slot)
+      .groupBy("dim")
+      .agg(coalesce(sum(when(col("k") === 0, col("c"))), lit(0L)).as("c0"),
+        ks.drop(1).map(k =>
+          coalesce(sum(when(col("k") === k, col("c"))), lit(0L)).as(s"c$k")): _*)
+  }
+
+  /** Row-wise minimum over the k score columns s0..s_k-1 — least()
+    * demands ≥2 args, and a single-seed corpus (one non-empty vector)
+    * must fall through to its only score, not throw. */
+  private def bestScoreOf(ks: Range): Column =
+    if (ks.length == 1) col("s0") else least(ks.map(k => col(s"s$k")): _*)
+
   private def quantComponents(e: DataFrame): DataFrame =
     // empty vectors contribute no components: Spark's sequence(1, 0) is
     // the DESCENDING [1, 0] (element_at would throw), while DuckDB's
@@ -343,13 +375,7 @@ object Similarity {
       // the checkpoint's unknown stats can't flip a build side.
       val comp = quantComponents(embeddings(s, d)).select("vec_id", "dim", "q")
         .localCheckpoint(false)
-      // seeds = the 8 smallest ids among NON-EMPTY vectors (not a dense
-      // `< 8` assumption — a filtered corpus slice whose ids start at
-      // 1000 must still get k = 8). Collected to the driver: k scalar
-      // ids, the sanctioned scalar-feedback shape — the WIDE assignment
-      // below needs cluster ids as column slots, not rows.
-      val seedIds: Array[Long] = comp.select("vec_id").distinct()
-        .orderBy("vec_id").limit(8).collect().map(_.getLong(0))
+      val seedIds: Array[Long] = seedIdsOf(comp, 8)
       val ks = seedIds.indices
       if (seedIds.isEmpty)
         // corpus with no non-empty vectors: nothing to cluster
@@ -359,23 +385,12 @@ object Similarity {
       val cent0 = comp
         .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
         .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
-      // WIDE assignment — the scale-shape fix the kmeans ScaleProbe
-      // demanded: the row-form comp⋈cent-on-dim plan fans every
-      // component row out k× before aggregating (N·d·k rows, N·k
-      // groups; measured superlinear past ~10⁸ rows from agg-memory
-      // pressure). Pivoting the k×d centroid table to d rows × k
-      // columns keeps the scan at N·d rows and N groups: each row does
-      // k multiply-adds inside codegen instead of existing k times.
-      // Missing centroid dims count as 0 (a short seed's absent dims
-      // penalize, not vanish) — mirrored exactly in the oracle.
+      // WIDE assignment (seedIdsOf/widenByDim scaladoc — the measured
+      // scale-shape fix): each scan row does k multiply-adds in codegen
+      // instead of fanning out k×; missing centroid dims count as 0,
+      // mirrored exactly in the oracle.
       def assign(cent: DataFrame): DataFrame = {
-        val slot = ks.foldLeft(lit(-1L)) { (acc, k) =>
-          when(col("cluster") === seedIds(k), lit(k.toLong)).otherwise(acc) }
-        val wide = cent.withColumn("k", slot)
-          .groupBy("dim")
-          .agg(coalesce(sum(when(col("k") === 0, col("c"))), lit(0L)).as("c0"),
-            ks.drop(1).map(k =>
-              coalesce(sum(when(col("k") === k, col("c"))), lit(0L)).as(s"c$k")): _*)
+        val wide = widenByDim(cent, seedIds)
         // d2_k = Σq² − 2·dot_k + Σc_k² over the VECTOR's dims; Σq² is
         // common to all k → argmin over (Σc_k² − 2·dot_k) alone
         val scored = comp.join(broadcast(wide), Seq("dim"))
@@ -383,7 +398,7 @@ object Similarity {
           .agg(sum(col("c0") * (col("c0") - lit(2L) * col("q"))).as("s0"),
             ks.drop(1).map(k =>
               sum(col(s"c$k") * (col(s"c$k") - lit(2L) * col("q"))).as(s"s$k")): _*)
-        val best = least(ks.map(k => col(s"s$k")): _*)
+        val best = bestScoreOf(ks)
         // first-match on the ascending slot order = smallest cluster id
         // wins ties (seeds are sorted), matching the row-form min_by
         val pick = ks.foldRight(lit(seedIds.last)) { (k, el) =>
@@ -493,8 +508,7 @@ object Similarity {
     (s, d) => {
       val comp = quantComponents(embeddings(s, d)).select("vec_id", "dim", "q")
         .localCheckpoint(false)
-      val seedIds: Array[Long] = comp.select("vec_id").distinct()
-        .orderBy("vec_id").limit(16).collect().map(_.getLong(0))
+      val seedIds: Array[Long] = seedIdsOf(comp, 16)
       val ks = seedIds.indices
       if (seedIds.isEmpty)
         s.range(0).select(col("id").as("qid"), col("id").as("rank"),
@@ -503,13 +517,7 @@ object Similarity {
         val cent0 = comp
           .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
           .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
-        val slot = ks.foldLeft(lit(-1L)) { (acc, k) =>
-          when(col("cluster") === seedIds(k), lit(k.toLong)).otherwise(acc) }
-        val wide = cent0.withColumn("k", slot)
-          .groupBy("dim")
-          .agg(coalesce(sum(when(col("k") === 0, col("c"))), lit(0L)).as("c0"),
-            ks.drop(1).map(k =>
-              coalesce(sum(when(col("k") === k, col("c"))), lit(0L)).as(s"c$k")): _*)
+        val wide = widenByDim(cent0, seedIds)
         // s_k(vec, sub) = Σ_dims∈sub (q − c_k)² — true sub-distances, so
         // this one frame is BOTH the encode argmin input and (filtered
         // to queries) the ADC distance table
@@ -520,7 +528,7 @@ object Similarity {
             ks.drop(1).map(k =>
               sum((col(s"c$k") - col("q")) * (col(s"c$k") - col("q"))).as(s"s$k")): _*)
           .localCheckpoint(false)
-        val best = least(ks.map(k => col(s"s$k")): _*)
+        val best = bestScoreOf(ks)
         // first-match on ascending slot order = smallest code wins ties,
         // matching the oracle's ORDER BY (d2, slot)
         val pick = ks.foldRight(lit(ks.last.toLong)) { (k, el) =>

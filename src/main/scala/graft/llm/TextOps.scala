@@ -42,6 +42,34 @@ object TextOps {
     * parity with the oracle's string_split + filter). */
   val tokens: Column = expr("filter(split(lower(text), ' '), w -> w != '')")
 
+  /** DuckDB SQL for Spark's `conv(substring(md5(X), 1, 8), 16, 10)` —
+    * the first 32 md5 bits decoded digit-by-digit (DuckDB has no conv).
+    * ONE definition for the 7 oracles that hash this way: a drift in
+    * any copy silently desynchronizes a Spark/DuckDB pair. */
+  private[llm] def md5Hex32Sql(md5Arg: String): String =
+    (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($md5Arg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+
+  /** The winnowing pick CTE block (docs8 → grams → per-window MIN of the
+    * encoded (hash, pos) key) shared verbatim by the winnow_fingerprint
+    * and shared_passage_pairs oracles. */
+  private def winnowPickCteSql: String =
+    s"""docs8 AS (
+          SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS n
+          FROM documents WHERE length(text) >= 8),
+        g AS (
+          SELECT doc_id, n, CAST(i AS BIGINT) AS pos,
+                 CAST(${md5Hex32Sql("substr(text, CAST(i AS INTEGER), 8)")} AS BIGINT) AS v
+          FROM docs8,
+               UNNEST(generate_series(1, CAST(length(text) - 7 AS INTEGER))) AS t(i)),
+        pick AS (
+          SELECT a.doc_id, a.pos AS s, MIN((b.v + 1) * 1048576 - b.pos) AS k
+          FROM g a JOIN g b ON b.doc_id = a.doc_id
+                           AND b.pos BETWEEN a.pos AND a.pos + 3
+          WHERE a.pos <= a.n - 3
+          GROUP BY a.doc_id, a.pos)"""
+
   private def stopCount(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"size(filter(split(lower(text), ' '), w -> w IN ($set)))"
@@ -225,9 +253,7 @@ object TextOps {
             .otherwise("test").as("split"))
         .orderBy("doc_id"),
     Some {
-      val v = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5('split-v1:' || text), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString(" + ")
+      val v = md5Hex32Sql("'split-v1:' || text")
       s"""SELECT doc_id, v % 100 AS bucket,
                  CASE WHEN v % 100 < 80 THEN 'train'
                       WHEN v % 100 < 90 THEN 'val'
@@ -387,9 +413,7 @@ object TextOps {
         .orderBy("doc_id")
     },
     Some {
-      val v = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5('strat-v1:' || text), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString(" + ")
+      val v = md5Hex32Sql("'strat-v1:' || text")
       s"""SELECT doc_id, lang, v % 1000 AS bucket,
                  CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
                            WHEN 'fr' THEN 500 WHEN 'es' THEN 750
@@ -741,29 +765,13 @@ object TextOps {
     // window-free oracle (DuckDB parallel-window flake guard): each
     // window start band-joins its 4 grams and MIN-picks the encoded key;
     // hash = the same per-hex-digit md5 decode the simhash oracle uses
-    Some {
-      val v = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INTEGER), 8)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString(" + ")
-      s"""WITH docs8 AS (
-            SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS n
-            FROM documents WHERE length(text) >= 8),
-          g AS (
-            SELECT doc_id, n, CAST(i AS BIGINT) AS pos, CAST($v AS BIGINT) AS v
-            FROM docs8,
-                 UNNEST(generate_series(1, CAST(length(text) - 7 AS INTEGER))) AS t(i)),
-          pick AS (
-            SELECT a.doc_id, a.pos AS s, MIN((b.v + 1) * 1048576 - b.pos) AS k
-            FROM g a JOIN g b ON b.doc_id = a.doc_id
-                             AND b.pos BETWEEN a.pos AND a.pos + 3
-            WHERE a.pos <= a.n - 3
-            GROUP BY a.doc_id, a.pos),
+    Some(
+      s"""WITH $winnowPickCteSql,
           fp AS (SELECT DISTINCT doc_id, k FROM pick)
           SELECT doc_id,
                  (k // 1048576 + 1) * 1048576 - k AS pos,
                  k // 1048576 AS fp_hash
-          FROM fp ORDER BY doc_id, pos"""
-    }
+          FROM fp ORDER BY doc_id, pos""")
   )
 
   /** Bigram collocations by pointwise-mutual-information LIFT — the
@@ -866,9 +874,7 @@ object TextOps {
             .otherwise("test").as("split"))
         .orderBy("doc_id"),
     Some {
-      val v = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5('grp-v1:' || source), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString(" + ")
+      val v = md5Hex32Sql("'grp-v1:' || source")
       s"""SELECT doc_id, source, v % 100 AS bucket,
                  CASE WHEN v % 100 < 80 THEN 'train'
                       WHEN v % 100 < 90 THEN 'val'
@@ -915,23 +921,8 @@ object TextOps {
   val sharedPassagePairs = QuerySpec(
     "shared_passage_pairs",
     (s, d) => sharedPassagePairsOf(documents(s, d)).orderBy("id1", "id2"),
-    Some {
-      val v = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INTEGER), 8)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString(" + ")
-      s"""WITH docs8 AS (
-            SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS n
-            FROM documents WHERE length(text) >= 8),
-          g AS (
-            SELECT doc_id, n, CAST(i AS BIGINT) AS pos, CAST($v AS BIGINT) AS v
-            FROM docs8,
-                 UNNEST(generate_series(1, CAST(length(text) - 7 AS INTEGER))) AS t(i)),
-          pick AS (
-            SELECT a.doc_id, a.pos AS s, MIN((b.v + 1) * 1048576 - b.pos) AS k
-            FROM g a JOIN g b ON b.doc_id = a.doc_id
-                             AND b.pos BETWEEN a.pos AND a.pos + 3
-            WHERE a.pos <= a.n - 3
-            GROUP BY a.doc_id, a.pos),
+    Some(
+      s"""WITH $winnowPickCteSql,
           fp AS (SELECT DISTINCT doc_id, k // 1048576 AS h FROM pick),
           df AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
           rare AS (
@@ -941,8 +932,7 @@ object TextOps {
           FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY 1, 2
           HAVING count(*) >= 5
-          ORDER BY id1, id2"""
-    }
+          ORDER BY id1, id2""")
   )
 
   val all: Seq[QuerySpec] =

@@ -48,6 +48,12 @@ object Bucketed {
   private val cleanup = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   sys.addShutdownHook { cleanup.forEach(rm(_)) }
 
+  // table names whose build is in flight (registered before the first
+  // write) — the sweep must treat these as live even though their key
+  // is not yet published in `made`
+  private val building =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Bucketed (orders, customer) table names for this (application, data
     * dir), written once. Both sides use the SAME bucket count on the join
     * key — mismatched counts still shuffle the smaller side. The
@@ -70,10 +76,16 @@ object Bucketed {
       val oTbl = s"graft_orders_bkt_$tag"
       val cTbl = s"graft_customer_bkt_$tag"
       // sweep stale dirs from crashed previous runs before creating —
-      // but never a dir some OTHER (appId, dataDir) key in this JVM is
-      // still serving
+      // but never a dir some OTHER key in this JVM is still serving OR
+      // currently building: computeIfAbsent publishes to `made` only
+      // after the lambda returns, so a concurrent build for a DIFFERENT
+      // key is invisible in `made.values` — `building` registers names
+      // BEFORE any write so another key's sweep can't delete them
+      // mid-saveAsTable
       import scala.jdk.CollectionConverters._
-      val live = made.values.asScala.flatMap(t => Seq(t._1, t._2)).toSet
+      building.add(oTbl); building.add(cTbl)
+      val live = made.values.asScala.flatMap(t => Seq(t._1, t._2)).toSet ++
+        building.asScala
       val wh = warehousePath(s)
       if (java.nio.file.Files.exists(wh)) {
         val ls = java.nio.file.Files.list(wh)

@@ -164,10 +164,13 @@ object Relational {
   val percentRankBand = QuerySpec(
     "percent_rank_band",
     (s, d) => {
+      // customer is corpus-sized — no broadcast hint; Catalyst's size
+      // stats pick the strategy (broadcast at bench scale, shuffle at
+      // warehouse scale), per the never-pin-corpus-broadcasts rule
       val spend = orders(s, d)
         .filter(col("o_totalprice").isNotNull)
-        .join(broadcast(customer(s, d)
-            .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        .join(customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("segment", "c_custkey")
         .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
