@@ -935,10 +935,92 @@ object TextOps {
           ORDER BY id1, id2""")
   )
 
+  /** The end-to-end corpus-cleaning recipe AS ONE PLAN — the production
+    * composition every training-data pipeline actually runs, here a
+    * single declarative dataflow Catalyst optimizes as a whole:
+    *   1. language gate — lang_id's argmax says English;
+    *   2. quality floors (Gopher-style) — ≥20 tokens, stopword ratio
+    *      ≥ 10‰, alphabetic ratio ≥ 600‰ (integer milli-ratios);
+    *   3. PII gate — zero email/URL/long-digit-run matches;
+    *   4. exact-dedup canonicalization — smallest doc_id per md5(text).
+    * Gates 1-3 are pure per-row projections that fuse into ONE codegen
+    * stage over ONE scan; only the dedup canon adds a shuffle (md5
+    * group) + semi join. Composing the recipe declaratively (instead of
+    * materializing after each gate, as script pipelines do) is the
+    * 100 TB win: one pass, no intermediate corpus copies. */
+  val corpusClean = QuerySpec(
+    "corpus_clean",
+    (s, d) => {
+      val docs = documents(s, d)
+      val withCounts = langs.foldLeft(docs) { case (df, (l, ws)) =>
+        df.withColumn(s"cnt_$l", expr(stopCount(ws)).cast("long")) }
+      val best = greatest(langs.map { case (l, _) => col(s"cnt_$l") }: _*)
+      // en leads the precedence order, so cnt_en == best ⇔ pred = 'en'
+      val isEn = col("cnt_en") === best && best > 0
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val digits = "[0-9]{7,}"
+      def piiCnt(p: String) =
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+      val gated = withCounts
+        .withColumn("n_tokens", size(tokens).cast("long"))
+        .withColumn("stop_cnt",
+          expr(stopCount(Seq("the", "and", "of", "is", "a", "to", "in")))
+            .cast("long"))
+        .withColumn("alpha_cnt",
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+        .withColumn("stop_milli",
+          expr("(1000 * stop_cnt) div greatest(n_tokens, 1)"))
+        .withColumn("alpha_milli",
+          expr("(1000 * alpha_cnt) div greatest(length(text), 1)"))
+        .filter(isEn &&
+          col("n_tokens") >= 20 && col("stop_milli") >= 10 &&
+          col("alpha_milli") >= 600 &&
+          piiCnt(email) + piiCnt(url) + piiCnt(digits) === 0)
+      val canon = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      gated.join(canon, Seq("doc_id"), "left_semi")
+        .select("doc_id", "n_tokens", "stop_milli", "alpha_milli")
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tokens,
+                     len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('the','and','of','is','a','to','in'))) AS stop_cnt,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_cnt,
+                     len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('the','and','of','is'))) AS cnt_en,
+                     len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('der','und','das','ist'))) AS cnt_de,
+                     len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('le','et','les','une'))) AS cnt_fr,
+                     len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('el','los','que','para'))) AS cnt_es,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text, 'https?://[^ ]+'))
+                     + len(regexp_extract_all(text, '[0-9]{7,}')) AS pii_cnt
+              FROM documents),
+            canon AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+            SELECT doc_id, n_tokens,
+                   (1000 * stop_cnt) // greatest(n_tokens, 1) AS stop_milli,
+                   (1000 * alpha_cnt) // greatest(length(text), 1) AS alpha_milli
+            FROM base SEMI JOIN canon USING (doc_id)
+            WHERE cnt_en = greatest(cnt_en, cnt_de, cnt_fr, cnt_es)
+              AND greatest(cnt_en, cnt_de, cnt_fr, cnt_es) > 0
+              AND n_tokens >= 20
+              AND (1000 * stop_cnt) // greatest(n_tokens, 1) >= 10
+              AND (1000 * alpha_cnt) // greatest(length(text), 1) >= 600
+              AND pii_cnt = 0
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
-        leakageSafeSplit, sharedPassagePairs)
+        leakageSafeSplit, sharedPassagePairs, corpusClean)
 }

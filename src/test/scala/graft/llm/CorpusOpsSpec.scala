@@ -110,6 +110,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_clean: survivors are exactly the intersection of the component gates") {
+    val got = SparkEntry.queries("corpus_clean")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // recompute each gate from the COMPONENT keys' own outputs
+    val en = SparkEntry.queries("lang_id")(spark, sf).collect()
+      .filter(_.getAs[String]("pred_lang") == "en")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val quality = SparkEntry.queries("quality_score")(spark, sf).collect()
+      .filter(r => r.getAs[Long]("n_tokens") >= 20 &&
+        r.getAs[Long]("stop_milli") >= 10 && r.getAs[Long]("alpha_milli") >= 600)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val noPii = SparkEntry.queries("pii_detect")(spark, sf).collect()
+      .filter(_.getAs[Long]("pii_flag") == 0L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val canon = SparkEntry.queries("dedup_exact")(spark, sf).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    assert(got == (en & quality & noPii & canon),
+      s"clean-set mismatch: extra=${got -- (en & quality & noPii & canon)} missing=${(en & quality & noPii & canon) -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("mad_outliers: medians are positional lower medians, counts recompute") {
     val rows = SparkEntry.queries("mad_outliers")(spark, sf).collect()
     assert(rows.length == 25)
