@@ -244,5 +244,28 @@ object Multimodal {
             ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(meta, frames, features, resize)
+  /** Exact media dedup through the BINARY column path — dedup_exact's
+    * multimodal twin: identical blobs collapse to the smallest doc_id.
+    * The hash key is md5 over the payload's HEX rendering (both engines
+    * print binary as identical uppercase hex — hashing the rendering
+    * sidesteps BLOB-md5 support differences), computed map-side; the
+    * only shuffle is the hash group-by, so a 100 TB media corpus dedups
+    * in one pass with no blob ever crossing the wire twice. */
+  val mediaDedup = QuerySpec(
+    "multimodal_dedup",
+    (s, d) =>
+      payloads(s, d)
+        .groupBy(md5(hex(col("payload"))).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_cnt"),
+          max(octet_length(col("payload"))).cast("long").as("byte_len"))
+        .orderBy("keep_id"),
+    Some("""SELECT md5(hex(encode(text))) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS dup_cnt,
+                   CAST(max(octet_length(encode(text))) AS BIGINT) AS byte_len
+            FROM documents
+            GROUP BY 1 ORDER BY keep_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(meta, frames, features, resize, mediaDedup)
 }

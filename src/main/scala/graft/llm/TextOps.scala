@@ -46,7 +46,7 @@ object TextOps {
     * the first 32 md5 bits decoded digit-by-digit (DuckDB has no conv).
     * ONE definition for the 7 oracles that hash this way: a drift in
     * any copy silently desynchronizes a Spark/DuckDB pair. */
-  private[llm] def md5Hex32Sql(md5Arg: String): String =
+  def md5Hex32Sql(md5Arg: String): String =
     (0 until 8).map(i =>
       s"(strpos('0123456789abcdef', substr(md5($md5Arg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
       .mkString(" + ")

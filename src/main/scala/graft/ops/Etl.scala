@@ -296,6 +296,68 @@ object Etl {
             ORDER BY segment_g, year_g""")
   )
 
+  /** Cross-system table checksums — the migration/replication audit
+    * that answers "are these two copies the same table?" without moving
+    * either: per table, the row count plus XOR/min/max digests of a
+    * 32-bit hash of each row's CANONICAL rendering (ints as decimal
+    * strings, money as cents, timestamps as epoch micros, NULL as a
+    * sentinel — pinned so any two engines render identically). XOR is
+    * order-independent and width-stable, so the digest never overflows
+    * no matter the row count, and each table is one
+    * map-side-combinable aggregation over one scan. This is how the
+    * engine's own oracle gate generalizes to production: run the same
+    * canonical checksum on both systems, compare four numbers. */
+  val tableChecksum = QuerySpec(
+    "table_checksum",
+    (s, d) => {
+      def digest(name: String, df: org.apache.spark.sql.DataFrame,
+                 canonical: org.apache.spark.sql.Column) =
+        df.select(canonical.as("_canon"))
+          .select(expr("cast(conv(substring(md5(_canon), 1, 8), 16, 10) as bigint)").as("h"))
+          .agg(count(lit(1)).as("row_cnt"),
+            expr("bit_xor(h)").as("h_xor"),
+            min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+          .select(lit(name).as("table_name"), col("row_cnt"),
+            col("h_xor"), col("h_min"), col("h_max"))
+      def c(x: org.apache.spark.sql.Column) =
+        coalesce(x.cast("string"), lit("<null>"))
+      val nationSum = digest("nation", nation(s, d),
+        concat_ws("|", c(col("n_nationkey")), c(col("n_name")),
+          c(col("n_regionkey"))))
+      val customerSum = digest("customer", customer(s, d),
+        concat_ws("|", c(col("c_custkey")), c(col("c_name")),
+          c(col("c_nationkey")), c(cents(col("c_acctbal"))),
+          c(col("c_mktsegment"))))
+      val ordersSum = digest("orders", orders(s, d),
+        concat_ws("|", c(col("o_orderkey")), c(col("o_custkey")),
+          c(col("o_orderstatus")), c(cents(col("o_totalprice"))),
+          // NTZ → session-zoned (UTC session ⇒ identical wall time) —
+          // unix_micros rejects TIMESTAMP_NTZ
+          c(unix_micros(col("o_orderdate").cast("timestamp"))),
+          c(col("o_orderpriority"))))
+      nationSum.union(customerSum).union(ordersSum).orderBy("table_name")
+    },
+    Some {
+      def h32(canon: String) =
+        graft.llm.TextOps.md5Hex32Sql(canon)
+      def digest(name: String, from: String, canon: String) =
+        s"""SELECT '$name' AS table_name, count(*) AS row_cnt,
+                   CAST(bit_xor(CAST(${h32("canon")} AS BIGINT)) AS BIGINT) AS h_xor,
+                   CAST(min(CAST(${h32("canon")} AS BIGINT)) AS BIGINT) AS h_min,
+                   CAST(max(CAST(${h32("canon")} AS BIGINT)) AS BIGINT) AS h_max
+            FROM (SELECT $canon AS canon FROM $from) t"""
+      def c(x: String) = s"COALESCE(CAST($x AS VARCHAR), '<null>')"
+      val nationC = s"concat_ws('|', ${c("n_nationkey")}, ${c("n_name")}, ${c("n_regionkey")})"
+      val customerC = s"concat_ws('|', ${c("c_custkey")}, ${c("c_name")}, ${c("c_nationkey")}, ${c("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")}, ${c("c_mktsegment")})"
+      val ordersC = s"concat_ws('|', ${c("o_orderkey")}, ${c("o_custkey")}, ${c("o_orderstatus")}, ${c("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")}, ${c("epoch_ns(o_orderdate) // 1000")}, ${c("o_orderpriority")})"
+      s"""${digest("nation", "nation", nationC)}
+          UNION ALL ${digest("customer", "customer", customerC)}
+          UNION ALL ${digest("orders", "orders", ordersC)}
+          ORDER BY table_name"""
+    }
+  )
+
   val all: Seq[QuerySpec] = Seq(
-    scd2Build, incrementalUpsert, dqAudit, saltedSkewJoin, cubeTotals)
+    scd2Build, incrementalUpsert, dqAudit, saltedSkewJoin, cubeTotals,
+    tableChecksum)
 }

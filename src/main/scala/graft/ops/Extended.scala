@@ -815,10 +815,70 @@ object Extended {
             ORDER BY l.region, day_key""")
   )
 
+  /** Exponentially-weighted moving average (α = ½, truncated at 10
+    * lags) over the calendar-DENSE daily revenue series — the smoothing
+    * primitive the rolling_30d (uniform-weight) key doesn't cover.
+    * EWMA is recursive, which SQL can't express exactly — but α = ½'s
+    * weights are exact binary fractions, so the 10-lag truncation
+    * Σ x_{t−k}·2^(9−k) is EXACT long arithmetic scaled ×1024: no float
+    * ever appears, and both engines agree bit-for-bit. The series is
+    * densified first (quiet days contribute 0), so row distance equals
+    * calendar distance and the lag frame IS the day band. The global
+    * window rides ONE ROW PER DAY — bounded by the calendar, not data
+    * volume (the window_mom_delta argument); the volume-bearing work is
+    * the partial-agg daily rollup before it. */
+  val ewmaSmoothing = QuerySpec(
+    "ewma_smoothing",
+    (s, d) => {
+      val dated = orders(s, d)
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      val days = dated
+        .agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+      val daily = dated
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val dense = days.join(daily, Seq("dt"), "left")
+        .select(
+          datediff(col("dt"), lit("1970-01-01").cast("date")).cast("long")
+            .as("day_key"),
+          coalesce(col("rev"), lit(0L)).as("rev_cents"))
+      val byDay = Window.orderBy("day_key")
+      val ewma = (0 until 10).map(k =>
+          coalesce(lag(col("rev_cents"), k).over(byDay), lit(0L)) *
+            lit(1L << (9 - k)))
+        .reduce(_ + _)
+      dense.withColumn("ewma_x1024", ewma).orderBy("day_key")
+    },
+    // window-free oracle: the dense series makes the 10-lag frame a
+    // calendar band — one self-join with weights 2^(9−Δday)
+    Some("""WITH dated AS (
+              SELECT CAST(o_orderdate AS DATE) AS dt, o_totalprice
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+            bounds AS (SELECT min(dt) AS lo, max(dt) AS hi FROM dated),
+            days AS (
+              SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS dt
+              FROM bounds),
+            dense AS (
+              SELECT CAST(d.dt - DATE '1970-01-01' AS BIGINT) AS day_key,
+                     COALESCE(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), 0) AS rev_cents
+              FROM days d LEFT JOIN dated ON dated.dt = d.dt
+              GROUP BY 1)
+            SELECT a.day_key, a.rev_cents,
+                   CAST(SUM(b.rev_cents * (1 << CAST(9 - (a.day_key - b.day_key) AS INTEGER))) AS BIGINT) AS ewma_x1024
+            FROM dense a
+            JOIN dense b ON b.day_key BETWEEN a.day_key - 9 AND a.day_key
+            GROUP BY a.day_key, a.rev_cents
+            ORDER BY a.day_key""")
+  )
+
   val all: Seq[QuerySpec] = Seq(
     dimCustomerBuild, dimProductBuild, dimLocationBuild,
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
     regressionMoments, histogramBins, topkPerGroup, quartilesExact,
-    eventFunnel, rolling30dRevenue, madOutliers, streamEnrich, gapFillLocf)
+    eventFunnel, rolling30dRevenue, madOutliers, streamEnrich, gapFillLocf,
+    ewmaSmoothing)
 }
