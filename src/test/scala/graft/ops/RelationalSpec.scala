@@ -2,6 +2,9 @@ package graft.ops
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Test => SCTest}
 
 /** Semantic-quality checks for the relational-surface operators — the
   * oracle gate proves Spark≡DuckDB; these prove the operators compute
@@ -122,6 +125,36 @@ class RelationalSpec extends SparkSpec {
         s"$r want=${want(pk)}")
       assert(r.getAs[Long]("recovered") == 1L, s"own record not recovered: $r")
     }
+  }
+
+  test("FastSS blocking is COMPLETE for every single-edit pair (property)") {
+    // the exactness claim's crux: the deletion-neighborhood equi-join may
+    // over-generate candidates (levenshtein verify removes those) but
+    // must never MISS a true lev≤1 pair — checked over random strings
+    // and every edit type at every position
+    def neighborhood(s: String): Set[String] =
+      Set(s) ++ (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1))
+    val genStr = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val genEdit = Gen.choose(0, 3)
+    val genChar = Gen.alphaLowerChar
+    val prop = forAll(genStr, genEdit, Gen.choose(0, 99), genChar) {
+      (a, op, posSeed, c) =>
+        val b = op match {
+          case 0 => a // identity (lev 0)
+          case 1 => // delete
+            val i = posSeed % a.length
+            a.substring(0, i) + a.substring(i + 1)
+          case 2 => // insert
+            val i = posSeed % (a.length + 1)
+            a.substring(0, i) + c + a.substring(i)
+          case _ => // substitute
+            val i = posSeed % a.length
+            a.substring(0, i) + c + a.substring(i + 1)
+        }
+        (neighborhood(a) & neighborhood(b)).nonEmpty
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop).passed)
   }
 
   test("gap_fill_locf: filled days carry the latest prior observation") {
