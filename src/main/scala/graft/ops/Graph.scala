@@ -183,5 +183,92 @@ object Graph {
             FROM x GROUP BY 1 ORDER BY s_suppkey""")
   )
 
-  val all: Seq[QuerySpec] = Seq(pagerank, triangleCount)
+  /** Recursive-hierarchy analytics — the `WITH RECURSIVE` capability
+    * class, Spark-native: over the customer tree encoded in keys
+    * (parent = key div 10; keys < 10 are roots), compute each node's
+    * root and depth by POINTER DOUBLING — 4 rounds of self-join double
+    * the known-ancestor distance 1→2→4→8→16, so a depth-D hierarchy
+    * resolves in O(log D) bounded-size joins instead of D dependent
+    * scans (the iterative-dataflow answer to recursive CTEs; eager
+    * per-round checkpoints exactly as dedup_clusters, else the
+    * self-referencing plan tree doubles per round) — plus the classic
+    * BOM/org-chart subtree rollup (spend + node count over all
+    * descendants, self included) from the exploded ancestor chain.
+    *
+    * Scale shape: each doubling round is one shuffle-hash self-join on
+    * the ancestor key (corpus-derived — never broadcast); the ancestor
+    * explode is ≤ log₁₀(maxkey) rows per node map-side, and the rollup
+    * is one partial-agg shuffle. The oracle is a genuine recursive CTE,
+    * so the two engines reach the same hierarchy by entirely different
+    * algorithms. */
+  val hierarchyRollup = QuerySpec(
+    "hierarchy_rollup",
+    (s, d) => {
+      val spend = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey").as("k"))
+        .agg(coalesce(sum(cents(col("o_totalprice"))), lit(0L))
+          .as("spend_cents"))
+        .localCheckpoint()
+      // ancestor chain from the key encoding: k div 10^j is on the chain
+      // while the previous hop was still an internal node (≥ 10)
+      val chain = spend.select(col("k"), col("spend_cents"),
+          explode(expr(
+            """filter(transform(sequence(0, 6),
+                 j -> struct(j AS j, k div cast(pow(10, j) AS BIGINT) AS anc)),
+               x -> x.j = 0 OR k div cast(pow(10, x.j - 1) AS BIGINT) >= 10)"""))
+            .as("a"))
+        .select(col("k"), col("spend_cents"), col("a.anc").as("anc"))
+      // pointer doubling must run over the ancestor-CLOSED node universe,
+      // not the fact keys alone: a sparse key space (fuzz: custkey 910001
+      // with no row for 91000) has dangling parents, and a self-join over
+      // fact keys only would silently drop those nodes — the recursive
+      // CTE oracle never even notices
+      var st = chain.select(col("anc").as("k")).distinct()
+        .select(col("k"),
+          when(col("k") >= 10, expr("k div 10")).otherwise(col("k")).as("anc"),
+          when(col("k") >= 10, lit(1L)).otherwise(lit(0L)).as("d"))
+      for (_ <- 1 to 4)
+        st = st
+          .join(st.select(col("k").as("k2"), col("anc").as("anc2"),
+              col("d").as("d2")).hint("shuffle_hash"),
+            col("anc") === col("k2"))
+          .select(col("k"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
+          .localCheckpoint()
+      val sub = chain.groupBy("anc")
+        .agg(sum(col("spend_cents")).as("subtree_spend_cents"),
+          count(lit(1)).as("n_nodes"))
+      spend
+        .join(st.select(col("k"), col("anc").as("root"), col("d").as("depth")), "k")
+        .join(sub.hint("shuffle_hash"), col("k") === col("anc"))
+        .select(col("k").as("c_custkey"), col("root"), col("depth"),
+          col("spend_cents"), col("subtree_spend_cents"), col("n_nodes"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH RECURSIVE spend AS (
+              SELECT c_custkey AS k,
+                     COALESCE(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), 0) AS spend_cents
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY 1),
+            chain(node, anc, d) AS (
+              SELECT k, k, 0 FROM spend
+              UNION ALL
+              SELECT node, anc // 10, d + 1 FROM chain WHERE anc >= 10),
+            roots AS (
+              SELECT node, anc AS root, CAST(d AS BIGINT) AS depth
+              FROM chain WHERE anc < 10),
+            sub AS (
+              SELECT anc, CAST(SUM(s.spend_cents) AS BIGINT) AS subtree_spend_cents,
+                     count(*) AS n_nodes
+              FROM chain JOIN spend s ON s.k = chain.node
+              GROUP BY anc)
+            SELECT s.k AS c_custkey, r.root, r.depth, s.spend_cents,
+                   sub.subtree_spend_cents, sub.n_nodes
+            FROM spend s
+            JOIN roots r ON r.node = s.k
+            JOIN sub ON sub.anc = s.k
+            ORDER BY c_custkey""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(pagerank, triangleCount, hierarchyRollup)
 }

@@ -191,6 +191,26 @@ class RelationalSpec extends SparkSpec {
     assert(filledSeen > 0, "corpus has no gap days — test is vacuous")
   }
 
+  test("hierarchy_rollup: pointer-doubled depth/root match arithmetic, roots partition the forest") {
+    val rows = SparkEntry.queries("hierarchy_rollup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def walk(k: Long): (Long, Long) = { // (root, depth) by direct iteration
+      var (n, d) = (k, 0L)
+      while (n >= 10) { n /= 10; d += 1 }
+      (n, d)
+    }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      assert((r.getAs[Long]("root"), r.getAs[Long]("depth")) == walk(k), r)
+      assert(r.getAs[Long]("subtree_spend_cents") >= r.getAs[Long]("spend_cents"), r)
+    }
+    // the root subtrees partition the forest: node counts and spend sum up
+    val roots = rows.filter(_.getAs[Long]("depth") == 0L)
+    assert(roots.map(_.getAs[Long]("n_nodes")).sum == rows.length)
+    assert(roots.map(_.getAs[Long]("subtree_spend_cents")).sum ==
+      rows.map(_.getAs[Long]("spend_cents")).sum)
+  }
+
   test("triangle_count: per-node counts match brute-force triple enumeration") {
     val got = SparkEntry.queries("triangle_count")(spark, sf).collect()
       .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("triangle_cnt"))
