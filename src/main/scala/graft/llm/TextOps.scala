@@ -1017,10 +1017,78 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** Deterministic weighted source interleaving — the data-MIXING
+    * scheduler that turns per-source weights into one reproducible
+    * training order: within each source, docs shuffle by content hash
+    * (reproducible, re-shard-proof — the sample_split argument); each
+    * doc's emit priority is rank_in_source·10⁶ div weight_milli, so a
+    * weight-1000 source emits twice as often as a weight-500 one (the
+    * classic deficit/virtual-time scheduler, all integer); the global
+    * order over (priority, source, doc_id) IS the schedule. Weights
+    * hash off the source name (stand-in for a config table — works for
+    * ANY source string, no ANSI cast hazard).
+    *
+    * Scale: per-source ranks ride partitioned windows; the one global
+    * sort is the deliverable (a training schedule is a total order) and
+    * materializes at 100 TB as a range partition on priority — Spark
+    * plans exactly that (RangePartitioning under the final window). */
+  val sourceInterleave = QuerySpec(
+    "source_interleave",
+    (s, d) => {
+      val bySrc = Window.partitionBy("source").orderBy("h", "doc_id")
+      val sched = Window.orderBy("priority", "source", "doc_id")
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("cast(conv(substring(md5(concat('mix-v1:', text)), 1, 8), 16, 10) as bigint)")
+            .as("h"),
+          (lit(500L) +
+            expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
+              * 250L).as("weight_milli"))
+        .withColumn("rank_in_source", row_number().over(bySrc).cast("long"))
+        .withColumn("priority",
+          expr("(rank_in_source * 1000000) div weight_milli"))
+        .withColumn("pos", row_number().over(sched).cast("long"))
+        .select("pos", "doc_id", "source", "weight_milli", "rank_in_source",
+          "priority")
+        .orderBy("pos")
+    },
+    // window-free oracle (flake rule): both ranks are strict-predecessor
+    // counts over self-joins — source-bounded for rank_in_source,
+    // all-pairs (oracle-scale) for the schedule position
+    Some {
+      val h = md5Hex32Sql("'mix-v1:' || text")
+      val w = s"500 + (${md5Hex32Sql("'w-v1:' || source")}) % 3 * 250"
+      s"""WITH r AS (
+            SELECT doc_id, source, CAST($h AS BIGINT) AS h,
+                   CAST($w AS BIGINT) AS weight_milli
+            FROM documents),
+          rk AS (
+            SELECT a.doc_id, a.source, a.weight_milli,
+                   CAST(1 + COUNT(CASE WHEN b.h < a.h
+                                         OR (b.h = a.h AND b.doc_id < a.doc_id)
+                                       THEN 1 END) AS BIGINT) AS rank_in_source
+            FROM r a JOIN r b ON b.source = a.source
+            GROUP BY a.doc_id, a.source, a.weight_milli, a.h),
+          pr AS (
+            SELECT doc_id, source, weight_milli, rank_in_source,
+                   (rank_in_source * 1000000) // weight_milli AS priority
+            FROM rk)
+          SELECT CAST(1 + COUNT(CASE WHEN b.priority < a.priority
+                   OR (b.priority = a.priority AND b.source < a.source)
+                   OR (b.priority = a.priority AND b.source = a.source
+                       AND b.doc_id < a.doc_id) THEN 1 END) AS BIGINT) AS pos,
+                 a.doc_id, a.source, a.weight_milli, a.rank_in_source,
+                 CAST(a.priority AS BIGINT) AS priority
+          FROM pr a CROSS JOIN pr b
+          GROUP BY a.doc_id, a.source, a.weight_milli, a.rank_in_source, a.priority
+          ORDER BY pos"""
+    }
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
-        leakageSafeSplit, sharedPassagePairs, corpusClean)
+        leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave)
 }

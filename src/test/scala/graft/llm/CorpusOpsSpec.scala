@@ -131,6 +131,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("source_interleave: positions are a permutation, prefixes are weight-proportional") {
+    val rows = SparkEntry.queries("source_interleave")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to rows.length))
+    // deficit-scheduler fairness: below any priority threshold T, source
+    // s has emitted floor(T·w_s/10⁶) docs (capped by its size) — the
+    // proportional-mixing contract the weights promise
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val sizes = bySource.map { case (s, rs) => s -> rs.length.toLong }
+    val weights = bySource.map { case (s, rs) =>
+      s -> rs.head.getAs[Long]("weight_milli") }
+    for (t <- Seq(2000000L, 10000000L, 30000000L)) {
+      bySource.foreach { case (src, rs) =>
+        val emitted = rs.count(_.getAs[Long]("priority") <= t).toLong
+        val expected = math.min(t * weights(src) / 1000000L, sizes(src))
+        assert(math.abs(emitted - expected) <= 1, s"$src at T=$t: $emitted vs $expected")
+      }
+    }
+  }
+
   test("mad_outliers: medians are positional lower medians, counts recompute") {
     val rows = SparkEntry.queries("mad_outliers")(spark, sf).collect()
     assert(rows.length == 25)
