@@ -81,15 +81,28 @@ object TextOps {
     "fr" -> Seq("le", "et", "les", "une"),
     "es" -> Seq("el", "los", "que", "para"))
 
+  /** One definition per PII pattern — shared by pii_detect, pii_redact
+    * and the corpus_clean gate, Spark side AND (via interpolation) the
+    * oracles: editing a pattern in one key but not another would
+    * silently desynchronize the composed gate from its components.
+    * Patterns stay in the Java/RE2-agreeing regex subset. */
+  private[llm] val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val piiUrl = "https?://[^ ]+"
+  private[llm] val piiDigits = "[0-9]{7,}"
+
+  /** Per-language marker-word counts (cnt_en..cnt_es) — the lang_id
+    * machinery, shared with corpus_clean's language gate. */
+  private def withLangCounts(df: DataFrame): DataFrame =
+    langs.foldLeft(df) { case (acc, (l, ws)) =>
+      acc.withColumn(s"cnt_$l", expr(stopCount(ws)).cast("long")) }
+
   /** Language ID via stopword n-gram heuristic: count per-language marker
     * words, argmax with a fixed precedence order (en > de > fr > es) so
     * ties are deterministic. */
   val langId = QuerySpec(
     "lang_id",
     (s, d) => {
-      val withCounts = langs.foldLeft(documents(s, d)) { case (df, (l, ws)) =>
-        df.withColumn(s"cnt_$l", expr(stopCount(ws)).cast("long"))
-      }
+      val withCounts = withLangCounts(documents(s, d))
       val best = greatest(langs.map { case (l, _) => col(s"cnt_$l") }: _*)
       val pred = langs.foldRight(lit("und"): Column) { case ((l, _), el) =>
         when(col(s"cnt_$l") === best && best > 0, lit(l)).otherwise(el)
@@ -277,9 +290,7 @@ object TextOps {
       // function API, NOT expr(): a SQL string literal would be unescaped
       // by Spark's parser, silently turning the \. into "any char" while
       // DuckDB's literal keeps it — two different regexes
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^ ]+"
-      val digits = "[0-9]{7,}"
+      val (email, url, digits) = (piiEmail, piiUrl, piiDigits)
       def cnt(p: String) =
         size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
       documents(s, d)
@@ -573,9 +584,7 @@ object TextOps {
     (s, d) => {
       // function API, NOT expr(): Spark's SQL parser would unescape the
       // string literal and change the regex (see pii_detect)
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^ ]+"
-      val digits = "[0-9]{7,}"
+      val (email, url, digits) = (piiEmail, piiUrl, piiDigits)
       def cnt(p: String) =
         size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
       documents(s, d)
@@ -952,14 +961,11 @@ object TextOps {
     "corpus_clean",
     (s, d) => {
       val docs = documents(s, d)
-      val withCounts = langs.foldLeft(docs) { case (df, (l, ws)) =>
-        df.withColumn(s"cnt_$l", expr(stopCount(ws)).cast("long")) }
+      val withCounts = withLangCounts(docs)
       val best = greatest(langs.map { case (l, _) => col(s"cnt_$l") }: _*)
       // en leads the precedence order, so cnt_en == best ⇔ pred = 'en'
       val isEn = col("cnt_en") === best && best > 0
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^ ]+"
-      val digits = "[0-9]{7,}"
+      val (email, url, digits) = (piiEmail, piiUrl, piiDigits)
       def piiCnt(p: String) =
         size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
       val gated = withCounts
@@ -1028,16 +1034,19 @@ object TextOps {
     * hash off the source name (stand-in for a config table — works for
     * ANY source string, no ANSI cast hazard).
     *
-    * Scale: per-source ranks ride partitioned windows; the one global
-    * sort is the deliverable (a training schedule is a total order) and
-    * materializes at 100 TB as a range partition on priority — Spark
-    * plans exactly that (RangePartitioning under the final window). */
+    * Scale: per-source ranks ride partitioned windows, and the GLOBAL
+    * schedule position is two-level (the sequence_pack scan, NOT a
+    * row_number over an unpartitioned window — that plans
+    * Exchange SinglePartition and funnels every document through one
+    * task): chunk = coarse virtual-time band, per-chunk counts take a
+    * tiny global window (rows = chunk count, bounded by the max
+    * per-source rank, not corpus size), offsets broadcast back, local
+    * rank is chunk-partitioned. */
   val sourceInterleave = QuerySpec(
     "source_interleave",
     (s, d) => {
       val bySrc = Window.partitionBy("source").orderBy("h", "doc_id")
-      val sched = Window.orderBy("priority", "source", "doc_id")
-      documents(s, d)
+      val prio = documents(s, d)
         .select(col("doc_id"), col("source"),
           expr("cast(conv(substring(md5(concat('mix-v1:', text)), 1, 8), 16, 10) as bigint)")
             .as("h"),
@@ -1047,7 +1056,18 @@ object TextOps {
         .withColumn("rank_in_source", row_number().over(bySrc).cast("long"))
         .withColumn("priority",
           expr("(rank_in_source * 1000000) div weight_milli"))
-        .withColumn("pos", row_number().over(sched).cast("long"))
+        .withColumn("chunk", expr("priority div 1000000"))
+      val chunkOffsets = prio.groupBy("chunk")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("chunk_offset",
+          coalesce(sum(col("n")).over(Window.orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("chunk", "chunk_offset")
+      val inChunk = Window.partitionBy("chunk")
+        .orderBy("priority", "source", "doc_id")
+      prio.join(broadcast(chunkOffsets), "chunk")
+        .withColumn("pos",
+          col("chunk_offset") + row_number().over(inChunk).cast("long"))
         .select("pos", "doc_id", "source", "weight_milli", "rank_in_source",
           "priority")
         .orderBy("pos")

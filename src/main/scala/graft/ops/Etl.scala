@@ -300,8 +300,10 @@ object Etl {
     * that answers "are these two copies the same table?" without moving
     * either: per table, the row count plus XOR/min/max digests of a
     * 32-bit hash of each row's CANONICAL rendering (ints as decimal
-    * strings, money as cents, timestamps as epoch micros, NULL as a
-    * sentinel — pinned so any two engines render identically). XOR is
+    * strings, money as cents, timestamps as epoch micros, each field
+    * length-prefixed and NULL a bare marker — so the rendering is
+    * prefix-unambiguous AND engine-identical: no two distinct rows
+    * concatenate to one canonical string). XOR is
     * order-independent and width-stable, so the digest never overflows
     * no matter the row count, and each table is one
     * map-side-combinable aggregation over one scan. This is how the
@@ -319,8 +321,16 @@ object Etl {
             min(col("h")).as("h_min"), max(col("h")).as("h_max"))
           .select(lit(name).as("table_name"), col("row_cnt"),
             col("h_xor"), col("h_min"), col("h_max"))
-      def c(x: org.apache.spark.sql.Column) =
-        coalesce(x.cast("string"), lit("<null>"))
+      // length-prefixed field rendering: 'len:value', NULL → bare 'n' —
+      // a plain delimiter join is ambiguous (('a|b','c') and ('a','b|c')
+      // canonicalize identically, and a literal '<null>' collides with
+      // NULL); the prefix pins every field span, so different tables
+      // can never share a digest by concatenation accident
+      def c(x: org.apache.spark.sql.Column) = {
+        val v = x.cast("string")
+        when(v.isNull, lit("n"))
+          .otherwise(concat(length(v).cast("string"), lit(":"), v))
+      }
       val nationSum = digest("nation", nation(s, d),
         concat_ws("|", c(col("n_nationkey")), c(col("n_name")),
           c(col("n_regionkey"))))
@@ -346,7 +356,10 @@ object Etl {
                    CAST(min(CAST(${h32("canon")} AS BIGINT)) AS BIGINT) AS h_min,
                    CAST(max(CAST(${h32("canon")} AS BIGINT)) AS BIGINT) AS h_max
             FROM (SELECT $canon AS canon FROM $from) t"""
-      def c(x: String) = s"COALESCE(CAST($x AS VARCHAR), '<null>')"
+      def c(x: String) =
+        s"""CASE WHEN CAST($x AS VARCHAR) IS NULL THEN 'n'
+                 ELSE CAST(length(CAST($x AS VARCHAR)) AS VARCHAR)
+                      || ':' || CAST($x AS VARCHAR) END"""
       val nationC = s"concat_ws('|', ${c("n_nationkey")}, ${c("n_name")}, ${c("n_regionkey")})"
       val customerC = s"concat_ws('|', ${c("c_custkey")}, ${c("c_name")}, ${c("c_nationkey")}, ${c("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")}, ${c("c_mktsegment")})"
       val ordersC = s"concat_ws('|', ${c("o_orderkey")}, ${c("o_custkey")}, ${c("o_orderstatus")}, ${c("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")}, ${c("epoch_ns(o_orderdate) // 1000")}, ${c("o_orderpriority")})"

@@ -211,10 +211,14 @@ object Graph {
           .as("spend_cents"))
         .localCheckpoint()
       // ancestor chain from the key encoding: k div 10^j is on the chain
-      // while the previous hop was still an internal node (≥ 10)
+      // while the previous hop was still an internal node (≥ 10).
+      // j runs to 18 — the full BIGINT key domain (10^18 is exact in
+      // the double pow; a shorter cap would silently drop whole trees
+      // once keys pass it, while the unbounded recursive-CTE oracle
+      // keeps them)
       val chain = spend.select(col("k"), col("spend_cents"),
           explode(expr(
-            """filter(transform(sequence(0, 6),
+            """filter(transform(sequence(0, 18),
                  j -> struct(j AS j, k div cast(pow(10, j) AS BIGINT) AS anc)),
                x -> x.j = 0 OR k div cast(pow(10, x.j - 1) AS BIGINT) >= 10)"""))
             .as("a"))
@@ -228,7 +232,9 @@ object Graph {
         .select(col("k"),
           when(col("k") >= 10, expr("k div 10")).otherwise(col("k")).as("anc"),
           when(col("k") >= 10, lit(1L)).otherwise(lit(0L)).as("d"))
-      for (_ <- 1 to 4)
+      // 5 rounds: known-ancestor distance doubles 1→2→4→8→16→32,
+      // covering the depth-19 worst case of the full BIGINT key domain
+      for (_ <- 1 to 5)
         st = st
           .join(st.select(col("k").as("k2"), col("anc").as("anc2"),
               col("d").as("d2")).hint("shuffle_hash"),
