@@ -1105,10 +1105,51 @@ object TextOps {
     }
   )
 
+  /** Span-corruption pair construction (the T5/UL2 denoising objective
+    * prep): per document, mask one deterministically-placed span
+    * (start = doc_id·37 mod (len−20), length 10–20 by key) and emit the
+    * supervised pair — corrupted input (span replaced by a sentinel)
+    * and the target span. Deterministic span placement is a feature,
+    * not a shortcut: reproducible pretraining data requires the mask to
+    * be a pure function of (doc, version), same as sample_split's
+    * content-hash buckets. Pure per-row string surgery — zero shuffle,
+    * whole-stage codegen end to end; the corrupted text is emitted as
+    * its md5 so the gate hashes the construction without shipping
+    * near-duplicate corpora through the compare. */
+  val spanCorruption = QuerySpec(
+    "span_corruption",
+    (s, d) =>
+      documents(s, d)
+        .filter(length(col("text")) >= 40)
+        .select(col("doc_id"), col("text"),
+          expr("(doc_id * 37) % (length(text) - 20) + 1").cast("long")
+            .as("span_start"),
+          expr("10 + doc_id % 11").cast("long").as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          expr("substring(text, span_start, span_len)").as("target_text"),
+          md5(expr(
+            """concat(substring(text, 1, span_start - 1), '<extra_id_0>',
+                      substring(text, span_start + span_len))"""))
+            .as("input_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST((doc_id * 37) % (length(text) - 20) + 1 AS BIGINT) AS span_start,
+                   CAST(10 + doc_id % 11 AS BIGINT) AS span_len,
+                   substr(text, CAST((doc_id * 37) % (length(text) - 20) + 1 AS INTEGER),
+                          CAST(10 + doc_id % 11 AS INTEGER)) AS target_text,
+                   md5(substr(text, 1, CAST((doc_id * 37) % (length(text) - 20) AS INTEGER))
+                       || '<extra_id_0>'
+                       || substr(text, CAST((doc_id * 37) % (length(text) - 20) + 1
+                                            + 10 + doc_id % 11 AS INTEGER))) AS input_md5
+            FROM documents WHERE length(text) >= 40
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
-        leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave)
+        leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
+        spanCorruption)
 }

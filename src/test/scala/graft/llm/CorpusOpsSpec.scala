@@ -150,6 +150,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("span_corruption: target + corrupted input reconstruct the original") {
+    val rows = SparkEntry.queries("span_corruption")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      // driver-side check sticks to BMP texts: Spark's substring counts
+      // codepoints, Java's counts UTF-16 units
+      if (t.length == t.codePointCount(0, t.length)) {
+        val start = r.getAs[Long]("span_start").toInt // 1-based
+        val len = r.getAs[Long]("span_len").toInt
+        assert(r.getAs[String]("target_text") == t.substring(start - 1, start - 1 + len), r)
+        val corrupted = t.substring(0, start - 1) + "<extra_id_0>" +
+          t.substring(start - 1 + len)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(corrupted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getAs[String]("input_md5") == md5, r)
+        // splice the target back in place of the sentinel → original
+        assert(corrupted.replace("<extra_id_0>",
+          r.getAs[String]("target_text")) == t)
+      }
+    }
+  }
+
   test("mad_outliers: medians are positional lower medians, counts recompute") {
     val rows = SparkEntry.queries("mad_outliers")(spark, sf).collect()
     assert(rows.length == 25)
