@@ -181,8 +181,54 @@ object ScaleProbe {
     replicationProbe(spark, sfDir, ks, "winnow_shared_passages")(
       docs => llm.TextOps.sharedPassagePairsOf(docs))
 
+  /** `runMain graft.ScaleProbe interleave [ks...]`: replication curve
+    * for the SHIPPED source_interleave schedule (llm.TextOps
+    * .interleaveOf — the two-level derived-band scan). Replicas keep
+    * their source, so every per-source row count multiplies by k; the
+    * band derivation must hold the chunk-offset table ≤ 64k rows
+    * (printed + asserted per k) while the schedule itself grows
+    * linearly — the round-4 finding was precisely that a FIXED band
+    * makes the offset table corpus-proportional. */
+  private def interleaveProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    val docs0 = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val base = docs0.count()
+    val runs = ks.map { k =>
+      val docs = (0 until k).map(i =>
+          docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("source"), col("text")))
+        .reduce(_ unionByName _)
+      val maxCnt = docs.groupBy("source").count()
+        .agg(max(col("count"))).first().getLong(0)
+      val band = llm.TextOps.interleaveBandFor(maxCnt)
+      val chunkBound = maxCnt * 2000L / band + 1
+      assert(chunkBound <= 65600L,
+        s"offset table not bounded: $chunkBound chunks at k=$k")
+      val t0 = System.nanoTime()
+      val rows = llm.TextOps.interleaveOf(docs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] k=$k%-2d docs=${k * base}%-7d band=$band%-5d " +
+        f"chunk_bound=$chunkBound%-6d rows=$rows%-7d ${secs}%.1f s")
+      (k, secs, rows, band, chunkBound)
+    }
+    val qs = runs.map { case (k, s, r, b, c) =>
+      s"""{"k":$k,"sec":$s,"rows":$r,"band":$b,"chunk_bound":$c}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"source_interleave_schedule","sf":"$sfDir","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("interleave")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 2, 4, 8)
+      interleaveProbe(spark, sfDir, ks)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("winnow")) {
       val spark = Harness.session()
       val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)

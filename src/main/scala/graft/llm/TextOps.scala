@@ -488,39 +488,22 @@ object TextOps {
     *
     * The prefix sum is computed SCALABLY — not with one global
     * unpartitioned window (a single-reducer sort at 100 TB) but with the
-    * classic two-level scan: (1) per-chunk token totals (chunk = coarse
-    * doc_id range, a few thousand docs each), (2) a global window over
-    * the TINY chunk-totals table (row count = chunk count, bounded by
-    * corpus size / chunk span, not by document count) yields each chunk's
-    * stream offset, (3) broadcast-join the offsets back and run the
-    * intra-chunk window PARTITIONED by chunk. The oracle states the same
-    * semantics as the naive single global window. */
+    * classic two-level scan: (1) per-chunk token totals, where the chunk
+    * span is DERIVED from the corpus key range so the chunk count is
+    * genuinely config-bounded (≤ 64k chunks at ANY corpus size — the
+    * derivation is one cheap max(doc_id) scalar feedback), (2) a global
+    * window over the chunk-totals table — ≤ 64k rows by construction,
+    * so the single-partition sort is a fixed-size step, not a
+    * corpus-proportional one, (3) join the offsets back (shuffle_hash
+    * on the static plan — the offsets ride the SAME hashpartitioning
+    * (chunk) the intra-chunk window needs anyway, and AQE is free to
+    * demote the bounded side to a broadcast at runtime) and run the
+    * intra-chunk window PARTITIONED by chunk. The oracle states the
+    * same semantics as the naive single global window. */
   val sequencePack = QuerySpec(
     "sequence_pack",
-    (s, d) => {
-      val binTokens = 2048L
-      val chunkSpan = 1000L
-      val toks = documents(s, d).select(col("doc_id"),
-        size(tokens).cast("long").as("n_tokens"),
-        expr(s"doc_id div $chunkSpan").as("chunk"))
-      val chunkTotals = toks.groupBy("chunk")
-        .agg(sum(col("n_tokens")).as("chunk_tokens"))
-      val wChunks = Window.orderBy("chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val chunkOffsets = chunkTotals
-        .withColumn("chunk_offset",
-          coalesce(sum(col("chunk_tokens")).over(wChunks), lit(0L)))
-        .select("chunk", "chunk_offset")
-      val wInChunk = Window.partitionBy("chunk").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      toks.join(broadcast(chunkOffsets), "chunk")
-        .withColumn("start_pos", col("chunk_offset") +
-          coalesce(sum(col("n_tokens")).over(wInChunk), lit(0L)))
-        .select(col("doc_id"), col("n_tokens"), col("start_pos"),
-          expr(s"start_pos div $binTokens").as("bin_id"),
-          (col("start_pos") % binTokens).as("bin_offset"))
-        .orderBy("doc_id")
-    },
+    (s, d) => packOf(documents(s, d)),
+    // oracle below; the plan itself is packOf (shared with ScaleProbe)
     // oracle is deliberately WINDOW-FREE: DuckDB's parallel evaluation of
     // globally-ordered windows was observed intermittently mis-summing
     // (the window_mom_delta finding, and the CORRECTNESS_r03 hash red on
@@ -541,6 +524,50 @@ object TextOps {
                    start_pos % 2048 AS bin_offset
             FROM pos ORDER BY doc_id""")
   )
+
+  /** The sequence_pack plan over an arbitrary documents frame (shared
+    * with ScaleProbe's replication curve). The chunk span is derived
+    * from the corpus key range targeting ≤ 64k chunks, so the offset
+    * table is config-bounded at any corpus size — the output is
+    * span-invariant (chunking only decomposes the prefix sum), so the
+    * derivation changes nothing but the plan's scale envelope. */
+  def packOf(docs: DataFrame): DataFrame = {
+    val binTokens = 2048L
+    // one cheap max(doc_id) scalar feedback (the A10 pattern) sizes the
+    // spans; empty corpus → span 1 over zero rows
+    val maxId = Option(docs.agg(max(col("doc_id"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val chunkSpan = packSpanFor(maxId)
+    val toks = docs.select(col("doc_id"),
+      size(tokens).cast("long").as("n_tokens"),
+      expr(s"doc_id div $chunkSpan").as("chunk"))
+    val chunkTotals = toks.groupBy("chunk")
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+    val wChunks = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = chunkTotals
+      .withColumn("chunk_offset",
+        coalesce(sum(col("chunk_tokens")).over(wChunks), lit(0L)))
+      .select("chunk", "chunk_offset")
+    val wInChunk = Window.partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // shuffle_hash, not broadcast: the offsets are corpus-DERIVED (even
+    // if config-BOUNDED) — the static plan keeps the
+    // never-broadcast-corpus-derived rule, both sides already hash by
+    // chunk (the window needs that partitioning anyway), and AQE may
+    // still demote the ≤64k-row side to a broadcast at runtime
+    toks.join(chunkOffsets.hint("shuffle_hash"), "chunk")
+      .withColumn("start_pos", col("chunk_offset") +
+        coalesce(sum(col("n_tokens")).over(wInChunk), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+        expr(s"start_pos div $binTokens").as("bin_id"),
+        (col("start_pos") % binTokens).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Chunk span for a key domain [0, maxKey]: ceil so the chunk count
+    * never exceeds 64k. Exposed for the ScaleProbe bound printout. */
+  def packSpanFor(maxKey: Long): Long = math.max(1L, maxKey / 65536L + 1L)
 
   /** Overlapping-window document chunking (embedding / retrieval prep):
     * 200-char windows at stride 150, so consecutive chunks share a
@@ -1038,40 +1065,16 @@ object TextOps {
     * schedule position is two-level (the sequence_pack scan, NOT a
     * row_number over an unpartitioned window — that plans
     * Exchange SinglePartition and funnels every document through one
-    * task): chunk = coarse virtual-time band, per-chunk counts take a
-    * tiny global window (rows = chunk count, bounded by the max
-    * per-source rank, not corpus size), offsets broadcast back, local
-    * rank is chunk-partitioned. */
+    * task): chunk = virtual-time band whose WIDTH is derived from the
+    * corpus (one cheap max-source-size scalar feedback) so the chunk
+    * count is ≤ 64k at any corpus size, per-chunk counts take a global
+    * window over that config-bounded table, offsets join back
+    * shuffle_hash (the chunk partitioning is needed by the local-rank
+    * window anyway; AQE may demote the bounded side to a broadcast at
+    * runtime), local rank is chunk-partitioned. */
   val sourceInterleave = QuerySpec(
     "source_interleave",
-    (s, d) => {
-      val bySrc = Window.partitionBy("source").orderBy("h", "doc_id")
-      val prio = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          expr("cast(conv(substring(md5(concat('mix-v1:', text)), 1, 8), 16, 10) as bigint)")
-            .as("h"),
-          (lit(500L) +
-            expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
-              * 250L).as("weight_milli"))
-        .withColumn("rank_in_source", row_number().over(bySrc).cast("long"))
-        .withColumn("priority",
-          expr("(rank_in_source * 1000000) div weight_milli"))
-        .withColumn("chunk", expr("priority div 1000000"))
-      val chunkOffsets = prio.groupBy("chunk")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("chunk_offset",
-          coalesce(sum(col("n")).over(Window.orderBy("chunk")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("chunk", "chunk_offset")
-      val inChunk = Window.partitionBy("chunk")
-        .orderBy("priority", "source", "doc_id")
-      prio.join(broadcast(chunkOffsets), "chunk")
-        .withColumn("pos",
-          col("chunk_offset") + row_number().over(inChunk).cast("long"))
-        .select("pos", "doc_id", "source", "weight_milli", "rank_in_source",
-          "priority")
-        .orderBy("pos")
-    },
+    (s, d) => interleaveOf(documents(s, d)),
     // window-free oracle (flake rule): both ranks are strict-predecessor
     // counts over self-joins — source-bounded for rank_in_source,
     // all-pairs (oracle-scale) for the schedule position
@@ -1104,6 +1107,56 @@ object TextOps {
           ORDER BY pos"""
     }
   )
+
+  /** Virtual-time band width for the interleave schedule: the largest
+    * per-source row count bounds the max priority at
+    * maxCnt·10⁶/500 (weight floor 500 milli), and the band divides that
+    * range into ≤ 64k chunks. Exposed for the ScaleProbe bound
+    * printout. */
+  def interleaveBandFor(maxSourceCnt: Long): Long =
+    math.max(1L, (maxSourceCnt * 2000L) / 65536L + 1L)
+
+  /** The source_interleave plan over an arbitrary (doc_id, source, text)
+    * frame (shared with ScaleProbe's replication curve). Band width is
+    * corpus-derived so the chunk-offset table stays config-bounded; the
+    * schedule itself is band-invariant (banding only decomposes the
+    * global rank). */
+  def interleaveOf(docs: DataFrame): DataFrame = {
+    // one cheap aggregate sizes the bands (the A10 scalar-feedback
+    // pattern); empty corpus → band 1 over zero rows
+    val maxCnt = Option(docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val band = interleaveBandFor(maxCnt)
+    val bySrc = Window.partitionBy("source").orderBy("h", "doc_id")
+    val prio = docs
+      .select(col("doc_id"), col("source"),
+        expr("cast(conv(substring(md5(concat('mix-v1:', text)), 1, 8), 16, 10) as bigint)")
+          .as("h"),
+        (lit(500L) +
+          expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
+            * 250L).as("weight_milli"))
+      .withColumn("rank_in_source", row_number().over(bySrc).cast("long"))
+      .withColumn("priority",
+        expr("(rank_in_source * 1000000) div weight_milli"))
+      .withColumn("chunk", expr(s"priority div $band"))
+    val chunkOffsets = prio.groupBy("chunk")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("chunk_offset",
+        coalesce(sum(col("n")).over(Window.orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("chunk", "chunk_offset")
+    val inChunk = Window.partitionBy("chunk")
+      .orderBy("priority", "source", "doc_id")
+    // shuffle_hash, not broadcast: corpus-derived (if config-bounded)
+    // offsets follow the same static-plan rule as packOf — see there
+    prio.join(chunkOffsets.hint("shuffle_hash"), "chunk")
+      .withColumn("pos",
+        col("chunk_offset") + row_number().over(inChunk).cast("long"))
+      .select("pos", "doc_id", "source", "weight_milli", "rank_in_source",
+        "priority")
+      .orderBy("pos")
+  }
 
   /** Span-corruption pair construction (the T5/UL2 denoising objective
     * prep): per document, mask one deterministically-placed span

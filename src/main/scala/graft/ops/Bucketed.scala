@@ -96,14 +96,26 @@ object Bucketed {
         }
         finally ls.close()
       }
-      orders(s, d).repartition(8, col("o_custkey"))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable(oTbl)
-      customer(s, d).repartition(8, col("c_custkey"))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable(cTbl)
+      // on FAILURE the names must leave `building`, or the half-written
+      // dirs stay permanently classified as live in this JVM and a retry
+      // for the same tag could never sweep its own stale output. On
+      // success they deliberately STAY registered: `made` publishes only
+      // after computeIfAbsent returns, so removing here would reopen the
+      // window where another key's sweep sees the dirs in neither set —
+      // the set grows 2 names per successful build, bounded by the keys
+      // built in this JVM (which `made` retains anyway)
+      try {
+        orders(s, d).repartition(8, col("o_custkey"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(oTbl)
+        customer(s, d).repartition(8, col("c_custkey"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(cTbl)
+      } catch { case t: Throwable =>
+        building.remove(oTbl); building.remove(cTbl); throw t
+      }
       Seq(oTbl, cTbl).foreach(t => cleanup.add(wh.resolve(t)))
       (oTbl, cTbl)
     })

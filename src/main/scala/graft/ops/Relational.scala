@@ -279,8 +279,13 @@ object Relational {
   val fuzzyLink = QuerySpec(
     "fuzzy_link",
     (s, d) => {
+      // length > 0, not just NOT NULL: the deterministic corruption
+      // position is pk % length(name) — an empty-but-non-null name would
+      // be modulo-by-zero (an error under ANSI mode, and a differently-
+      // shaped error in DuckDB). TPC-H names are never empty; a fuzz
+      // corpus row must degrade to "excluded", not "crash"
       val clean = part(s, d)
-        .filter(col("p_name").isNotNull)
+        .filter(col("p_name").isNotNull && length(col("p_name")) > 0)
         .select(col("p_partkey").as("pk"), col("p_name").as("name"))
       val dirty = clean.select(col("pk"),
         expr("""concat(substring(name, 1, CAST(pk % length(name) AS INT)),
@@ -312,7 +317,7 @@ object Relational {
     },
     Some("""WITH clean AS (
               SELECT p_partkey AS pk, p_name AS name
-              FROM part WHERE p_name IS NOT NULL),
+              FROM part WHERE p_name IS NOT NULL AND length(p_name) > 0),
             dirty AS (
               SELECT pk,
                      substr(name, 1, CAST(pk % length(name) AS INTEGER))

@@ -205,6 +205,23 @@ class PlanSpec extends SparkSpec {
       s"winnow window recomputed above the checkpoint boundary:\n$p")
   }
 
+  test("two-level prefix-sum keys: no corpus-derived subtree is statically broadcast") {
+    // the chunk-offset tables are corpus-DERIVED (config-BOUNDED ≤64k
+    // rows by the derived span/band, but still computed from the corpus):
+    // the static plan must keep them on shuffle-hash — the chunk
+    // partitioning is needed by the intra-chunk window anyway — and only
+    // AQE may demote the bounded side to a broadcast after observing its
+    // true size. A static broadcast pin here is what the round-4 review
+    // flagged: at 10¹¹ docs a FIXED span would make the offsets
+    // ~10⁸ rows, and a pinned broadcast() would ship them to every task.
+    for (key <- Seq("sequence_pack", "source_interleave")) {
+      val p = SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"[$key] corpus-derived broadcast in static plan:\n$p")
+      assert(p.contains("ShuffledHashJoin"), s"[$key] no shuffle-hash join:\n$p")
+    }
+  }
+
   test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
     val df = SparkEntry.queries("sequence_pack")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -86,10 +86,22 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1000).toLong).toArray)
       .toMap
-    val seeds = vecs.keys.toSeq.sorted.take(16)
+    // mirror quantComponents/seedIdsOf/widenByDim semantics exactly:
+    // empty vectors contribute no components so they can never seed the
+    // codebook; the codebook grid spans the UNION of seed dims with
+    // missing entries zero-filled; and a dim contributes only when both
+    // the candidate vector and the grid have it — without this, an
+    // empty/short embedding among the smallest ids (the exact case
+    // seedIdsOf defends against) would make the mirror diverge or throw
+    val seeds = vecs.filter(_._2.nonEmpty).keys.toSeq.sorted.take(16)
+    val gridLen = seeds.map(vecs(_).length).max
     def subDist(v: Array[Long], c: Array[Long], sub: Int): Long =
       (sub * 16 until (sub + 1) * 16)
-        .map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+        .filter(i => i < v.length && i < gridLen)
+        .map { i =>
+          val ci = if (i < c.length) c(i) else 0L
+          (v(i) - ci) * (v(i) - ci)
+        }.sum
     def encode(v: Array[Long]): Array[Int] =
       Array.tabulate(4) { sub =>
         seeds.indices.minBy(k => (subDist(v, vecs(seeds(k)), sub), k))
