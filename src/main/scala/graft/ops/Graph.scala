@@ -276,5 +276,133 @@ object Graph {
             ORDER BY c_custkey""")
   )
 
-  val all: Seq[QuerySpec] = Seq(pagerank, triangleCount, hierarchyRollup)
+  /** Subtree rollup over a DATA-DEFINED parent-pointer table — the
+    * general form of hierarchyRollup: no key encoding, just an opaque
+    * `parent` column (a real org chart / BOM). Input: (k, parent,
+    * spend_cents), parent nullable. Semantics: a node whose parent is
+    * NULL **or absent from the table** is a root (the manager who left
+    * the data); every node reports its root, its depth (hops to root),
+    * and the spend/count rolled up over its whole subtree (self
+    * included).
+    *
+    * Algorithm: the ancestor CLOSURE is built by pointer doubling over
+    * the pointer column itself — seed with (k,k,0) ∪ (k,parent,1), then
+    * 6 rounds of clo ∪ (clo ⋈ clo) double the covered distance
+    * 1→2→4→…→64, so any depth ≤ 64 resolves in O(log D) bounded
+    * self-joins (production runs the same round to convergence with the
+    * dedup_clusters checkpoint loop). Tree-ness makes (k, anc) determine
+    * d, so the per-round distinct is exact dedup, not a choice.
+    *
+    * Scale shape: every join is shuffle_hash on corpus-derived tables
+    * (never broadcast); closure size is Σdepth(node) — the same rows any
+    * subtree rollup must aggregate — and each round checkpoints so the
+    * plan tree stays linear. */
+  def ptrRollup(nodes0: DataFrame): DataFrame = {
+    // normalize dangling pointers to NULL (absent parent = root): after
+    // this, every non-null parent is a real node and doubling can never
+    // drop a child of a missing manager
+    val nodes = nodes0
+      .join(nodes0.select(col("k").as("pk")).hint("shuffle_hash"),
+        col("parent") === col("pk"), "left")
+      .select(col("k"), col("pk").as("parent"), col("spend_cents"))
+      .localCheckpoint()
+    var clo = nodes.select(col("k"), col("k").as("anc"), lit(0L).as("d"))
+      .union(nodes.filter(col("parent").isNotNull)
+        .select(col("k"), col("parent").as("anc"), lit(1L).as("d")))
+      .localCheckpoint()
+    for (_ <- 1 to 6)
+      clo = clo.union(
+          clo.join(clo.select(col("k").as("k2"), col("anc").as("anc2"),
+              col("d").as("d2")).hint("shuffle_hash"),
+            col("anc") === col("k2") && col("d2") > 0)
+            .select(col("k"), col("anc2").as("anc"),
+              (col("d") + col("d2")).as("d")))
+        .distinct()
+        .localCheckpoint()
+    val rootOf = clo
+      .join(nodes.filter(col("parent").isNull)
+        .select(col("k").as("anc")).hint("shuffle_hash"), Seq("anc"))
+      .select(col("k"), col("anc").as("root"), col("d").as("depth"))
+    val sub = clo
+      .join(nodes.select(col("k"), col("spend_cents")).hint("shuffle_hash"),
+        "k")
+      .groupBy("anc")
+      .agg(sum(col("spend_cents")).as("subtree_spend_cents"),
+        count(lit(1)).as("n_nodes"))
+    nodes.select(col("k"), col("spend_cents"))
+      .join(rootOf.hint("shuffle_hash"), "k")
+      .join(sub.hint("shuffle_hash"), col("k") === col("anc"))
+      .select(col("k").as("c_custkey"), col("root"), col("depth"),
+        col("spend_cents"), col("subtree_spend_cents"), col("n_nodes"))
+      .orderBy("c_custkey")
+  }
+
+  /** hierarchy_rollup generalized to data-defined parent pointers: the
+    * customer tree here hangs off an arbitrary-looking `parent` COLUMN
+    * (md5-hashed, ~1-in-7 nodes are roots, parent ∈ [1, k/2] so the
+    * forest is acyclic with depth ≤ log₂(maxkey) by construction — but
+    * the ALGORITHM never sees that: ptrRollup reads only the pointer
+    * column, unlike hierarchy_rollup's key-encoded ancestor explode).
+    * The oracle follows the same pointers with a genuine recursive CTE,
+    * so both engines resolve the same forest by entirely different
+    * algorithms. */
+  val hierarchyRollupPtr = QuerySpec(
+    "hierarchy_rollup_ptr",
+    (s, d) => {
+      val spend = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey").as("k"))
+        .agg(coalesce(sum(cents(col("o_totalprice"))), lit(0L))
+          .as("spend_cents"))
+      val h =
+        "cast(conv(substring(md5(concat('tree-v1:', cast(k as string))), 1, 8), 16, 10) as bigint)"
+      // k=1 guards the k div 2 = 0 modulus; h%7 sprinkles extra roots so
+      // the fixture is a forest, not one tree
+      val nodes0 = spend.select(col("k"),
+        when(expr(s"k = 1 or $h % 7 = 0"), lit(null).cast("long"))
+          .otherwise(expr(s"1 + $h % (k div 2)")).as("parent"),
+        col("spend_cents"))
+      ptrRollup(nodes0)
+    },
+    Some(s"""WITH RECURSIVE spend AS (
+              SELECT c_custkey AS k,
+                     COALESCE(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), 0) AS spend_cents
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY 1),
+            hp AS (
+              SELECT k, spend_cents,
+                     CASE WHEN k = 1 OR (${graft.llm.TextOps.md5Hex32Sql("'tree-v1:' || CAST(k AS VARCHAR)")}) % 7 = 0
+                          THEN NULL
+                          ELSE 1 + (${graft.llm.TextOps.md5Hex32Sql("'tree-v1:' || CAST(k AS VARCHAR)")}) % (k // 2)
+                     END AS parent
+              FROM spend),
+            nodes AS (
+              SELECT a.k, a.spend_cents,
+                     CASE WHEN b.k IS NULL THEN NULL ELSE a.parent END AS parent
+              FROM hp a LEFT JOIN hp b ON b.k = a.parent),
+            chain(node, anc, d) AS (
+              SELECT k, k, 0 FROM nodes
+              UNION ALL
+              SELECT c.node, p.parent, c.d + 1
+              FROM chain c JOIN nodes p ON p.k = c.anc
+              WHERE p.parent IS NOT NULL),
+            roots AS (
+              SELECT c.node, c.anc AS root, CAST(c.d AS BIGINT) AS depth
+              FROM chain c JOIN nodes r ON r.k = c.anc
+              WHERE r.parent IS NULL),
+            sub AS (
+              SELECT c.anc, CAST(SUM(s.spend_cents) AS BIGINT) AS subtree_spend_cents,
+                     count(*) AS n_nodes
+              FROM chain c JOIN nodes s ON s.k = c.node
+              GROUP BY c.anc)
+            SELECT n.k AS c_custkey, r.root, r.depth, n.spend_cents,
+                   sub.subtree_spend_cents, sub.n_nodes
+            FROM nodes n
+            JOIN roots r ON r.node = n.k
+            JOIN sub ON sub.anc = n.k
+            ORDER BY c_custkey""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(pagerank, triangleCount, hierarchyRollup, hierarchyRollupPtr)
 }

@@ -211,6 +211,62 @@ class RelationalSpec extends SparkSpec {
       rows.map(_.getAs[Long]("spend_cents")).sum)
   }
 
+  test("hierarchy_rollup_ptr: matches a driver-side walk of the md5 parent pointers") {
+    val rows = SparkEntry.queries("hierarchy_rollup_ptr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Long]("c_custkey")).toSet
+    // replay the data-defined pointer in driver code: md5 first-8-hex →
+    // unsigned long, same root/parent rule as the fixture column
+    def h(k: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tree-v1:$k".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def parent(k: Long): Option[Long] =
+      if (k == 1 || h(k) % 7 == 0) None
+      else Some(1 + h(k) % (k / 2)).filter(keys.contains) // dangling → root
+    def walk(k: Long): (Long, Long) = {
+      var (n, d) = (k, 0L)
+      while (parent(n).isDefined) { n = parent(n).get; d += 1 }
+      (n, d)
+    }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      assert((r.getAs[Long]("root"), r.getAs[Long]("depth")) == walk(k), r)
+      assert(r.getAs[Long]("subtree_spend_cents") >= r.getAs[Long]("spend_cents"), r)
+    }
+    // root subtrees partition the forest
+    val roots = rows.filter(_.getAs[Long]("depth") == 0L)
+    assert(roots.map(_.getAs[Long]("n_nodes")).sum == rows.length)
+    assert(roots.map(_.getAs[Long]("subtree_spend_cents")).sum ==
+      rows.map(_.getAs[Long]("spend_cents")).sum)
+  }
+
+  test("ptrRollup: deep chain (depth 49, needs the 6th doubling round) + dangling parent fixture") {
+    import spark.implicits._
+    // one 50-node chain (1←2←…←50) + a 3-node branch whose top points at
+    // a MISSING key 999 — absent parent must read as root, not drop rows
+    val fixture = ((1L to 50L).map(k =>
+        (k, if (k == 1) None else Some(k - 1), k)) ++
+      Seq((100L, Some(999L), 5L), (101L, Some(100L), 6L), (102L, Some(101L), 7L)))
+      .toDF("k", "parent", "spend_cents")
+    val got = Graph.ptrRollup(fixture).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    assert(got.size == 53)
+    for (k <- 1L to 50L) {
+      val r = got(k)
+      assert(r.getAs[Long]("root") == 1L && r.getAs[Long]("depth") == k - 1, r)
+      assert(r.getAs[Long]("subtree_spend_cents") == (k + 50L) * (51L - k) / 2, r)
+      assert(r.getAs[Long]("n_nodes") == 51L - k, r)
+    }
+    assert(got(100L).getAs[Long]("depth") == 0L &&
+      got(100L).getAs[Long]("root") == 100L, got(100L))
+    assert(got(101L).getAs[Long]("depth") == 1L &&
+      got(102L).getAs[Long]("depth") == 2L)
+    assert(got(100L).getAs[Long]("subtree_spend_cents") == 18L &&
+      got(100L).getAs[Long]("n_nodes") == 3L, got(100L))
+  }
+
   test("triangle_count: per-node counts match brute-force triple enumeration") {
     val got = SparkEntry.queries("triangle_count")(spark, sf).collect()
       .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("triangle_cnt"))
