@@ -1198,11 +1198,130 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** BPE merge-pair counting over an arbitrary documents frame — the
+    * tokenizer-training inner loop, shared with the spec fixtures.
+    * Returns up to `k` rounds of (round, left_sym, right_sym,
+    * merged_sym, pair_cnt); stops early when no adjacent pair remains.
+    *
+    * The loop runs over the WORD-FREQUENCY table, exactly like real BPE
+    * trainers: the corpus is scanned ONCE to count words (alphabetic
+    * tokens only, so the `,` symbol delimiter can never occur inside a
+    * symbol), and every round after that touches only the vocab-sized
+    * (word, freq) table — at 100 TB of text the distinct-word table is
+    * ~10⁷ rows, so each round is one small (l, r) shuffle + a
+    * TakeOrderedAndProject argmax + a per-row codegen string replace,
+    * checkpointed so the lineage stays flat (the kmeans_lloyd /
+    * pagerank fixed-iteration pattern).
+    *
+    * Symbol encoding: `,,a,,b,,c,,` — every boundary is a DOUBLE comma;
+    * the merge rewrites `,l,,r,` → `,lr,`, consuming one comma from
+    * each side. That makes plain left-to-right non-overlapping
+    * `replace` (same semantics in Spark and DuckDB) implement exactly
+    * the greedy BPE merge: chained pairs re-match (aaaa → aa,aa — the
+    * replacement restores the boundary the next match needs) while a
+    * symbol's interior can never false-match (a pattern needs `,l,,`,
+    * and interiors have no commas). The merged symbol's single-comma
+    * boundaries regain their double form in the output string, so the
+    * invariant holds round over round. */
+  def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var words = docs
+      .select(explode(tokens).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(",,"), regexp_replace(col("w"), "(.)", "$1,,")).as("enc"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    for (rnd <- 1 to k if !done) {
+      val best = words
+        .withColumn("syms", expr("filter(split(enc, ',,'), x -> x != '')"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        // the argmax pair is the sanctioned scalar feedback (A10): two
+        // [a-z]+ symbols — safe to splice into the replace literal
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((rnd.toLong, l, r, l + r, cnt))
+        words = words
+          .select(col("freq"),
+            expr(s"replace(enc, ',$l,,$r,', ',$l$r,')").as("enc"))
+          .localCheckpoint(false)
+      }
+    }
+    out.toSeq.toDF("round", "left_sym", "right_sym", "merged_sym", "pair_cnt")
+      .orderBy("round")
+  }
+
+  /** Tokenizer-vocabulary construction (the missing classic pretraining
+    * stage after dedup→clean→mix→pack→corrupt): 3 rounds of the BPE
+    * inner loop — corpus-wide adjacent-symbol-pair counts, arg-max pair
+    * (ties by (l, r)), greedy merge applied everywhere, repeat. The
+    * oracle unrolls the identical 3 rounds in SQL over the same
+    * double-comma encoding, so both engines agree on every merge
+    * decision AND its weighted pair count. */
+  val bpeMergePairs = QuerySpec(
+    "bpe_merge_pairs",
+    (s, d) => bpeMergesOf(documents(s, d), 3),
+    Some {
+      def pairs(e: String) =
+        s"""SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+              SELECT freq, syms[i] AS l, syms[i + 1] AS r
+              FROM (SELECT freq,
+                      list_filter(string_split(enc, ',,'), x -> x <> '') AS syms
+                    FROM $e) t,
+                   UNNEST(generate_series(1, len(syms) - 1)) AS u(i))
+            GROUP BY l, r"""
+      def merge(e: String, b: String) =
+        s"""SELECT freq,
+              replace(enc, ',' || $b.l || ',,' || $b.r || ',',
+                           ',' || $b.l || $b.r || ',') AS enc
+            FROM $e CROSS JOIN $b"""
+      s"""WITH words AS (
+            SELECT w, count(*) AS freq FROM (
+              SELECT UNNEST(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+              FROM documents) t
+            WHERE regexp_matches(w, '^[a-z]+${"$"}')
+            GROUP BY w),
+          e0 AS (
+            SELECT freq,
+                   ',,' || regexp_replace(w, '(.)', '\\1,,', 'g') AS enc
+            FROM words),
+          p1 AS (${pairs("e0")}),
+          b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+          e1 AS (${merge("e0", "b1")}),
+          p2 AS (${pairs("e1")}),
+          b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+          e2 AS (${merge("e1", "b2")}),
+          p3 AS (${pairs("e2")}),
+          b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+          SELECT CAST(1 AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+                 l || r AS merged_sym, cnt AS pair_cnt FROM b1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM b2
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM b3
+          ORDER BY round"""
+    }
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
-        spanCorruption)
+        spanCorruption, bpeMergePairs)
 }

@@ -210,4 +210,69 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_custs") == vs.length, r)
     }
   }
+
+  test("bpe_merge_pairs: hand-checked fixtures pin argmax ties and greedy overlap") {
+    import spark.implicits._
+    // "the"(×2) + "then": (t,h)=3 (h,e)=3 (e,n)=1 — tie broken by l asc →
+    // (h,e); then (t,he)=3; then (the,n)=1
+    val m1 = TextOps.bpeMergesOf(
+        Seq((1L, "the the then")).toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m1.toSeq == Seq((1L, "h", "e", "he", 3L),
+      (2L, "t", "he", "the", 3L), (3L, "the", "n", "then", 1L)))
+    // "aaaa"(×2): pair count includes overlaps (3 per word = 6) but the
+    // greedy merge is non-overlapping (aaaa → aa,aa); round 3 finds no
+    // pair and must STOP, not emit a phantom row
+    val m2 = TextOps.bpeMergesOf(
+        Seq((1L, "aaaa aaaa")).toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m2.toSeq == Seq((1L, "a", "a", "aa", 6L),
+      (2L, "aa", "aa", "aaaa", 2L)))
+  }
+
+  test("bpe_merge_pairs: count conservation against a driver-side greedy mirror") {
+    val merges = SparkEntry.queries("bpe_merge_pairs")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.length == 3)
+    // independent mirror: word freqs + greedy scan merge in plain Scala
+    val freqs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split(" ", -1))
+      .filter(w => w.nonEmpty && w.matches("[a-z]+"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[List[String], Long] =
+      freqs.map { case (w, f) => w.split("").toList -> f }.toMap
+        .groupBy(_._1).map { case (k, m) => k -> m.values.sum }
+    def greedy(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0; val a = syms.toArray
+      while (i < a.length) {
+        if (i + 1 < a.length && a(i) == l && a(i + 1) == r) { out += l + r; i += 2 }
+        else { out += a(i); i += 1 }
+      }
+      out.toList
+    }
+    merges.foreach { case (l, r, cnt) =>
+      // the reported pair_cnt is the weighted adjacent-pair count
+      // (overlaps included) BEFORE the merge
+      val want = vocab.toSeq.map { case (syms, f) =>
+        f * syms.zip(syms.tail).count(p => p == (l, r)) }.sum
+      assert(cnt == want, s"($l,$r): reported $cnt, mirror $want")
+      val after = vocab.toSeq.map { case (syms, f) => greedy(syms, l, r) -> f }
+        .groupBy(_._1).map { case (k, m) => k -> m.map(_._2).sum }
+      // conservation: the weighted symbol total drops by exactly the
+      // number of merged-symbol occurrences the round created
+      def total(v: Map[List[String], Long]) =
+        v.map { case (s, f) => s.length * f }.sum
+      def occ(v: Map[List[String], Long], sym: String) =
+        v.map { case (s, f) => s.count(_ == sym) * f }.sum
+      val applied = total(vocab) - total(after)
+      assert(applied == occ(after, l + r) - occ(vocab, l + r),
+        s"($l,$r): applied $applied vs created ${occ(after, l + r) - occ(vocab, l + r)}")
+      assert(applied >= 1, s"($l,$r): merge applied nowhere")
+      vocab = after
+    }
+  }
 }
