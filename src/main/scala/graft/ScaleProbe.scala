@@ -23,9 +23,12 @@ object ScaleProbe {
       ns: Seq[Long]): Unit = {
     import org.apache.spark.sql.expressions.Window
     val runs = ns.map { n =>
+      // span derived exactly like the shipped packOf: ≤64k chunks at
+      // any n, so the probe exercises the same bounded-offset shape
+      val span = llm.TextOps.packSpanFor(n - 1)
       val toks = spark.range(n).select(col("id").as("doc_id"),
         (col("id") % 977 + 10).as("n_tokens"),
-        expr("id div 10000").as("chunk"))
+        expr(s"id div $span").as("chunk"))
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val r = f
         ((System.nanoTime() - t0) / 1e9, r)
@@ -45,7 +48,8 @@ object ScaleProbe {
           coalesce(sum(col("ct")).over(wc), lit(0L))).select("chunk", "off")
         val wi = Window.partitionBy("chunk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        toks.join(broadcast(offsets), "chunk")
+        // shuffle_hash like the shipped plan (no pinned broadcast)
+        toks.join(offsets.hint("shuffle_hash"), "chunk")
           .select((col("off") + coalesce(sum(col("n_tokens")).over(wi),
             lit(0L))).as("p"))
           .agg(sum(col("p"))).first().getLong(0)

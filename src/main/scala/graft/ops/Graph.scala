@@ -287,17 +287,20 @@ object Graph {
     *
     * Algorithm: the ancestor CLOSURE is built by pointer doubling over
     * the pointer column itself — seed with (k,k,0) ∪ (k,parent,1), then
-    * 6 rounds of clo ∪ (clo ⋈ clo) double the covered distance
-    * 1→2→4→…→64, so any depth ≤ 64 resolves in O(log D) bounded
-    * self-joins (production runs the same round to convergence with the
-    * dedup_clusters checkpoint loop). Tree-ness makes (k, anc) determine
-    * d, so the per-round distinct is exact dedup, not a choice.
+    * `rounds` rounds of clo ∪ (clo ⋈ clo) double the covered distance
+    * 1→2→4→…→2^rounds, so any depth ≤ 2^rounds resolves in O(log D)
+    * bounded self-joins (production runs the same round to convergence
+    * with the dedup_clusters checkpoint loop; callers with a provable
+    * depth bound pass the matching round count — each extra round is a
+    * full re-distinct of the closure, not free). Tree-ness makes
+    * (k, anc) determine d, so the per-round distinct is exact dedup,
+    * not a choice.
     *
     * Scale shape: every join is shuffle_hash on corpus-derived tables
     * (never broadcast); closure size is Σdepth(node) — the same rows any
     * subtree rollup must aggregate — and each round checkpoints so the
     * plan tree stays linear. */
-  def ptrRollup(nodes0: DataFrame): DataFrame = {
+  def ptrRollup(nodes0: DataFrame, rounds: Int = 6): DataFrame = {
     // normalize dangling pointers to NULL (absent parent = root): after
     // this, every non-null parent is a real node and doubling can never
     // drop a child of a missing manager
@@ -310,7 +313,7 @@ object Graph {
       .union(nodes.filter(col("parent").isNotNull)
         .select(col("k"), col("parent").as("anc"), lit(1L).as("d")))
       .localCheckpoint()
-    for (_ <- 1 to 6)
+    for (_ <- 1 to rounds)
       clo = clo.union(
           clo.join(clo.select(col("k").as("k2"), col("anc").as("anc2"),
               col("d").as("d2")).hint("shuffle_hash"),
@@ -362,7 +365,15 @@ object Graph {
         when(expr(s"k = 1 or $h % 7 = 0"), lit(null).cast("long"))
           .otherwise(expr(s"1 + $h % (k div 2)")).as("parent"),
         col("spend_cents"))
-      ptrRollup(nodes0)
+      // parent ≤ k/2 bounds depth at log₂(maxkey), so the doubling
+      // round count derives log-log from one cheap scalar feedback:
+      // 4 rounds at sf0.1 (15k keys), 6 at 10¹¹ — each saved round is a
+      // full closure re-distinct
+      val maxK = Option(customer(s, d).agg(max(col("c_custkey"))).first().get(0))
+        .map(_.toString.toLong).getOrElse(1L)
+      val depthBound = math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(maxK))
+      val rounds = 32 - Integer.numberOfLeadingZeros(depthBound - 1)
+      ptrRollup(nodes0, rounds)
     },
     Some(s"""WITH RECURSIVE spend AS (
               SELECT c_custkey AS k,
