@@ -25,7 +25,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    // degrade like the other env knobs: a malformed value falls back to 3
+    // instead of aborting the whole run with no artifact
+    val passes = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").trim.toInt).getOrElse(3))
     def loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // sample BEFORE the session starts: co-tenant load, not our workers
@@ -57,8 +60,12 @@ object Bench {
     // per-key median over the passes that succeeded; a key with NO
     // successful pass keeps the -1 sentinel (and must not make the run
     // look faster: only successes contribute to totals)
+    // UPPER median on even counts: a key that failed one of 3 passes has
+    // ok=[a,b] left, and taking the lower value would report its MINIMUM —
+    // an optimistic bias landing exactly on the flakiest keys. Odd counts
+    // get the true median either way.
     def medianOf(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s((s.length - 1) / 2)
+      val s = xs.sorted; s(s.length / 2)
     }
     val results: Seq[(String, Double)] = names.map(_._1).zipWithIndex.map {
       case (name, i) =>

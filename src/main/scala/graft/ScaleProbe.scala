@@ -203,14 +203,13 @@ object ScaleProbe {
           docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
             col("source"), col("text")))
         .reduce(_ unionByName _)
-      val maxCnt = docs.groupBy("source").count()
-        .agg(max(col("count"))).first().getLong(0)
+      val maxCnt = llm.TextOps.maxSourceCount(docs)
       val band = llm.TextOps.interleaveBandFor(maxCnt)
-      val chunkBound = maxCnt * 2000L / band + 1
+      val chunkBound = llm.TextOps.interleaveChunkBoundFor(maxCnt)
       assert(chunkBound <= 65600L,
         s"offset table not bounded: $chunkBound chunks at k=$k")
       val t0 = System.nanoTime()
-      val rows = llm.TextOps.interleaveOf(docs).count()
+      val rows = llm.TextOps.interleaveWith(docs, band).count()
       val secs = (System.nanoTime() - t0) / 1e9
       Harness.sweepBlocks(spark)
       println(f"[probe] k=$k%-2d docs=${k * base}%-7d band=$band%-5d " +

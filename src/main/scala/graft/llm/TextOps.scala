@@ -1116,18 +1116,32 @@ object TextOps {
   def interleaveBandFor(maxSourceCnt: Long): Long =
     math.max(1L, (maxSourceCnt * 2000L) / 65536L + 1L)
 
+  /** Chunk count the derived band yields (2000 = 10⁶ priority scale /
+    * the 500-milli weight floor — the single place that constant lives
+    * besides interleaveBandFor). Exposed for the ScaleProbe bound
+    * printout so the probe can't desynchronize from the shipped
+    * derivation. */
+  def interleaveChunkBoundFor(maxSourceCnt: Long): Long =
+    maxSourceCnt * 2000L / interleaveBandFor(maxSourceCnt) + 1
+
+  /** The band-sizing aggregate (the A10 scalar-feedback pattern): the
+    * largest per-source row count; 0 on an empty corpus. */
+  def maxSourceCount(docs: DataFrame): Long =
+    Option(docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
   /** The source_interleave plan over an arbitrary (doc_id, source, text)
     * frame (shared with ScaleProbe's replication curve). Band width is
     * corpus-derived so the chunk-offset table stays config-bounded; the
     * schedule itself is band-invariant (banding only decomposes the
     * global rank). */
-  def interleaveOf(docs: DataFrame): DataFrame = {
-    // one cheap aggregate sizes the bands (the A10 scalar-feedback
-    // pattern); empty corpus → band 1 over zero rows
-    val maxCnt = Option(docs.groupBy("source").agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val band = interleaveBandFor(maxCnt)
+  def interleaveOf(docs: DataFrame): DataFrame =
+    interleaveWith(docs, interleaveBandFor(maxSourceCount(docs)))
+
+  /** interleaveOf with the band precomputed (ScaleProbe times this so
+    * the sizing aggregate stays out of the measured plan). */
+  def interleaveWith(docs: DataFrame, band: Long): DataFrame = {
     val bySrc = Window.partitionBy("source").orderBy("h", "doc_id")
     val prio = docs
       .select(col("doc_id"), col("source"),

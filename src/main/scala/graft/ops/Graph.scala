@@ -326,6 +326,15 @@ object Graph {
       .join(nodes.filter(col("parent").isNull)
         .select(col("k").as("anc")).hint("shuffle_hash"), Seq("anc"))
       .select(col("k"), col("anc").as("root"), col("d").as("depth"))
+      .localCheckpoint()
+    // completeness guard: an under-provisioned round count must FAIL, not
+    // silently drop deep nodes from the output and undercount their
+    // ancestors' subtrees — every node must have reached a root
+    val (nNodes, nRooted) = (nodes.count(), rootOf.count())
+    require(nRooted == nNodes,
+      s"ptrRollup: $rounds doubling rounds (distance ${1L << rounds}) left " +
+        s"${nNodes - nRooted} of $nNodes nodes rootless — the hierarchy is " +
+        "deeper than the round count covers; raise `rounds`")
     val sub = clo
       .join(nodes.select(col("k"), col("spend_cents")).hint("shuffle_hash"),
         "k")

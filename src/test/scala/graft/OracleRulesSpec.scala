@@ -16,7 +16,11 @@ class OracleRulesSpec extends AnyFunSuite {
     * PARTITIONing — the unpartitioned-global-window shape. Balanced-paren
     * scan so `ORDER BY (a + b)` and frame clauses stay inside the body. */
   def globalWindows(sql: String): Seq[String] = {
-    val up = sql.toUpperCase
+    // normalize whitespace FIRST: the oracles are multi-line triple-quoted
+    // strings, so "ORDER\n          BY" must still match (and a line-split
+    // "PARTITION BY" must still count as partitioned)
+    val norm = sql.replaceAll("\\s+", " ")
+    val up = norm.toUpperCase
     val out = Seq.newBuilder[String]
     var i = up.indexOf("OVER")
     while (i >= 0) {
@@ -33,7 +37,7 @@ class OracleRulesSpec extends AnyFunSuite {
         }
         val body = up.substring(j + 1, math.max(j + 1, k - 1))
         if (body.contains("ORDER BY") && !body.contains("PARTITION BY"))
-          out += sql.substring(i, k)
+          out += norm.substring(i, k)
       }
       i = up.indexOf("OVER", i + 4)
     }
@@ -47,6 +51,12 @@ class OracleRulesSpec extends AnyFunSuite {
       "SELECT SUM(v) OVER (ORDER BY (a + b) ROWS UNBOUNDED PRECEDING) FROM t").nonEmpty)
     assert(globalWindows(
       "SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) FROM t").isEmpty)
+    // whitespace variants: a line-split ORDER BY must still be caught and
+    // a line-split PARTITION BY must still count as partitioned
+    assert(globalWindows(
+      "SELECT SUM(v) OVER (ORDER\n          BY k) FROM t").nonEmpty)
+    assert(globalWindows(
+      "SELECT SUM(v) OVER (PARTITION\n  BY g\n  ORDER BY k) FROM t").isEmpty)
     assert(globalWindows("SELECT recover (x) FROM t ORDER BY x").isEmpty)
     assert(globalWindows("SELECT a FROM t ORDER BY a").isEmpty)
   }

@@ -267,6 +267,19 @@ class RelationalSpec extends SparkSpec {
       got(100L).getAs[Long]("n_nodes") == 3L, got(100L))
   }
 
+  test("ptrRollup: under-provisioned round count FAILS instead of silently dropping deep nodes") {
+    import spark.implicits._
+    // depth-19 chain vs rounds=3 (distance 8): the completeness guard
+    // must throw — the silent alternative is deep nodes vanishing from
+    // the output and ancestors' subtrees undercounting
+    val chain = (1L to 20L).map(k => (k, if (k == 1) None else Some(k - 1), 1L))
+      .toDF("k", "parent", "spend_cents")
+    val e = intercept[IllegalArgumentException] {
+      Graph.ptrRollup(chain, rounds = 3).collect()
+    }
+    assert(e.getMessage.contains("rootless"), e.getMessage)
+  }
+
   test("triangle_count: per-node counts match brute-force triple enumeration") {
     val got = SparkEntry.queries("triangle_count")(spark, sf).collect()
       .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("triangle_cnt"))
