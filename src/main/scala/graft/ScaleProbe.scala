@@ -222,8 +222,44 @@ object ScaleProbe {
     println(s"""{"probe":"source_interleave_schedule","sf":"$sfDir","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe hierarchy [ns...]`: node-count curve for
+    * the SHIPPED pointer-doubling closure (ops.Graph.ptrRollup) on a
+    * synthetic hash-parent forest (parent ≤ k/2, ~1-in-7 roots — the
+    * hierarchy_rollup_ptr shape). Closure size is Σdepth ≈ n·log n and
+    * the round count grows log-log, so runtime should track n·log n —
+    * never n². Round count printed per n. */
+  private def hierarchyProbe(spark: org.apache.spark.sql.SparkSession,
+      ns: Seq[Long]): Unit = {
+    val runs = ns.map { n =>
+      val nodes = spark.range(1, n + 1).select(col("id").as("k"),
+        when(expr("id = 1 or pmod(hash(id), 7) = 0"), lit(null).cast("long"))
+          .otherwise(expr("1 + pmod(hash(id), greatest(id div 2, 1))"))
+          .as("parent"),
+        lit(1L).as("spend_cents"))
+      val depthBound = math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(n))
+      val rounds = 32 - Integer.numberOfLeadingZeros(depthBound - 1)
+      val t0 = System.nanoTime()
+      val out = ops.Graph.ptrRollup(nodes, rounds).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] nodes=$n%-8d rounds=$rounds%-2d rows=$out%-8d ${secs}%.1f s")
+      (n, rounds, secs)
+    }
+    val qs = runs.map { case (n, r, s) =>
+      s"""{"nodes":$n,"rounds":$r,"sec":$s}""" }.mkString("[", ",", "]")
+    println(s"""{"probe":"hierarchy_ptr_closure","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("hierarchy")) {
+      val spark = Harness.session()
+      val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+               else Seq(100000L, 400000L, 1600000L)
+      hierarchyProbe(spark, ns)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("interleave")) {
       val spark = Harness.session()
       val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)

@@ -188,7 +188,10 @@ class PlanSpec extends SparkSpec {
     // the pagerank rule, locked for the round-4 keys: vocabulary/variant/
     // fingerprint tables grow with the corpus — the static plan must
     // never pick a broadcast that only fits at bench scale
-    for (key <- Seq("fuzzy_link", "collocation_pmi", "shared_passage_pairs")) {
+    // hierarchy_rollup_ptr: the closure and rollup tables are all
+    // node-count-sized — same rule
+    for (key <- Seq("fuzzy_link", "collocation_pmi", "shared_passage_pairs",
+        "hierarchy_rollup_ptr")) {
       val p = SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan.toString
       assert(p.contains("ShuffledHashJoin"), s"[$key] no shuffle-hash join:\n$p")
       // single-row scalar totals (collocation's n/m) ride BroadcastNestedLoopJoin
