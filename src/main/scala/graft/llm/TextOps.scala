@@ -136,6 +136,19 @@ object TextOps {
     }
   )
 
+  /** The 7-word stopword list behind quality_score's stop_milli and
+    * quality_band_filter's banding signal — ONE definition, or the band
+    * thresholds silently drift off the score they claim to band. */
+  private val stopWords7 = Seq("the", "and", "of", "is", "a", "to", "in")
+
+  /** DuckDB SQL for the stop_milli signal (stopword density per 1000
+    * tokens) — the quality_band_filter oracle's banding input, mirroring
+    * quality_score's stop_milli math over `stopWords7`. */
+  private def stopMilliSql: String =
+    s"""(1000 * len(list_filter(string_split(lower(text), ' '),
+           w -> w IN (${stopWords7.map(w => s"'$w'").mkString(",")}))))
+        // greatest(len(list_filter(string_split(lower(text), ' '), w -> w <> '')), 1)"""
+
   /** Quality scoring: length / punctuation / stopword / word-shape
     * signals, emitted as exact integer ratios (`div`-scaled milli-units). */
   val qualityScore = QuerySpec(
@@ -146,7 +159,7 @@ object TextOps {
           col("doc_id"),
           length(col("text")).cast("long").as("n_char"),
           size(tokens).cast("long").as("n_tokens"),
-          expr(stopCount(Seq("the", "and", "of", "is", "a", "to", "in")))
+          expr(stopCount(stopWords7))
             .cast("long").as("stop_cnt"),
           length(regexp_replace(col("text"), "[^A-Za-z]", ""))
             .cast("long").as("alpha_cnt"),
@@ -161,12 +174,12 @@ object TextOps {
           expr("(1000 * alpha_cnt) div greatest(n_char, 1)").as("alpha_milli"),
           expr("(10 * alpha_cnt) div greatest(n_tokens, 1)").as("wordlen_deci"))
         .orderBy("doc_id"),
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
               SELECT doc_id,
                      length(text) AS n_char,
                      len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tokens,
                      len(list_filter(string_split(lower(text), ' '),
-                         w -> w IN ('the','and','of','is','a','to','in'))) AS stop_cnt,
+                         w -> w IN (${stopWords7.map(w => s"'$w'").mkString(",")}))) AS stop_cnt,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_cnt,
                      length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_cnt
               FROM documents)
@@ -175,6 +188,62 @@ object TextOps {
                    (1000 * alpha_cnt) // greatest(n_char, 1) AS alpha_milli,
                    (10 * alpha_cnt) // greatest(n_tokens, 1) AS wordlen_deci
             FROM base ORDER BY doc_id""")
+  )
+
+  /** Per-language quality banding (head / middle / tail by stopword
+    * density) — the CCNet-style curation step that keeps each language's
+    * best two thirds instead of one global threshold (which would crush
+    * low-resource languages whose score distribution sits lower).
+    *
+    * The 100 TB shape: NO per-language global sort. The signal is an
+    * integer milli-ratio with a DOMAIN-BOUNDED value space (≤ 1001
+    * values), so per-language tercile thresholds come from a
+    * (lang, value) histogram of ≤ n_langs·1001 rows; the cumulative
+    * window runs over that bounded table only, and band assignment joins
+    * back map-side. The band table is domain-bounded — NOT
+    * corpus-proportional — so its broadcast is the sanctioned
+    * config-sized kind (ann_pq-codebook class), unlike the banned
+    * corpus-derived broadcasts. Ties share a band by construction
+    * (banding is a function of the VALUE), which is what makes the
+    * integer math deterministic across engines. */
+  val qualityBandFilter = QuerySpec(
+    "quality_band_filter",
+    (s, d) => {
+      val scored = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(s"(1000 * ${stopCount(stopWords7)}) " +
+            "div greatest(size(filter(split(lower(text), ' '), w -> w != '')), 1)")
+            .cast("long").as("q"))
+      val hist = scored.groupBy(col("lang"), col("q").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val above = Window.partitionBy("lang").orderBy(col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val whole = Window.partitionBy("lang")
+      val bands = hist
+        .withColumn("cum", coalesce(sum(col("cnt")).over(above), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(whole))
+        .select(col("lang").as("bl"), col("v"),
+          expr("1 + least(2, (3 * cum) div n)").cast("long").as("band"))
+      scored
+        .join(broadcast(bands), col("lang") === col("bl") && col("q") === col("v"))
+        .select(col("doc_id"), col("lang"), col("q").as("stop_milli"),
+          col("band"), (col("band") <= 2).cast("long").as("keep_flag"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH scored AS (
+              SELECT doc_id, lang, $stopMilliSql AS q FROM documents),
+            hist AS (SELECT lang, q AS v, count(*) AS cnt FROM scored GROUP BY 1, 2),
+            bands AS (
+              SELECT lang, v,
+                     CAST(1 + least(2,
+                       (3 * COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY v DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                       // SUM(cnt) OVER (PARTITION BY lang)) AS BIGINT) AS band
+              FROM hist)
+            SELECT s.doc_id, s.lang, s.q AS stop_milli, b.band,
+                   CAST(b.band <= 2 AS BIGINT) AS keep_flag
+            FROM scored s JOIN bands b ON b.lang = s.lang AND b.v = s.q
+            ORDER BY doc_id""")
   )
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
@@ -244,6 +313,74 @@ object TextOps {
                     UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
                   FROM documents)
             GROUP BY t ORDER BY doc_freq DESC, t LIMIT 50""")
+  )
+
+  /** Tokenizer-vocabulary coverage: per-document whitespace-token count,
+    * in-vocabulary token count (with multiplicity) and OOV milli-rate
+    * against the corpus top-10 document-frequency vocabulary (exactly
+    * vocab_topk's ranking: doc_freq DESC, token ASC — a total order, so
+    * the cut is deterministic; k=10 < the fixture corpus's distinct-word
+    * count, so the OOV profile is non-degenerate). The coverage/OOV
+    * profile is how a tokenizer-vocab candidate is evaluated against a
+    * pretraining corpus before committing to the expensive BPE train
+    * (bpe_merge_pairs).
+    *
+    * Scale shape: the vocab is config-sized (k rows after the limit) —
+    * its broadcast is the sanctioned kind — so coverage is one explode +
+    * broadcast left-join + per-doc hash aggregate: embarrassingly
+    * parallel, no corpus-sized shuffle beyond the per-doc agg itself. */
+  val vocabCoverage = QuerySpec(
+    "vocab_coverage",
+    (s, d) => {
+      val docs = documents(s, d)
+      val vocab = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .distinct()
+        .groupBy("t").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("t"))
+        .limit(10)
+        .select(col("t"), lit(1L).as("iv"))
+      val perDoc = docs
+        .select(col("doc_id"), explode(tokens).as("t"))
+        .join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"),
+          coalesce(sum(col("iv")), lit(0L)).as("nv"))
+      // left join back over ALL docs: a token-free document must report
+      // (0, 0, 0), not vanish from the coverage profile
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nt"), lit(0L)).as("n_tokens"),
+          coalesce(col("nv"), lit(0L)).as("in_vocab"))
+        .withColumn("oov_milli",
+          expr("(1000 * (n_tokens - in_vocab)) div greatest(n_tokens, 1)"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH vocab AS (
+              SELECT t FROM (
+                SELECT t, count(*) AS doc_freq
+                FROM (SELECT DISTINCT doc_id,
+                        UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+                      FROM documents)
+                GROUP BY t ORDER BY doc_freq DESC, t LIMIT 10)),
+            tok AS (
+              SELECT doc_id,
+                     UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+              FROM documents),
+            agg AS (
+              SELECT tok.doc_id, count(*) AS n_tokens,
+                     CAST(COALESCE(SUM(CASE WHEN v.t IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS in_vocab
+              FROM tok LEFT JOIN vocab v ON v.t = tok.t
+              GROUP BY tok.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.in_vocab, 0) AS in_vocab,
+                   (1000 * (COALESCE(a.n_tokens, 0) - COALESCE(a.in_vocab, 0)))
+                     // greatest(COALESCE(a.n_tokens, 0), 1) AS oov_milli
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id""")
   )
 
   /** Deterministic content-hash train/val/test split (80/10/10) — the
@@ -1332,7 +1469,8 @@ object TextOps {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(langId, qualityScore, tokenCount, docFingerprint, vocabTopk,
+    Seq(langId, qualityScore, qualityBandFilter, tokenCount, docFingerprint,
+        vocabTopk, vocabCoverage,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,

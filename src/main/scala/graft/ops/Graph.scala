@@ -86,11 +86,46 @@ object Graph {
             ORDER BY nation_id""")
   )
 
+  /** Thresholded supplier co-purchase edges (one row per unordered pair,
+    * s1 < s2): suppliers co-occurring in the same order with
+    * co-occurrence weight ≥ the corpus mean — the mean threshold adapts
+    * to any scale factor and is compared in exact integer
+    * cross-multiplied form (c·n_pairs ≥ Σc). ONE definition (Spark here,
+    * DuckDB in [[copurchaseEdgesSql]]) shared by triangle_count and
+    * graph_bfs_levels: a drift in either copy would silently put the two
+    * keys on different graphs. The single-row pair-total is the one
+    * broadcast (config-sized); everything else shuffles. */
+  private[ops] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val su = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pairs = su
+      .join(su.select(col("ok").as("ok2"), col("sk").as("sk2")),
+        col("ok") === col("ok2") && col("sk") < col("sk2"))
+      .groupBy(col("sk").as("s1"), col("sk2").as("s2"))
+      .agg(count(lit(1)).as("c"))
+    val tot = pairs.agg(count(lit(1)).as("np"), sum(col("c")).as("sc"))
+    pairs.crossJoin(broadcast(tot))
+      .filter(col("c") * col("np") >= col("sc"))
+      .select("s1", "s2")
+      .localCheckpoint(false)
+  }
+
+  /** The su/p/tot/edges CTE block matching [[copurchaseEdges]], shared
+    * verbatim by the triangle_count and graph_bfs_levels oracles. */
+  private val copurchaseEdgesSql: String =
+    """su AS (
+              SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+            p AS (
+              SELECT a.sk AS s1, b.sk AS s2, count(*) AS c
+              FROM su a JOIN su b ON a.ok = b.ok AND a.sk < b.sk
+              GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS np, sum(c) AS sc FROM p),
+            edges AS (SELECT s1, s2 FROM p, tot WHERE c * np >= sc)"""
+
   /** Per-node triangle counts over the supplier co-purchase graph
-    * (edge = two suppliers co-occurring in one order with co-occurrence
-    * weight ≥ the corpus mean — the mean threshold adapts to any scale
-    * factor, compared in exact integer cross-multiplied form
-    * c·n_pairs ≥ Σc).
+    * ([[copurchaseEdges]]).
     *
     * The enumeration is the degree-ordered orientation algorithm: each
     * edge points low-degree → high-degree (ties by id), so every
@@ -106,19 +141,7 @@ object Graph {
   val triangleCount = QuerySpec(
     "triangle_count",
     (s, d) => {
-      val su = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val pairs = su
-        .join(su.select(col("ok").as("ok2"), col("sk").as("sk2")),
-          col("ok") === col("ok2") && col("sk") < col("sk2"))
-        .groupBy(col("sk").as("s1"), col("sk2").as("s2"))
-        .agg(count(lit(1)).as("c"))
-      val tot = pairs.agg(count(lit(1)).as("np"), sum(col("c")).as("sc"))
-      val edges = pairs.crossJoin(broadcast(tot))
-        .filter(col("c") * col("np") >= col("sc"))
-        .select("s1", "s2")
-        .localCheckpoint(false)
+      val edges = copurchaseEdges(s, d)
       val deg = edges.select(col("s1").as("node"))
         .union(edges.select(col("s2")))
         .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -149,14 +172,7 @@ object Graph {
         .agg(count(lit(1)).as("triangle_cnt"))
         .orderBy("s_suppkey")
     },
-    Some("""WITH su AS (
-              SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-            p AS (
-              SELECT a.sk AS s1, b.sk AS s2, count(*) AS c
-              FROM su a JOIN su b ON a.ok = b.ok AND a.sk < b.sk
-              GROUP BY 1, 2),
-            tot AS (SELECT count(*) AS np, sum(c) AS sc FROM p),
-            edges AS (SELECT s1, s2 FROM p, tot WHERE c * np >= sc),
+    Some(s"""WITH $copurchaseEdgesSql,
             deg AS (
               SELECT node, count(*) AS dg FROM (
                 SELECT s1 AS node FROM edges
@@ -423,6 +439,73 @@ object Graph {
             ORDER BY c_custkey""")
   )
 
+  /** Multi-source BFS distance labeling over the supplier co-purchase
+    * graph ([[copurchaseEdges]], symmetrized) — the reachability /
+    * shortest-path capability class: every supplier reachable within 8
+    * hops of the seed set (all suppliers of the minimum nation key
+    * present — a data-defined frontier, fed via a single-row broadcast
+    * rather than a collect) reports its exact hop distance; nodes
+    * farther than 8 hops are excluded by BOTH engines (the oracle's
+    * recursion guard and the Spark round count encode the same bound).
+    *
+    * Algorithm: iterative frontier min-relaxation — each round unions
+    * dist with (in-neighbor dist + 1) and keeps min per node, so after
+    * round r every node at true distance ≤ r holds that distance
+    * (monotone, exact). The fixed 8-round loop is the pagerank /
+    * kmeans_lloyd pattern with per-round checkpoints so the plan tree
+    * stays linear; production runs the same round to convergence
+    * (round count doubles as the distance cap, as here).
+    *
+    * Scale shape: per round ONE shuffle-hash join frontier⋈edges on src
+    * + one min-aggregate; the frontier is ≤ node-count rows, edges are
+    * corpus-derived and never broadcast. The oracle is a genuine
+    * recursive CTE with UNION-dedup on (node, d) states, so the state
+    * space stays nodes × 9 instead of enumerating walks. */
+  val bfsLevels = QuerySpec(
+    "graph_bfs_levels",
+    (s, d) => {
+      val e0 = copurchaseEdges(s, d)
+      val edges = e0
+        .union(e0.select(col("s2").as("s1"), col("s1").as("s2")))
+        .select(col("s1").as("src"), col("s2").as("dst"))
+        .localCheckpoint(false)
+      val minNation = supplier(s, d).agg(min(col("s_nationkey")).as("mn"))
+      val sources = supplier(s, d)
+        .join(broadcast(minNation), col("s_nationkey") === col("mn"))
+        .select(col("s_suppkey").cast("long").as("node"))
+      var dist = sources.select(col("node"), lit(0L).as("d"))
+        .localCheckpoint(false)
+      // per-round checkpoints keep the plan tree linear; the LAST round
+      // stays unmaterialized so the final plan still shows the round
+      // shape (one shuffle-hash frontier join + min-agg) for PlanSpec
+      for (r <- 1 to 8) {
+        val nxt = dist.union(
+            dist.join(edges.hint("shuffle_hash"), col("node") === col("src"))
+              .select(col("dst").cast("long").as("node"),
+                (col("d") + lit(1L)).as("d")))
+          .groupBy("node").agg(min(col("d")).as("d"))
+        dist = if (r < 8) nxt.localCheckpoint(false) else nxt
+      }
+      dist.select(col("node").as("s_suppkey"), col("d").as("dist"))
+        .orderBy("s_suppkey")
+    },
+    Some(s"""WITH RECURSIVE $copurchaseEdgesSql,
+            bi AS (SELECT s1 AS src, s2 AS dst FROM edges
+                   UNION ALL SELECT s2, s1 FROM edges),
+            seed AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier
+              WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+            reach(node, d) AS (
+              SELECT node, 0 FROM seed
+              UNION
+              SELECT CAST(bi.dst AS BIGINT), r.d + 1
+              FROM reach r JOIN bi ON bi.src = r.node
+              WHERE r.d < 8)
+            SELECT node AS s_suppkey, CAST(min(d) AS BIGINT) AS dist
+            FROM reach GROUP BY node ORDER BY s_suppkey""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(pagerank, triangleCount, hierarchyRollup, hierarchyRollupPtr)
+    Seq(pagerank, triangleCount, hierarchyRollup, hierarchyRollupPtr,
+      bfsLevels)
 }

@@ -225,6 +225,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quality_band_filter: thresholds come from the collapsed histogram, bands join back as a broadcast") {
+    val df = SparkEntry.queries("quality_band_filter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the cumulative window must run over the (lang, value) HISTOGRAM —
+    // a domain-bounded aggregate — never over per-document rows
+    val idx = p.indexOf("Window")
+    assert(idx >= 0, p)
+    assert(p.substring(idx).contains("HashAggregate"),
+      s"window not over the collapsed histogram:\n$p")
+    // the band table is domain-bounded (≤ n_langs·1001 rows regardless of
+    // corpus size) — the sanctioned config-sized broadcast class
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vocab_coverage: the config-sized vocab joins as a broadcast against the token stream") {
+    val df = SparkEntry.queries("vocab_coverage")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"token-stream join degraded to SMJ:\n$p")
+  }
+
+  test("graph_bfs_levels: frontier relaxation is shuffle-hash, nothing corpus-derived broadcasts") {
+    // frontier and edge tables are corpus-derived — the pagerank rule;
+    // the checkpointed final-round plan is what the static strategy shows
+    val df = SparkEntry.queries("graph_bfs_levels")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived broadcast in static plan:\n$p")
+  }
+
   test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
     val df = SparkEntry.queries("sequence_pack")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

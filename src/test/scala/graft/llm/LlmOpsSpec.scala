@@ -112,4 +112,41 @@ class LlmOpsSpec extends SparkSpec {
     val shared = fp(1L) intersect fp(2L)
     assert(shared.nonEmpty, "shared passage produced no common fingerprint")
   }
+
+  test("quality_band_filter: banding is monotone in score within each language, ties share a band") {
+    val rows = TextOps.qualityBandFilter.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(1L, 2L, 3L)(r.getAs[Long]("band"))))
+    assert(rows.forall(r =>
+      r.getAs[Long]("keep_flag") == (if (r.getAs[Long]("band") <= 2) 1L else 0L)))
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("lang"))) {
+      // higher score → never a worse (higher) band; equal score → same band
+      val byScore = rs.map(r =>
+        r.getAs[Long]("stop_milli") -> r.getAs[Long]("band"))
+      for (Seq((q1, b1), (q2, b2)) <- byScore.combinations(2).map(_.toSeq)) {
+        if (q1 == q2) assert(b1 == b2, s"tie split: $q1 -> $b1 vs $b2")
+        else if (q1 > q2) assert(b1 <= b2, s"monotonicity: $q1->$b1, $q2->$b2")
+        else assert(b2 <= b1, s"monotonicity: $q2->$b2, $q1->$b1")
+      }
+    }
+  }
+
+  test("vocab_coverage agrees with token_count and stays in bounds") {
+    val cov = TextOps.vocabCoverage.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("in_vocab"),
+          r.getAs[Long]("oov_milli"))).toMap
+    val tok = TextOps.tokenCount.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ws_tokens")).toMap
+    assert(cov.keySet == tok.keySet)
+    for ((id, (nt, nv, oov)) <- cov) {
+      assert(nt == tok(id), s"doc $id: n_tokens $nt != ws_tokens ${tok(id)}")
+      assert(nv >= 0 && nv <= nt, s"doc $id: in_vocab $nv outside [0, $nt]")
+      assert(oov >= 0 && oov <= 1000, s"doc $id: oov_milli $oov")
+    }
+    // the top-50 vocab of this corpus must cover SOMETHING, and not
+    // everything — otherwise the key degenerates
+    assert(cov.values.exists(_._2 > 0))
+    assert(cov.values.exists(v => v._2 < v._1))
+  }
 }

@@ -102,4 +102,25 @@ class StatsGraphSpec extends SparkSpec {
     assert(out(7L) == 13L, s"far cluster did not consolidate: $out")
     assert(out.values.sum == 20L, out)
   }
+
+  test("graph_bfs_levels: Bellman local optimality — every distance is 1 + min over neighbors") {
+    // the oracle proves Spark≡DuckDB on the same 8-hop bound; this proves
+    // the distances are SHORTEST paths: dist(seed)=0, and every non-seed
+    // node's dist equals 1 + min(dist of its reached neighbors) — the
+    // Bellman optimality condition, which only the true BFS levels satisfy
+    val dist = SparkEntry.queries("graph_bfs_levels")(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("dist")).toMap
+    assert(dist.nonEmpty)
+    assert(dist.values.forall(d => d >= 0 && d <= 8), dist)
+    assert(dist.values.exists(_ == 0L), "no seed at distance 0")
+    val e = Graph.copurchaseEdges(spark, sf).collect()
+      .map(r => r.getAs[Number]("s1").longValue -> r.getAs[Number]("s2").longValue)
+    val nbrs = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    for ((node, d) <- dist if d > 0) {
+      val reachedNbrDists = nbrs(node).flatMap(dist.get)
+      assert(reachedNbrDists.min == d - 1,
+        s"node $node dist $d but neighbor dists ${reachedNbrDists.toSeq.sorted}")
+    }
+  }
 }
