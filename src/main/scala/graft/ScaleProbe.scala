@@ -250,8 +250,46 @@ object ScaleProbe {
     println(s"""{"probe":"hierarchy_ptr_closure","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe bfs [ns...]`: node-count curve for the
+    * SHIPPED BFS frontier loop (ops.Graph.bfsFrom, 8 rounds) on a
+    * synthetic hash-wired graph: each node points at 4 hash-derived
+    * targets, symmetrized (avg degree ~8), 64 evenly spaced seeds. Work
+    * per round is one frontier⋈edges shuffle-hash join + a min-agg, so
+    * runtime should track |E|·rounds — linear in nodes at fixed degree,
+    * never |V|². */
+  private def bfsProbe(spark: org.apache.spark.sql.SparkSession,
+      ns: Seq[Long]): Unit = {
+    val runs = ns.map { n =>
+      val e0 = spark.range(0, n).select(col("id").as("src"),
+        explode(expr(s"transform(sequence(0, 3), j -> pmod(hash(id, j), ${n}L))"))
+          .as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seedStep = math.max(n / 64, 1L)
+      val sources = spark.range(0, n).filter(col("id") % seedStep === 0)
+        .select(col("id").as("node"))
+      val t0 = System.nanoTime()
+      val reached = ops.Graph.bfsFrom(sources, edges, 8).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] nodes=$n%-8d reached=$reached%-8d ${secs}%.1f s")
+      (n, reached, secs)
+    }
+    val qs = runs.map { case (n, r, s) =>
+      s"""{"nodes":$n,"reached":$r,"sec":$s}""" }.mkString("[", ",", "]")
+    println(s"""{"probe":"bfs_frontier","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("bfs")) {
+      val spark = Harness.session()
+      val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+               else Seq(100000L, 400000L, 1600000L)
+      bfsProbe(spark, ns)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("hierarchy")) {
       val spark = Harness.session()
       val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)

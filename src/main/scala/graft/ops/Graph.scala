@@ -94,23 +94,29 @@ object Graph {
     * DuckDB in [[copurchaseEdgesSql]]) shared by triangle_count and
     * graph_bfs_levels: a drift in either copy would silently put the two
     * keys on different graphs. The single-row pair-total is the one
-    * broadcast (config-sized); everything else shuffles. */
+    * broadcast (config-sized); everything else shuffles.
+    *
+    * Materialized once per (application, dir) — the graph-construction
+    * pipeline stage both graph keys consume, like the dedup family's
+    * candidate pairs: recomputing the O(Σ per-order pairs) self-join per
+    * downstream key would misrepresent the pipeline (and its build cost
+    * is billed to `stages`, not to whichever key ran first). */
   private[ops] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val su = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val pairs = su
-      .join(su.select(col("ok").as("ok2"), col("sk").as("sk2")),
-        col("ok") === col("ok2") && col("sk") < col("sk2"))
-      .groupBy(col("sk").as("s1"), col("sk2").as("s2"))
-      .agg(count(lit(1)).as("c"))
-    val tot = pairs.agg(count(lit(1)).as("np"), sum(col("c")).as("sc"))
-    pairs.crossJoin(broadcast(tot))
-      .filter(col("c") * col("np") >= col("sc"))
-      .select("s1", "s2")
-      .localCheckpoint(false)
-  }
+      d: String): DataFrame =
+    graft.Materialize.once(s, s"copurchase_edges|$d") {
+      val su = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = su
+        .join(su.select(col("ok").as("ok2"), col("sk").as("sk2")),
+          col("ok") === col("ok2") && col("sk") < col("sk2"))
+        .groupBy(col("sk").as("s1"), col("sk2").as("s2"))
+        .agg(count(lit(1)).as("c"))
+      val tot = pairs.agg(count(lit(1)).as("np"), sum(col("c")).as("sc"))
+      pairs.crossJoin(broadcast(tot))
+        .filter(col("c") * col("np") >= col("sc"))
+        .select("s1", "s2")
+    }
 
   /** The su/p/tot/edges CTE block matching [[copurchaseEdges]], shared
     * verbatim by the triangle_count and graph_bfs_levels oracles. */
@@ -461,6 +467,28 @@ object Graph {
     * corpus-derived and never broadcast. The oracle is a genuine
     * recursive CTE with UNION-dedup on (node, d) states, so the state
     * space stays nodes × 9 instead of enumerating walks. */
+  /** The BFS frontier loop itself, over any (src, dst) edge frame and a
+    * (node) seed frame — shared by graph_bfs_levels and ScaleProbe's bfs
+    * node-count curve. Per-round checkpoints keep the plan tree linear;
+    * the LAST round stays unmaterialized so the final plan still shows
+    * the round shape (one shuffle-hash frontier join + min-agg) for
+    * PlanSpec. */
+  private[graft] def bfsFrom(sources: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = sources.select(col("node").cast("long").as("node"),
+        lit(0L).as("d"))
+      .localCheckpoint(false)
+    for (r <- 1 to rounds) {
+      val nxt = dist.union(
+          dist.join(edges.hint("shuffle_hash"), col("node") === col("src"))
+            .select(col("dst").cast("long").as("node"),
+              (col("d") + lit(1L)).as("d")))
+        .groupBy("node").agg(min(col("d")).as("d"))
+      dist = if (r < rounds) nxt.localCheckpoint(false) else nxt
+    }
+    dist
+  }
+
   val bfsLevels = QuerySpec(
     "graph_bfs_levels",
     (s, d) => {
@@ -473,20 +501,8 @@ object Graph {
       val sources = supplier(s, d)
         .join(broadcast(minNation), col("s_nationkey") === col("mn"))
         .select(col("s_suppkey").cast("long").as("node"))
-      var dist = sources.select(col("node"), lit(0L).as("d"))
-        .localCheckpoint(false)
-      // per-round checkpoints keep the plan tree linear; the LAST round
-      // stays unmaterialized so the final plan still shows the round
-      // shape (one shuffle-hash frontier join + min-agg) for PlanSpec
-      for (r <- 1 to 8) {
-        val nxt = dist.union(
-            dist.join(edges.hint("shuffle_hash"), col("node") === col("src"))
-              .select(col("dst").cast("long").as("node"),
-                (col("d") + lit(1L)).as("d")))
-          .groupBy("node").agg(min(col("d")).as("d"))
-        dist = if (r < 8) nxt.localCheckpoint(false) else nxt
-      }
-      dist.select(col("node").as("s_suppkey"), col("d").as("dist"))
+      bfsFrom(sources, edges, 8)
+        .select(col("node").as("s_suppkey"), col("d").as("dist"))
         .orderBy("s_suppkey")
     },
     Some(s"""WITH RECURSIVE $copurchaseEdgesSql,
