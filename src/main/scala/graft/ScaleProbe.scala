@@ -264,7 +264,11 @@ object ScaleProbe {
         explode(expr(s"transform(sequence(0, 3), j -> pmod(hash(id, j), ${n}L))"))
           .as("dst"))
         .filter(col("src") =!= col("dst"))
+      // checkpoint exactly as the shipped key does — without it every
+      // round's frontier join would regenerate the synthetic edge set
+      // and the curve would measure generation, not the frontier loop
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(false)
       val seedStep = math.max(n / 64, 1L)
       val sources = spark.range(0, n).filter(col("id") % seedStep === 0)
         .select(col("id").as("node"))

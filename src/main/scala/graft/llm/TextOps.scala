@@ -209,11 +209,15 @@ object TextOps {
   val qualityBandFilter = QuerySpec(
     "quality_band_filter",
     (s, d) => {
+      // cast to BIGINT BEFORE the 1000× (exactly quality_score's long
+      // math and the oracle's len()→BIGINT): an int multiply would hit
+      // ANSI ARITHMETIC_OVERFLOW on a >2.1M-stopword doc where both
+      // quality_score and DuckDB succeed
       val scored = documents(s, d)
         .select(col("doc_id"), col("lang"),
-          expr(s"(1000 * ${stopCount(stopWords7)}) " +
-            "div greatest(size(filter(split(lower(text), ' '), w -> w != '')), 1)")
-            .cast("long").as("q"))
+          expr(s"(1000 * cast(${stopCount(stopWords7)} as bigint)) " +
+            "div greatest(cast(size(filter(split(lower(text), ' '), w -> w != '')) as bigint), 1)")
+            .as("q"))
       val hist = scored.groupBy(col("lang"), col("q").as("v"))
         .agg(count(lit(1)).as("cnt"))
       val above = Window.partitionBy("lang").orderBy(col("v").desc)
@@ -292,27 +296,39 @@ object TextOps {
             GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  /** Corpus vocabulary: top-50 tokens by document frequency (distinct
-    * per doc, then group) — the df side of tf-idf and the stopword-list
-    * bootstrap for corpus-specific quality filters. */
+  /** Top-k document-frequency vocabulary (distinct per doc, then group),
+    * ranked (doc_freq DESC, t) — a total order, so any k-cut is
+    * deterministic. ONE definition (with [[vocabSql]]) shared by
+    * vocab_topk and vocab_coverage: a tokenization or tie-break edit in
+    * one key would otherwise silently desynchronize the coverage profile
+    * from the vocabulary it claims to evaluate. */
+  private[llm] def vocabOf(docs: DataFrame, k: Int): DataFrame =
+    docs
+      // relational filter after explode (codegen) rather than the
+      // interpreted filter() lambda inside the array
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .distinct()
+      .groupBy("t")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("t"))
+      .limit(k)
+
+  /** DuckDB twin of [[vocabOf]]. */
+  private def vocabSql(k: Int): String =
+    s"""SELECT t, count(*) AS doc_freq
+        FROM (SELECT DISTINCT doc_id,
+                UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+              FROM documents)
+        GROUP BY t ORDER BY doc_freq DESC, t LIMIT $k"""
+
+  /** Corpus vocabulary: top-50 tokens by document frequency — the df
+    * side of tf-idf and the stopword-list bootstrap for corpus-specific
+    * quality filters. */
   val vocabTopk = QuerySpec(
     "vocab_topk",
-    (s, d) =>
-      documents(s, d)
-        // relational filter after explode (codegen) rather than the
-        // interpreted filter() lambda inside the array
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-        .filter(col("t") =!= "")
-        .distinct()
-        .groupBy("t")
-        .agg(count(lit(1)).as("doc_freq"))
-        .orderBy(col("doc_freq").desc, col("t"))
-        .limit(50),
-    Some("""SELECT t, count(*) AS doc_freq
-            FROM (SELECT DISTINCT doc_id,
-                    UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
-                  FROM documents)
-            GROUP BY t ORDER BY doc_freq DESC, t LIMIT 50""")
+    (s, d) => vocabOf(documents(s, d), 50),
+    Some(vocabSql(50))
   )
 
   /** Tokenizer-vocabulary coverage: per-document whitespace-token count,
@@ -333,14 +349,7 @@ object TextOps {
     "vocab_coverage",
     (s, d) => {
       val docs = documents(s, d)
-      val vocab = docs
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-        .filter(col("t") =!= "")
-        .distinct()
-        .groupBy("t").agg(count(lit(1)).as("doc_freq"))
-        .orderBy(col("doc_freq").desc, col("t"))
-        .limit(10)
-        .select(col("t"), lit(1L).as("iv"))
+      val vocab = vocabOf(docs, 10).select(col("t"), lit(1L).as("iv"))
       val perDoc = docs
         .select(col("doc_id"), explode(tokens).as("t"))
         .join(broadcast(vocab), Seq("t"), "left")
@@ -358,13 +367,8 @@ object TextOps {
           expr("(1000 * (n_tokens - in_vocab)) div greatest(n_tokens, 1)"))
         .orderBy("doc_id")
     },
-    Some("""WITH vocab AS (
-              SELECT t FROM (
-                SELECT t, count(*) AS doc_freq
-                FROM (SELECT DISTINCT doc_id,
-                        UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
-                      FROM documents)
-                GROUP BY t ORDER BY doc_freq DESC, t LIMIT 10)),
+    Some(s"""WITH vocab AS (
+              SELECT t FROM (${vocabSql(10)})),
             tok AS (
               SELECT doc_id,
                      UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t

@@ -445,34 +445,15 @@ object Graph {
             ORDER BY c_custkey""")
   )
 
-  /** Multi-source BFS distance labeling over the supplier co-purchase
-    * graph ([[copurchaseEdges]], symmetrized) — the reachability /
-    * shortest-path capability class: every supplier reachable within 8
-    * hops of the seed set (all suppliers of the minimum nation key
-    * present — a data-defined frontier, fed via a single-row broadcast
-    * rather than a collect) reports its exact hop distance; nodes
-    * farther than 8 hops are excluded by BOTH engines (the oracle's
-    * recursion guard and the Spark round count encode the same bound).
-    *
-    * Algorithm: iterative frontier min-relaxation — each round unions
-    * dist with (in-neighbor dist + 1) and keeps min per node, so after
-    * round r every node at true distance ≤ r holds that distance
-    * (monotone, exact). The fixed 8-round loop is the pagerank /
-    * kmeans_lloyd pattern with per-round checkpoints so the plan tree
-    * stays linear; production runs the same round to convergence
-    * (round count doubles as the distance cap, as here).
-    *
-    * Scale shape: per round ONE shuffle-hash join frontier⋈edges on src
-    * + one min-aggregate; the frontier is ≤ node-count rows, edges are
-    * corpus-derived and never broadcast. The oracle is a genuine
-    * recursive CTE with UNION-dedup on (node, d) states, so the state
-    * space stays nodes × 9 instead of enumerating walks. */
-  /** The BFS frontier loop itself, over any (src, dst) edge frame and a
-    * (node) seed frame — shared by graph_bfs_levels and ScaleProbe's bfs
-    * node-count curve. Per-round checkpoints keep the plan tree linear;
-    * the LAST round stays unmaterialized so the final plan still shows
-    * the round shape (one shuffle-hash frontier join + min-agg) for
-    * PlanSpec. */
+  /** The BFS frontier loop, over any (src, dst) edge frame and a (node)
+    * seed frame — shared by graph_bfs_levels and ScaleProbe's bfs
+    * node-count curve: each round unions dist with (in-neighbor dist +
+    * 1) and keeps min per node, so after round r every node at true
+    * distance ≤ r holds that distance (monotone, exact). Per-round
+    * checkpoints keep the plan tree linear (the pagerank / kmeans_lloyd
+    * pattern); the LAST round stays unmaterialized so the final plan
+    * still shows the round shape (one shuffle-hash frontier join +
+    * min-agg) for PlanSpec. */
   private[graft] def bfsFrom(sources: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     var dist = sources.select(col("node").cast("long").as("node"),
@@ -489,6 +470,21 @@ object Graph {
     dist
   }
 
+  /** Multi-source BFS distance labeling over the supplier co-purchase
+    * graph ([[copurchaseEdges]], symmetrized) — the reachability /
+    * shortest-path capability class: every supplier reachable within 8
+    * hops of the seed set (all suppliers of the minimum nation key
+    * present — a data-defined frontier, fed via a single-row broadcast
+    * rather than a collect) reports its exact hop distance; nodes
+    * farther than 8 hops are excluded by BOTH engines (the oracle's
+    * recursion guard and the Spark round count encode the same bound;
+    * production runs the same round to convergence).
+    *
+    * Scale shape: per round ONE shuffle-hash join frontier⋈edges on src
+    * + one min-aggregate; the frontier is ≤ node-count rows, edges are
+    * corpus-derived and never broadcast. The oracle is a genuine
+    * recursive CTE with UNION-dedup on (node, d) states, so the state
+    * space stays nodes × 9 instead of enumerating walks. */
   val bfsLevels = QuerySpec(
     "graph_bfs_levels",
     (s, d) => {

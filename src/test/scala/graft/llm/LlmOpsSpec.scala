@@ -144,7 +144,7 @@ class LlmOpsSpec extends SparkSpec {
       assert(nv >= 0 && nv <= nt, s"doc $id: in_vocab $nv outside [0, $nt]")
       assert(oov >= 0 && oov <= 1000, s"doc $id: oov_milli $oov")
     }
-    // the top-50 vocab of this corpus must cover SOMETHING, and not
+    // the top-10 vocab of this corpus must cover SOMETHING, and not
     // everything — otherwise the key degenerates
     assert(cov.values.exists(_._2 > 0))
     assert(cov.values.exists(v => v._2 < v._1))
