@@ -123,4 +123,41 @@ class StatsGraphSpec extends SparkSpec {
         s"node $node dist $d but neighbor dists ${reachedNbrDists.toSeq.sorted}")
     }
   }
+
+  test("bfsFrom matches a driver-side BFS on random graphs (fuzz, incl. disconnected + round-capped)") {
+    // the shared frontier core under graph_bfs_levels AND the scale
+    // probe, exercised on shapes the testdata graph never shows:
+    // disconnected components (unreached nodes must be ABSENT, not 0),
+    // multiple seeds, and paths longer than the round cap (must clamp
+    // exactly at `rounds`, the oracle-equivalence contract)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(40)
+      val deg = 1 + rnd.nextInt(2)
+      val dirEdges = (0L until n.toLong).flatMap(u =>
+        Seq.fill(deg)(u -> rnd.nextInt(n).toLong).filterNot(p => p._1 == p._2))
+      val sym = (dirEdges ++ dirEdges.map(_.swap)).distinct
+      val seeds = (0 until 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(n).toLong).distinct
+      val rounds = 1 + rnd.nextInt(4) // deliberately may be < eccentricity
+      // driver-side mirror: plain BFS clamped at `rounds` hops
+      val adj = sym.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      var frontier = seeds.toSet
+      var mirror = seeds.map(_ -> 0L).toMap
+      for (r <- 1 to rounds) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(mirror.contains)
+        mirror ++= frontier.map(_ -> r.toLong)
+      }
+      val got = Graph.bfsFrom(
+          seeds.toDF("node"),
+          sym.toDF("src", "dst"),
+          rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == mirror,
+        s"trial $trial (n=$n seeds=$seeds rounds=$rounds): " +
+          s"spark ${got.toSeq.sorted} != mirror ${mirror.toSeq.sorted}")
+    }
+  }
 }

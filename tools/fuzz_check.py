@@ -54,6 +54,14 @@ def adversarial_docs():
     add("MiXeD CaSe TOKENS and UPPER lower tokens", lang="en")
     # long document (shingle volume)
     add(" ".join(f"w{i}" for i in range(2000)))
+    # quality-band boundary probes: stop_milli = 1000 (all stopwords),
+    # 0 (no stopwords), a language with exactly ONE doc (band must be 1),
+    # and a two-doc language TIED on score (ties must share a band)
+    add("the and of is a to in the and of is a to in")       # all-stopword
+    add("zebra quark flux nimbus vortex glyph prism")        # zero-stopword
+    add("ydinvoimala ja sauna jarvi metsa talvi", lang="fi") # 1-doc lang
+    add("una palabra el que", lang="pt")                     # tie pair:
+    add("otra palabra el que", lang="pt")                    # same score
     return docs
 
 
