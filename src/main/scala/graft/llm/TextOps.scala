@@ -350,19 +350,17 @@ object TextOps {
     (s, d) => {
       val docs = documents(s, d)
       val vocab = vocabOf(docs, 10).select(col("t"), lit(1L).as("iv"))
-      val perDoc = docs
-        .select(col("doc_id"), explode(tokens).as("t"))
+      // explode_OUTER keeps a token-free document as one null-token row
+      // (count(t) = 0), so every doc stays in the profile WITHOUT an
+      // outer join-back against the corpus-sized per-doc aggregate —
+      // which the static planner would otherwise broadcast at bench
+      // scale, the exact corpus-derived-broadcast shape the repo bans
+      docs
+        .select(col("doc_id"), explode_outer(tokens).as("t"))
         .join(broadcast(vocab), Seq("t"), "left")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("nt"),
-          coalesce(sum(col("iv")), lit(0L)).as("nv"))
-      // left join back over ALL docs: a token-free document must report
-      // (0, 0, 0), not vanish from the coverage profile
-      docs.select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("nt"), lit(0L)).as("n_tokens"),
-          coalesce(col("nv"), lit(0L)).as("in_vocab"))
+        .agg(count(col("t")).as("n_tokens"),
+          coalesce(sum(col("iv")), lit(0L)).as("in_vocab"))
         .withColumn("oov_milli",
           expr("(1000 * (n_tokens - in_vocab)) div greatest(n_tokens, 1)"))
         .orderBy("doc_id")

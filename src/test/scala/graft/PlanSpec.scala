@@ -240,10 +240,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("vocab_coverage: the config-sized vocab joins as a broadcast against the token stream") {
+  test("vocab_coverage: ONE broadcast (the config-sized vocab) and no corpus-sized join") {
     val df = SparkEntry.queries("vocab_coverage")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly the vocab broadcast: the explode_outer + count shape means
+    // there is no per-doc-aggregate join-back for the planner to
+    // broadcast (the corpus-derived-broadcast class the repo bans)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
     assert(!p.contains("SortMergeJoin"),
       s"token-stream join degraded to SMJ:\n$p")
   }
