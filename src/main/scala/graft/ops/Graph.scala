@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * Everything stays exact integer milli-units: ranks start at 1000, each
   * round is r' = 150 + (850 · Σ_in (r div outdeg)) div 1000 — the two
   * floor divisions are applied identically in both engines, so a 3-round
-  * fixed-iteration run is bit-reproducible (the production loop runs the
-  * same round to convergence with eager checkpoints, the dedup_clusters
-  * pattern — see llm/Dedup.scala).
+  * fixed-iteration run is bit-reproducible. The loop rides the shared
+  * convergence iterator (graft.Iterate): the integer fixed point makes
+  * "no rank changed" an exact early-stop witness (a changeless round
+  * proves all later rounds are the identity), so the oracle's 3-round
+  * cap and the convergence exit always agree.
   *
   * Scale shape per round: one shuffle — contributions group by dst; the
   * edge table is hash-partitioned once and reused; ranks are the only
@@ -34,14 +36,17 @@ object Graph {
         .select(col("id").as("src"), col("dst"))
         .localCheckpoint(false)
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      var ranks = outdeg.select(col("src").as("id"), lit(1000L).as("rank"))
       // the rank table is node-count-sized (corpus-derived) — NEVER
       // broadcast it: shuffle_hash keeps each round a bounded hash join
       // on src, and with edges bucketed by src (ops/Bucketed pattern)
-      // only the 8-byte rank column moves at 100 TB-graph scale
-      for (_ <- 1 to 3)
-        ranks = edges
-          .join(ranks.join(outdeg.hint("shuffle_hash"),
+      // only the 8-byte rank column moves at 100 TB-graph scale. The
+      // change metric is a node-sized join on the checkpointed rank
+      // tables — the price of a convergence exit; every node keeps
+      // in-degree ≥ 1 here, so the inner join sees every row
+      val ranks = graft.Iterate.fixpoint(
+        outdeg.select(col("src").as("id"), lit(1000L).as("rank")), 3) { rs =>
+        edges
+          .join(rs.join(outdeg.hint("shuffle_hash"),
               col("id") === col("src"))
             .select(col("id"), expr("rank div outdeg").as("share"))
             .hint("shuffle_hash"),
@@ -49,6 +54,11 @@ object Graph {
           .groupBy(col("dst"))
           .agg((lit(150L) + expr("(850 * sum(share)) div 1000")).as("rank"))
           .select(col("dst").as("id"), col("rank"))
+      } { (prev, next) =>
+        next.select(col("id"), col("rank").as("r1"))
+          .join(prev.select(col("id"), col("rank").as("r0")), "id")
+          .filter(col("r1") =!= col("r0")).count()
+      }.df
       ranks.join(outdeg.hint("shuffle_hash"), col("id") === col("src"))
         .select(col("id").as("nation_id"), col("rank").as("rank_milli"),
           col("outdeg"))
@@ -89,8 +99,8 @@ object Graph {
   /** Thresholded supplier co-purchase edges (one row per unordered pair,
     * s1 < s2): suppliers co-occurring in the same order with
     * co-occurrence weight ≥ the corpus mean — the mean threshold adapts
-    * to any scale factor and is compared in exact integer
-    * cross-multiplied form (c·n_pairs ≥ Σc). ONE definition (Spark here,
+    * to any scale factor and is compared in exact integer ceil-division
+    * form (c ≥ ⌈Σc / n_pairs⌉). ONE definition (Spark here,
     * DuckDB in [[copurchaseEdgesSql]]) shared by triangle_count and
     * graph_bfs_levels: a drift in either copy would silently put the two
     * keys on different graphs. The single-row pair-total is the one
@@ -101,7 +111,7 @@ object Graph {
     * candidate pairs: recomputing the O(Σ per-order pairs) self-join per
     * downstream key would misrepresent the pipeline (and its build cost
     * is billed to `stages`, not to whichever key ran first). */
-  private[ops] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     graft.Materialize.once(s, s"copurchase_edges|$d") {
       val su = lineitem(s, d)
@@ -113,8 +123,14 @@ object Graph {
         .groupBy(col("sk").as("s1"), col("sk2").as("s2"))
         .agg(count(lit(1)).as("c"))
       val tot = pairs.agg(count(lit(1)).as("np"), sum(col("c")).as("sc"))
+      // mean threshold as ceil-division, NOT the cross-product form
+      // c·np ≥ sc: the product overflows Long once np·c passes 2^63
+      // (pair count ~1e10 × co-occurrence ~1e9 at extreme scale), while
+      // c ≥ ⌈sc/np⌉ = (sc + np - 1) div np is the same exact integer
+      // predicate with both operands bounded by sc (≤ Σc, far under
+      // 2^62); np ≥ 1 whenever any row reaches the filter
       pairs.crossJoin(broadcast(tot))
-        .filter(col("c") * col("np") >= col("sc"))
+        .filter(col("c") >= expr("(sc + np - 1) div np"))
         .select("s1", "s2")
     }
 
@@ -128,7 +144,8 @@ object Graph {
               FROM su a JOIN su b ON a.ok = b.ok AND a.sk < b.sk
               GROUP BY 1, 2),
             tot AS (SELECT count(*) AS np, sum(c) AS sc FROM p),
-            edges AS (SELECT s1, s2 FROM p, tot WHERE c * np >= sc)"""
+            edges AS (SELECT s1, s2 FROM p, tot
+                      WHERE c >= (sc + np - 1) // np)"""
 
   /** Per-node triangle counts over the supplier co-purchase graph
     * ([[copurchaseEdges]]).
@@ -250,19 +267,23 @@ object Graph {
       // with no row for 91000) has dangling parents, and a self-join over
       // fact keys only would silently drop those nodes — the recursive
       // CTE oracle never even notices
-      var st = chain.select(col("anc").as("k")).distinct()
-        .select(col("k"),
-          when(col("k") >= 10, expr("k div 10")).otherwise(col("k")).as("anc"),
-          when(col("k") >= 10, lit(1L)).otherwise(lit(0L)).as("d"))
-      // 5 rounds: known-ancestor distance doubles 1→2→4→8→16→32,
-      // covering the depth-19 worst case of the full BIGINT key domain
-      for (_ <- 1 to 5)
-        st = st
-          .join(st.select(col("k").as("k2"), col("anc").as("anc2"),
+      // ≤5 rounds: known-ancestor distance doubles 1→2→4→8→16→32,
+      // covering the depth-19 worst case of the full BIGINT key domain;
+      // the shared convergence iterator exits as soon as every node's
+      // tracked ancestor is a root (anc < 10 in this key encoding) —
+      // a resolved table is a fixed point (each root self-loops at
+      // distance 0), so remaining rounds are provably the identity
+      val st = graft.Iterate.fixpoint(
+        chain.select(col("anc").as("k")).distinct()
+          .select(col("k"),
+            when(col("k") >= 10, expr("k div 10")).otherwise(col("k")).as("anc"),
+            when(col("k") >= 10, lit(1L)).otherwise(lit(0L)).as("d")), 5) { cur =>
+        cur
+          .join(cur.select(col("k").as("k2"), col("anc").as("anc2"),
               col("d").as("d2")).hint("shuffle_hash"),
             col("anc") === col("k2"))
           .select(col("k"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
-          .localCheckpoint()
+      } { (_, next) => next.filter(col("anc") >= 10).count() }.df
       val sub = chain.groupBy("anc")
         .agg(sum(col("spend_cents")).as("subtree_spend_cents"),
           count(lit(1)).as("n_nodes"))
@@ -331,19 +352,25 @@ object Graph {
         col("parent") === col("pk"), "left")
       .select(col("k"), col("pk").as("parent"), col("spend_cents"))
       .localCheckpoint()
-    var clo = nodes.select(col("k"), col("k").as("anc"), lit(0L).as("d"))
-      .union(nodes.filter(col("parent").isNotNull)
-        .select(col("k"), col("parent").as("anc"), lit(1L).as("d")))
-      .localCheckpoint()
-    for (_ <- 1 to rounds)
-      clo = clo.union(
+    // closure by pointer doubling through the shared convergence
+    // iterator: union+distinct only ever ADDS (k, anc, d) rows, so the
+    // monotone row-count metric is an exact fixed-point witness — the
+    // loop exits the round after the closure stops growing, and a
+    // converged closure is transitively closed by construction
+    val fixed = graft.Iterate.growth(
+      nodes.select(col("k"), col("k").as("anc"), lit(0L).as("d"))
+        .union(nodes.filter(col("parent").isNotNull)
+          .select(col("k"), col("parent").as("anc"), lit(1L).as("d"))),
+      rounds) { clo =>
+      clo.union(
           clo.join(clo.select(col("k").as("k2"), col("anc").as("anc2"),
               col("d").as("d2")).hint("shuffle_hash"),
             col("anc") === col("k2") && col("d2") > 0)
             .select(col("k"), col("anc2").as("anc"),
               (col("d") + col("d2")).as("d")))
         .distinct()
-        .localCheckpoint()
+    }
+    val clo = fixed.df
     val rootOf = clo
       .join(nodes.filter(col("parent").isNull)
         .select(col("k").as("anc")).hint("shuffle_hash"), Seq("anc"))
@@ -351,12 +378,24 @@ object Graph {
       .localCheckpoint()
     // completeness guard: an under-provisioned round count must FAIL, not
     // silently drop deep nodes from the output and undercount their
-    // ancestors' subtrees — every node must have reached a root
-    val (nNodes, nRooted) = (nodes.count(), rootOf.count())
-    require(nRooted == nNodes,
-      s"ptrRollup: $rounds doubling rounds (distance ${1L << rounds}) left " +
-        s"${nNodes - nRooted} of $nNodes nodes rootless — the hierarchy is " +
-        "deeper than the round count covers; raise `rounds`")
+    // ancestors' subtrees — every node must have reached a root. A
+    // CONVERGED closure is complete by construction (transitively closed,
+    // and every chain ends at a NULL-parent root), so the guard only
+    // needs to run when the loop hit the round cap while still growing —
+    // and then as ONE aggregate job (left-join roots, count vs
+    // count(root)), not two driver-blocking counts
+    if (!fixed.converged) {
+      val g = nodes.select(col("k"))
+        .join(rootOf.select(col("k"), col("root")).hint("shuffle_hash"),
+          Seq("k"), "left")
+        .agg(count(lit(1)).as("n"), count(col("root")).as("nr"))
+        .first()
+      val (nNodes, nRooted) = (g.getLong(0), g.getLong(1))
+      require(nRooted == nNodes,
+        s"ptrRollup: $rounds doubling rounds (distance ${1L << rounds}) left " +
+          s"${nNodes - nRooted} of $nNodes nodes rootless — the hierarchy is " +
+          "deeper than the round count covers; raise `rounds`")
+    }
     val sub = clo
       .join(nodes.select(col("k"), col("spend_cents")).hint("shuffle_hash"),
         "k")
@@ -445,30 +484,36 @@ object Graph {
             ORDER BY c_custkey""")
   )
 
+  /** One BFS relaxation round: union dist with (in-neighbor dist + 1),
+    * keep min per node. Exposed so PlanSpec can assert the round shape
+    * (one shuffle-hash frontier⋈edges join + min-agg, nothing
+    * corpus-derived broadcast) directly on the step plan — the loop's
+    * final frame is a checkpoint scan, which shows the blocks, not the
+    * join. */
+  private[graft] def bfsStep(edges: DataFrame)(dist: DataFrame): DataFrame =
+    dist.union(
+        dist.join(edges.hint("shuffle_hash"), col("node") === col("src"))
+          .select(col("dst").cast("long").as("node"),
+            (col("d") + lit(1L)).as("d")))
+      .groupBy("node").agg(min(col("d")).as("d"))
+
   /** The BFS frontier loop, over any (src, dst) edge frame and a (node)
     * seed frame — shared by graph_bfs_levels and ScaleProbe's bfs
-    * node-count curve: each round unions dist with (in-neighbor dist +
-    * 1) and keeps min per node, so after round r every node at true
-    * distance ≤ r holds that distance (monotone, exact). Per-round
-    * checkpoints keep the plan tree linear (the pagerank / kmeans_lloyd
-    * pattern); the LAST round stays unmaterialized so the final plan
-    * still shows the round shape (one shuffle-hash frontier join +
-    * min-agg) for PlanSpec. */
+    * node-count curve: each round is one [[bfsStep]], so after round r
+    * every node at true distance ≤ r holds that distance (monotone,
+    * exact). Runs through the shared convergence iterator: the reached
+    * set only grows and a node's distance is exact the round it first
+    * appears, so "no new node" is an exact fixed-point witness — the
+    * loop stops the round after the frontier empties instead of
+    * paying `rounds` checkpoint materializations on a shallower graph,
+    * while `rounds` stays the semantic cap that mirrors the oracle's
+    * recursion guard (nodes farther than `rounds` hops are excluded by
+    * BOTH engines). */
   private[graft] def bfsFrom(sources: DataFrame, edges: DataFrame,
-      rounds: Int): DataFrame = {
-    var dist = sources.select(col("node").cast("long").as("node"),
-        lit(0L).as("d"))
-      .localCheckpoint(false)
-    for (r <- 1 to rounds) {
-      val nxt = dist.union(
-          dist.join(edges.hint("shuffle_hash"), col("node") === col("src"))
-            .select(col("dst").cast("long").as("node"),
-              (col("d") + lit(1L)).as("d")))
-        .groupBy("node").agg(min(col("d")).as("d"))
-      dist = if (r < rounds) nxt.localCheckpoint(false) else nxt
-    }
-    dist
-  }
+      rounds: Int): DataFrame =
+    graft.Iterate.growth(
+      sources.select(col("node").cast("long").as("node"), lit(0L).as("d")),
+      rounds)(bfsStep(edges)).df
 
   /** Multi-source BFS distance labeling over the supplier co-purchase
     * graph ([[copurchaseEdges]], symmetrized) — the reachability /

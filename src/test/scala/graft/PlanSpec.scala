@@ -252,13 +252,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("graph_bfs_levels: frontier relaxation is shuffle-hash, nothing corpus-derived broadcasts") {
-    // frontier and edge tables are corpus-derived — the pagerank rule;
-    // the checkpointed final-round plan is what the static strategy shows
-    val df = SparkEntry.queries("graph_bfs_levels")(spark, sf)
-    val p = df.queryExecution.sparkPlan.toString
+    // frontier and edge tables are corpus-derived — the pagerank rule.
+    // The convergence loop's final frame is a checkpoint scan (blocks,
+    // not joins), so the ROUND shape is asserted on the step plan
+    // itself over parquet-derived frames
+    import org.apache.spark.sql.functions._
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+    val edges = sup.select(col("s_suppkey").cast("long").as("src"),
+      (col("s_suppkey") + 1).cast("long").as("dst"))
+    val dist = sup.select(col("s_suppkey").cast("long").as("node"),
+      lit(0L).as("d"))
+    val p = ops.Graph.bfsStep(edges)(dist).queryExecution.sparkPlan.toString
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("BroadcastHashJoin"),
       s"corpus-derived broadcast in static plan:\n$p")
+    // and the shipped key's final plan keeps the no-broadcast rule
+    val kp = SparkEntry.queries("graph_bfs_levels")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!kp.contains("BroadcastHashJoin"), kp)
   }
 
   test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
