@@ -144,20 +144,30 @@ object ScaleProbe {
     replicationProbe(spark, sfDir, ks, "ngram_rare_shingle_candidates")(
       docs => llm.Dedup.ngramPhase1(docs)._2)
 
+  /** Replica doc_id stride: one past the base corpus's max id, so
+    * replica id ranges can never collide no matter the base corpus size
+    * — a fixed constant stride would silently alias replica ids (and
+    * corrupt the probe's row counts and band sizing) the moment the
+    * base corpus outgrew it. */
+  private def strideOf(docs: org.apache.spark.sql.DataFrame): Long =
+    Option(docs.agg(max(col("doc_id"))).first().get(0))
+      .map(_.toString.toLong).getOrElse(0L) + 1L
+
   /** Shared replication-curve scaffold: replicate the corpus k×
     * (doc_ids offset per replica → replicas are exact near-dup groups),
     * time the SHIPPED candidate pipeline end-to-end at each k, print
     * per-run lines + the JSON summary. One definition, so the timing
-    * protocol and the base-ids-below-10M offset assumption live here,
-    * not in one copy per probe. */
+    * protocol and the derived-stride offset rule live here, not in one
+    * copy per probe. */
   private def replicationProbe(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, ks: Seq[Int], probeName: String)(
       pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
     val base = docs0.count()
+    val stride = strideOf(docs0)
     val runs = ks.map { k =>
       val docs = (0 until k).map(i =>
-          docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          docs0.select((col("doc_id") + lit(i * stride)).as("doc_id"),
             col("text")))
         .reduce(_ unionByName _)
       val t0 = System.nanoTime()
@@ -198,9 +208,10 @@ object ScaleProbe {
     val docs0 = Tables.documents(spark, sfDir)
       .select("doc_id", "source", "text")
     val base = docs0.count()
+    val stride = strideOf(docs0)
     val runs = ks.map { k =>
       val docs = (0 until k).map(i =>
-          docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          docs0.select((col("doc_id") + lit(i * stride)).as("doc_id"),
             col("source"), col("text")))
         .reduce(_ unionByName _)
       val maxCnt = llm.TextOps.maxSourceCount(docs)
@@ -315,6 +326,22 @@ object ScaleProbe {
       val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
                else Seq(1, 2, 4, 8)
       winnowProbe(spark, sfDir, ks)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("substring")) {
+      // replication curve for the SHIPPED exact-span dedup
+      // (llm.Dedup.substringDedupOf): replicas are full-document exact
+      // dups, so EVERY position becomes duplicated — the worst case the
+      // tier intrinsically pays (O(total chars) gram rows). Runtime
+      // should track corpus chars × k; output rows = one whole-doc span
+      // per replica doc — never doc-pairs (cross-doc evidence stays in
+      // the gram df aggregate)
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 2, 4, 8)
+      replicationProbe(spark, sfDir, ks, "substring_dedup_spans")(
+        docs => llm.Dedup.substringDedupOf(docs))
       spark.stop()
       return
     }

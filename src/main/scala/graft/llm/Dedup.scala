@@ -343,30 +343,23 @@ object Dedup {
       val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
         .localCheckpoint()
-      var labels = edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 20) {
-        val nbr = labels.as("l")
+      // min-label propagation through the shared convergence iterator
+      // (graft.Iterate — the loop every iterative dataflow here rides):
+      // the node's previous label rides along in the same aggregate
+      // (min over own-only rows), so the change metric costs no extra
+      // join — just a scan of the already-checkpointed label table
+      val labels = graft.Iterate.fixpoint(
+        edges.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("label")), 20) { cur =>
+        val nbr = cur.select("id", "label").as("l")
           .join(edges.as("e"), col("l.id") === col("e.a"))
           .select(col("e.b").as("id"), col("l.label"), lit(false).as("own"))
-        // the node's previous label rides along in the same aggregate
-        // (min over own-only rows), so convergence detection costs no
-        // extra join — just a scan of the checkpointed label table
-        val next = labels.withColumn("own", lit(true))
+        cur.select("id", "label").withColumn("own", lit(true))
           .unionByName(nbr)
           .groupBy("id")
           .agg(min(col("label")).as("label"),
                min(when(col("own"), col("label"))).as("prev"))
-          .localCheckpoint()
-        changed = next.filter(col("label") =!= col("prev")).count()
-        // previous round's checkpoint blocks are dead weight from here on
-        org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(labels)
-        labels = next.select("id", "label")
-        rounds += 1
-      }
+      } { (_, next) => next.filter(col("label") =!= col("prev")).count() }.df
       val out = labels
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         // pin the result so the edges/labels checkpoint blocks can be
@@ -660,7 +653,104 @@ object Dedup {
             ORDER BY doc_id""")
   )
 
+  /** Exact duplicated-SPAN detection over any (doc_id, text) frame —
+    * the suffix-array dedup capability class (find every maximal
+    * passage of ≥ k chars that also appears verbatim in ANOTHER
+    * document), in Spark-native form: a sorted k-gram table stands in
+    * for the literal suffix array. Complements the other tiers — exact
+    * full-doc (md5 groupBy), sampled-fingerprint passages (winnow),
+    * set-similarity (minhash/ngram): this one recovers the FULL EXTENT
+    * of every cross-document verbatim span, not a sample of it.
+    *
+    * Algorithm (all equi-joins + one per-doc range match):
+    *   1. every k-gram position (doc_id, i, md5(gram)) — the O(total
+    *      chars) cost the exactness class intrinsically pays;
+    *   2. grams seen in ≥2 DISTINCT docs (cross-doc only — an
+    *      intra-doc repeat is repetition, not duplication; that signal
+    *      is repetition_ratio's);
+    *   3. join back → the duplicated position set;
+    *   4. maximal runs WITHOUT a window: run starts = positions with
+    *      no duplicated predecessor (anti-join on i-1), run ends = no
+    *      duplicated successor (anti-join on i+1), then each start
+    *      pairs with its nearest end (per-doc range join + min — the
+    *      candidate fan-out is runs-per-doc², bounded by doc length).
+    *   A run of positions [s, e] witnesses the duplicated span
+    *   [s, e + k - 1], reported as (span_start = s, span_len = e-s+k).
+    *
+    * Scale shape: two corpus-wide shuffles (gram df count, join-back)
+    * + three doc_id-keyed joins, everything shuffle_hash (gram and
+    * position tables are corpus-derived — never broadcast); no
+    * all-pairs doc comparison anywhere — cross-doc evidence lives
+    * entirely in the gram df aggregate. Production corpora cut the
+    * constant with a gram stride at recall cost; this is the exact
+    * tier. */
+  def substringDedupOf(docs: DataFrame, k: Int = 50): DataFrame = {
+    val pos = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("i"),
+        md5(expr(s"substring(text, p, $k)")).as("h"))
+    val crossDoc = pos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    // dup feeds the starts AND ends anti-joins: checkpoint so the gram
+    // explode + df join runs once, not once per branch
+    val dup = pos.join(crossDoc.hint("shuffle_hash"), "h")
+      .select("doc_id", "i")
+      .localCheckpoint(false)
+    val starts = dup.join(
+        dup.select(col("doc_id"), (col("i") + 1).as("i")),
+        Seq("doc_id", "i"), "left_anti")
+    val ends = dup.join(
+        dup.select(col("doc_id"), (col("i") - 1).as("i")),
+        Seq("doc_id", "i"), "left_anti")
+    starts.select(col("doc_id"), col("i").as("s"))
+      .join(ends.select(col("doc_id").as("d2"), col("i").as("e"))
+          .hint("shuffle_hash"),
+        col("doc_id") === col("d2") && col("e") >= col("s"))
+      .groupBy("doc_id", "s")
+      .agg(min(col("e")).as("e"))
+      .select(col("doc_id"), col("s").as("span_start"),
+        (col("e") - col("s") + k).as("span_len"))
+  }
+
+  val substringDedup = QuerySpec(
+    "substring_dedup",
+    (s, d) => substringDedupOf(documents(s, d))
+      .orderBy("doc_id", "span_start"),
+    // window-free oracle (the sequence_pack precedent): runs are
+    // recovered by the same starts/ends NOT-EXISTS + nearest-end match,
+    // so neither engine leans on windowed gaps-and-islands
+    Some("""WITH pos AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     md5(substr(text, CAST(i AS INTEGER), 50)) AS h
+              FROM documents,
+                   UNNEST(generate_series(1, length(text) - 49)) AS t(i)
+              WHERE length(text) >= 50),
+            crossdoc AS (
+              SELECT h FROM pos GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT doc_id, i FROM pos SEMI JOIN crossdoc USING (h)),
+            starts AS (
+              SELECT d.doc_id, d.i FROM dup d
+              WHERE NOT EXISTS (SELECT 1 FROM dup p
+                                WHERE p.doc_id = d.doc_id AND p.i = d.i - 1)),
+            ends AS (
+              SELECT d.doc_id, d.i FROM dup d
+              WHERE NOT EXISTS (SELECT 1 FROM dup n
+                                WHERE n.doc_id = d.doc_id AND n.i = d.i + 1)),
+            runs AS (
+              SELECT s.doc_id, s.i AS s, MIN(e.i) AS e
+              FROM starts s JOIN ends e
+                ON e.doc_id = s.doc_id AND e.i >= s.i
+              GROUP BY 1, 2)
+            SELECT doc_id, s AS span_start, e - s + 50 AS span_len
+            FROM runs ORDER BY doc_id, span_start""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
-        clusters, keep, decontaminate, minhashSimEst, bloomPruneJoin)
+        clusters, keep, decontaminate, minhashSimEst, bloomPruneJoin,
+        substringDedup)
 }
