@@ -206,36 +206,15 @@ object TextOps {
     * corpus-derived broadcasts. Ties share a band by construction
     * (banding is a function of the VALUE), which is what makes the
     * integer math deterministic across engines. */
-  val qualityBandFilter = QuerySpec(
-    "quality_band_filter",
-    (s, d) => {
-      // cast to BIGINT BEFORE the 1000× (exactly quality_score's long
-      // math and the oracle's len()→BIGINT): an int multiply would hit
-      // ANSI ARITHMETIC_OVERFLOW on a >2.1M-stopword doc where both
-      // quality_score and DuckDB succeed
-      val scored = documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          expr(s"(1000 * cast(${stopCount(stopWords7)} as bigint)) " +
-            "div greatest(cast(size(filter(split(lower(text), ' '), w -> w != '')) as bigint), 1)")
-            .as("q"))
-      val hist = scored.groupBy(col("lang"), col("q").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val above = Window.partitionBy("lang").orderBy(col("v").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val whole = Window.partitionBy("lang")
-      val bands = hist
-        .withColumn("cum", coalesce(sum(col("cnt")).over(above), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(whole))
-        .select(col("lang").as("bl"), col("v"),
-          expr("1 + least(2, (3 * cum) div n)").cast("long").as("band"))
-      scored
-        .join(broadcast(bands), col("lang") === col("bl") && col("q") === col("v"))
-        .select(col("doc_id"), col("lang"), col("q").as("stop_milli"),
-          col("band"), (col("band") <= 2).cast("long").as("keep_flag"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH scored AS (
-              SELECT doc_id, lang, $stopMilliSql AS q FROM documents),
+  /** The scored/hist/bands CTE block matching [[qualityBandOf]], shared
+    * verbatim by the quality_band_filter and pipeline_quality_pack
+    * oracles — a drift in either copy would silently put the composed
+    * pipeline on a different band table than the component key. */
+  private def qualityBandCteSql: String =
+    s"""scored AS (
+              SELECT doc_id, COALESCE(lang, '') AS lang,
+                     COALESCE($stopMilliSql, -1) AS q
+              FROM documents),
             hist AS (SELECT lang, q AS v, count(*) AS cnt FROM scored GROUP BY 1, 2),
             bands AS (
               SELECT lang, v,
@@ -243,7 +222,49 @@ object TextOps {
                        (3 * COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY v DESC
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
                        // SUM(cnt) OVER (PARTITION BY lang)) AS BIGINT) AS band
-              FROM hist)
+              FROM hist)"""
+
+  /** The quality-band plan over any (doc_id, lang, text) frame — shared
+    * by the query key and the composed pipeline_quality_pack.
+    *
+    * Cast to BIGINT BEFORE the 1000× (exactly quality_score's long
+    * math and the oracle's len()→BIGINT): an int multiply would hit
+    * ANSI ARITHMETIC_OVERFLOW on a >2.1M-stopword doc where both
+    * quality_score and DuckDB succeed.
+    * NULL lang / NULL text coalesce to sentinels ('' / -1) instead of
+    * silently vanishing: a NULL never matches the band equi-join, so
+    * without the sentinel such docs would be neither kept nor
+    * rejected — lost from the curation profile without trace. With
+    * it, every input doc appears in the output: NULL-lang docs band
+    * among themselves under lang='', NULL-text docs sort below every
+    * real score (q=-1 → bottom band of their language). */
+  def qualityBandOf(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(
+          expr(s"(1000 * cast(${stopCount(stopWords7)} as bigint)) " +
+            "div greatest(cast(size(filter(split(lower(text), ' '), w -> w != '')) as bigint), 1)"),
+          lit(-1L)).as("q"))
+    val hist = scored.groupBy(col("lang"), col("q").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val above = Window.partitionBy("lang").orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy("lang")
+    val bands = hist
+      .withColumn("cum", coalesce(sum(col("cnt")).over(above), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .select(col("lang").as("bl"), col("v"),
+        expr("1 + least(2, (3 * cum) div n)").cast("long").as("band"))
+    scored
+      .join(broadcast(bands), col("lang") === col("bl") && col("q") === col("v"))
+      .select(col("doc_id"), col("lang"), col("q").as("stop_milli"),
+        col("band"), (col("band") <= 2).cast("long").as("keep_flag"))
+  }
+
+  val qualityBandFilter = QuerySpec(
+    "quality_band_filter",
+    (s, d) => qualityBandOf(documents(s, d)).orderBy("doc_id"),
+    Some(s"""WITH $qualityBandCteSql
             SELECT s.doc_id, s.lang, s.q AS stop_milli, b.band,
                    CAST(b.band <= 2 AS BIGINT) AS keep_flag
             FROM scored s JOIN bands b ON b.lang = s.lang AND b.v = s.q
@@ -934,9 +955,18 @@ object TextOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** The winnowing fingerprint table as a materialized pipeline stage —
+    * consumed by the fingerprint listing AND the shared-passage pairing
+    * (the copurchase_edges pattern): in a Verify/Bench run both keys
+    * read ONE parquet artifact instead of re-exploding the corpus per
+    * key, and the re-read has real statistics for the planner. */
+  private def winnowFpStage(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"winnow_fp|$d")(
+      winnowFingerprints(documents(s, d)))
+
   val winnowFingerprint = QuerySpec(
     "winnow_fingerprint",
-    (s, d) => winnowFingerprints(documents(s, d)),
+    (s, d) => winnowFpStage(s, d).orderBy("doc_id", "pos"),
     // window-free oracle (DuckDB parallel-window flake guard): each
     // window start band-joins its 4 grams and MIN-picks the encoded key;
     // hash = the same per-hex-digit md5 decode the simhash oracle uses
@@ -1036,18 +1066,21 @@ object TextOps {
     * group-level cousin of sample_split's per-document content hash.
     * Same salted-md5 bucket arithmetic, keyed on the group column;
     * pure projection, zero shuffle, assignment survives re-sharding. */
+  /** The group-aware split plan over any (doc_id, source) frame —
+    * shared by the query key and the composed pipeline_quality_pack. */
+  def leakageSafeSplitOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        expr("conv(substring(md5(concat('grp-v1:', source)), 1, 8), 16, 10)")
+          .cast("long").as("h"))
+      .select(col("doc_id"), col("source"), (col("h") % 100).as("bucket"),
+        when(col("h") % 100 < 80, "train")
+          .when(col("h") % 100 < 90, "val")
+          .otherwise("test").as("split"))
+
   val leakageSafeSplit = QuerySpec(
     "leakage_safe_split",
-    (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), col("source"),
-          expr("conv(substring(md5(concat('grp-v1:', source)), 1, 8), 16, 10)")
-            .cast("long").as("h"))
-        .select(col("doc_id"), col("source"), (col("h") % 100).as("bucket"),
-          when(col("h") % 100 < 80, "train")
-            .when(col("h") % 100 < 90, "val")
-            .otherwise("test").as("split"))
-        .orderBy("doc_id"),
+    (s, d) => leakageSafeSplitOf(documents(s, d)).orderBy("doc_id"),
     Some {
       val v = md5Hex32Sql("'grp-v1:' || source")
       s"""SELECT doc_id, source, v % 100 AS bucket,
@@ -1072,9 +1105,14 @@ object TextOps {
     * the only shuffles are the df count and the hash-keyed join. At
     * 100 TB, fingerprints bucket by hash and the probe is co-located. */
   /** The shared-passage pipeline over any (doc_id, text) frame — shared
-    * by the query key and the ScaleProbe replication curve. */
-  def sharedPassagePairsOf(docs: DataFrame): DataFrame = {
-    val fp = winnowFingerprints(docs)
+    * by the query key (which feeds it the materialized winnow_fp stage)
+    * and the ScaleProbe replication curve (arbitrary frames). */
+  def sharedPassagePairsOf(docs: DataFrame): DataFrame =
+    sharedPassagePairsFromFp(winnowFingerprints(docs))
+
+  /** The pairing half over an already-computed fingerprint frame. */
+  def sharedPassagePairsFromFp(fps: DataFrame): DataFrame = {
+    val fp = fps
       .select(col("doc_id"), col("fp_hash")).distinct()
     val df = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
     // rare feeds BOTH sides of the self-join: checkpoint it so the
@@ -1095,7 +1133,8 @@ object TextOps {
 
   val sharedPassagePairs = QuerySpec(
     "shared_passage_pairs",
-    (s, d) => sharedPassagePairsOf(documents(s, d)).orderBy("id1", "id2"),
+    (s, d) => sharedPassagePairsFromFp(winnowFpStage(s, d))
+      .orderBy("id1", "id2"),
     Some(
       s"""WITH $winnowPickCteSql,
           fp AS (SELECT DISTINCT doc_id, k // 1048576 AS h FROM pick),
@@ -1123,40 +1162,11 @@ object TextOps {
     * group) + semi join. Composing the recipe declaratively (instead of
     * materializing after each gate, as script pipelines do) is the
     * 100 TB win: one pass, no intermediate corpus copies. */
-  val corpusClean = QuerySpec(
-    "corpus_clean",
-    (s, d) => {
-      val docs = documents(s, d)
-      val withCounts = withLangCounts(docs)
-      val best = greatest(langs.map { case (l, _) => col(s"cnt_$l") }: _*)
-      // en leads the precedence order, so cnt_en == best ⇔ pred = 'en'
-      val isEn = col("cnt_en") === best && best > 0
-      val (email, url, digits) = (piiEmail, piiUrl, piiDigits)
-      def piiCnt(p: String) =
-        size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
-      val gated = withCounts
-        .withColumn("n_tokens", size(tokens).cast("long"))
-        .withColumn("stop_cnt",
-          expr(stopCount(Seq("the", "and", "of", "is", "a", "to", "in")))
-            .cast("long"))
-        .withColumn("alpha_cnt",
-          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
-        .withColumn("stop_milli",
-          expr("(1000 * stop_cnt) div greatest(n_tokens, 1)"))
-        .withColumn("alpha_milli",
-          expr("(1000 * alpha_cnt) div greatest(length(text), 1)"))
-        .filter(isEn &&
-          col("n_tokens") >= 20 && col("stop_milli") >= 10 &&
-          col("alpha_milli") >= 600 &&
-          piiCnt(email) + piiCnt(url) + piiCnt(digits) === 0)
-      val canon = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      gated.join(canon, Seq("doc_id"), "left_semi")
-        .select("doc_id", "n_tokens", "stop_milli", "alpha_milli")
-        .orderBy("doc_id")
-    },
-    Some("""WITH base AS (
+  /** The base/canon/cleaned CTE block matching [[corpusCleanOf]],
+    * shared verbatim by the corpus_clean and pipeline_quality_pack
+    * oracles. */
+  private def corpusCleanCteSql: String =
+    """base AS (
               SELECT doc_id, text,
                      len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tokens,
                      len(list_filter(string_split(lower(text), ' '),
@@ -1175,18 +1185,57 @@ object TextOps {
                      + len(regexp_extract_all(text, '[0-9]{7,}')) AS pii_cnt
               FROM documents),
             canon AS (
-              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-            SELECT doc_id, n_tokens,
-                   (1000 * stop_cnt) // greatest(n_tokens, 1) AS stop_milli,
-                   (1000 * alpha_cnt) // greatest(length(text), 1) AS alpha_milli
-            FROM base SEMI JOIN canon USING (doc_id)
-            WHERE cnt_en = greatest(cnt_en, cnt_de, cnt_fr, cnt_es)
-              AND greatest(cnt_en, cnt_de, cnt_fr, cnt_es) > 0
-              AND n_tokens >= 20
-              AND (1000 * stop_cnt) // greatest(n_tokens, 1) >= 10
-              AND (1000 * alpha_cnt) // greatest(length(text), 1) >= 600
-              AND pii_cnt = 0
-            ORDER BY doc_id""")
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            cleaned AS (
+              SELECT doc_id, n_tokens,
+                     (1000 * stop_cnt) // greatest(n_tokens, 1) AS stop_milli,
+                     (1000 * alpha_cnt) // greatest(length(text), 1) AS alpha_milli
+              FROM base SEMI JOIN canon USING (doc_id)
+              WHERE cnt_en = greatest(cnt_en, cnt_de, cnt_fr, cnt_es)
+                AND greatest(cnt_en, cnt_de, cnt_fr, cnt_es) > 0
+                AND n_tokens >= 20
+                AND (1000 * stop_cnt) // greatest(n_tokens, 1) >= 10
+                AND (1000 * alpha_cnt) // greatest(length(text), 1) >= 600
+                AND pii_cnt = 0)"""
+
+  /** The corpus-clean plan over any (doc_id, text) frame — shared by
+    * the query key and the composed pipeline_quality_pack. */
+  def corpusCleanOf(docs: DataFrame): DataFrame = {
+    val withCounts = withLangCounts(docs)
+    val best = greatest(langs.map { case (l, _) => col(s"cnt_$l") }: _*)
+    // en leads the precedence order, so cnt_en == best ⇔ pred = 'en'
+    val isEn = col("cnt_en") === best && best > 0
+    val (email, url, digits) = (piiEmail, piiUrl, piiDigits)
+    def piiCnt(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    val gated = withCounts
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("stop_cnt",
+        expr(stopCount(Seq("the", "and", "of", "is", "a", "to", "in")))
+          .cast("long"))
+      .withColumn("alpha_cnt",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .withColumn("stop_milli",
+        expr("(1000 * stop_cnt) div greatest(n_tokens, 1)"))
+      .withColumn("alpha_milli",
+        expr("(1000 * alpha_cnt) div greatest(length(text), 1)"))
+      .filter(isEn &&
+        col("n_tokens") >= 20 && col("stop_milli") >= 10 &&
+        col("alpha_milli") >= 600 &&
+        piiCnt(email) + piiCnt(url) + piiCnt(digits) === 0)
+    val canon = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    gated.join(canon, Seq("doc_id"), "left_semi")
+      .select("doc_id", "n_tokens", "stop_milli", "alpha_milli")
+  }
+
+  val corpusClean = QuerySpec(
+    "corpus_clean",
+    (s, d) => corpusCleanOf(documents(s, d)).orderBy("doc_id"),
+    Some(s"""WITH $corpusCleanCteSql
+            SELECT doc_id, n_tokens, stop_milli, alpha_milli
+            FROM cleaned ORDER BY doc_id""")
   )
 
   /** Deterministic weighted source interleaving — the data-MIXING
@@ -1470,6 +1519,70 @@ object TextOps {
     }
   )
 
+  /** The END-TO-END curation recipe AS ONE PLAN — the four shipped
+    * stages composed declaratively over one corpus scan intent:
+    *   quality_band_filter (keep each language's best two terciles)
+    *   → corpus_clean (language / quality-floor / PII / exact-dedup
+    *     gates) → leakage_safe_split (keep the train shard)
+    *   → sequence_pack (token offsets + 2048-token bins).
+    * Survivors = the INTERSECTION of the three gate stages — each
+    * composed as a left-semi join of its shipped frame-level plan
+    * ([[qualityBandOf]], [[corpusCleanOf]], [[leakageSafeSplitOf]]) —
+    * then packed by the shipped [[packOf]]. No stage materializes an
+    * intermediate corpus copy (script pipelines write one per stage;
+    * at 100 TB that is 3 corpus copies of dead I/O): Catalyst plans
+    * the whole chain as one dataflow, and the only actions are
+    * packOf's sanctioned scalar feedback. The oracle composes the
+    * SAME shared CTE blocks the component keys use, so the pipeline
+    * can never drift from its stages. */
+  val pipelineQualityPack = QuerySpec(
+    "pipeline_quality_pack",
+    (s, d) => {
+      val docs = documents(s, d)
+      val keepBand = qualityBandOf(docs)
+        .filter(col("keep_flag") === 1).select("doc_id")
+      val clean = corpusCleanOf(docs).select("doc_id")
+      val train = leakageSafeSplitOf(docs)
+        .filter(col("split") === "train").select("doc_id")
+      val survivors = docs
+        .join(keepBand, Seq("doc_id"), "left_semi")
+        .join(clean, Seq("doc_id"), "left_semi")
+        .join(train, Seq("doc_id"), "left_semi")
+      packOf(survivors)
+    },
+    Some {
+      val v = md5Hex32Sql("'grp-v1:' || source")
+      s"""WITH $qualityBandCteSql,
+          $corpusCleanCteSql,
+          keepband AS (
+            SELECT s.doc_id FROM scored s
+            JOIN bands b ON b.lang = s.lang AND b.v = s.q
+            WHERE b.band <= 2),
+          train AS (
+            SELECT doc_id FROM (SELECT doc_id, $v AS hv FROM documents)
+            WHERE hv % 100 < 80),
+          surv AS (
+            SELECT d.doc_id, d.text FROM documents d
+            SEMI JOIN keepband USING (doc_id)
+            SEMI JOIN cleaned USING (doc_id)
+            SEMI JOIN train USING (doc_id)),
+          toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        w -> w <> '')) AS BIGINT) AS n_tokens
+            FROM surv),
+          pos AS (
+            SELECT a.doc_id, a.n_tokens,
+                   CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT) AS start_pos
+            FROM toks a LEFT JOIN toks b ON b.doc_id < a.doc_id
+            GROUP BY a.doc_id, a.n_tokens)
+          SELECT doc_id, n_tokens, start_pos,
+                 start_pos // 2048 AS bin_id,
+                 start_pos % 2048 AS bin_offset
+          FROM pos ORDER BY doc_id"""
+    }
+  )
+
   val all: Seq[QuerySpec] =
     Seq(langId, qualityScore, qualityBandFilter, tokenCount, docFingerprint,
         vocabTopk, vocabCoverage,
@@ -1477,5 +1590,5 @@ object TextOps {
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
-        spanCorruption, bpeMergePairs)
+        spanCorruption, bpeMergePairs, pipelineQualityPack)
 }

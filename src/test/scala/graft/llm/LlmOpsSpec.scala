@@ -149,4 +149,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(cov.values.exists(_._2 > 0))
     assert(cov.values.exists(v => v._2 < v._1))
   }
+
+  test("pipeline_quality_pack: composed survivors equal the stagewise intersection, packed in doc_id order") {
+    val out = TextOps.pipelineQualityPack.fn(spark, sf).collect()
+    val band = TextOps.qualityBandFilter.fn(spark, sf)
+      .filter(col("keep_flag") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val clean = TextOps.corpusClean.fn(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val train = TextOps.leakageSafeSplit.fn(spark, sf)
+      .filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val expect = band & clean & train
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expect,
+      s"composed plan != stagewise composition (${out.length} vs ${expect.size})")
+    assert(out.nonEmpty, "pipeline filtered the whole corpus — fixture degenerate")
+    // pack invariant over the surviving set: start_pos is the running
+    // token sum in doc_id order
+    val sorted = out.sortBy(_.getAs[Long]("doc_id"))
+    var run = 0L
+    for (r <- sorted) {
+      assert(r.getAs[Long]("start_pos") == run,
+        s"doc ${r.getAs[Long]("doc_id")}: start_pos ${r.getAs[Long]("start_pos")} != $run")
+      run += r.getAs[Long]("n_tokens")
+    }
+  }
 }
