@@ -150,6 +150,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(cov.values.exists(v => v._2 < v._1))
   }
 
+  test("quality_band_filter: NULL lang and NULL text docs appear in the profile via sentinels, never vanish") {
+    val docs = Seq(
+      (1L, Option("the and of is words here"), Option("en")),
+      (2L, Option("zebra quark flux"), Option("en")),
+      (3L, Option("the and of is more the and"), None),   // NULL lang
+      (4L, None, Option("en")),                            // NULL text
+      (5L, None, None)                                     // both NULL
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.qualityBandOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("stop_milli"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"docs lost from the curation profile: ${out.keySet}")
+    assert(out(3L)._1 == "", "NULL lang must band under the '' sentinel")
+    assert(out(4L)._2 == -1L && out(5L)._2 == -1L,
+      "NULL text must score the -1 sentinel (bottom of its language)")
+  }
+
   test("pipeline_quality_pack: composed survivors equal the stagewise intersection, packed in doc_id order") {
     val out = TextOps.pipelineQualityPack.fn(spark, sf).collect()
     val band = TextOps.qualityBandFilter.fn(spark, sf)
