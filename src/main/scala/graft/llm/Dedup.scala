@@ -699,11 +699,16 @@ object Dedup {
     val dup = pos.join(crossDoc.hint("shuffle_hash"), "h")
       .select("doc_id", "i")
       .localCheckpoint(false)
+    // the shifted dup sides are corpus-derived — shuffle_hash, never a
+    // static broadcast that only fits at bench scale (the pagerank rule;
+    // both sides already hash by (doc_id, i))
     val starts = dup.join(
-        dup.select(col("doc_id"), (col("i") + 1).as("i")),
+        dup.select(col("doc_id"), (col("i") + 1).as("i"))
+          .hint("shuffle_hash"),
         Seq("doc_id", "i"), "left_anti")
     val ends = dup.join(
-        dup.select(col("doc_id"), (col("i") - 1).as("i")),
+        dup.select(col("doc_id"), (col("i") - 1).as("i"))
+          .hint("shuffle_hash"),
         Seq("doc_id", "i"), "left_anti")
     starts.select(col("doc_id"), col("i").as("s"))
       .join(ends.select(col("doc_id").as("d2"), col("i").as("e"))

@@ -1544,10 +1544,22 @@ object TextOps {
       val clean = corpusCleanOf(docs).select("doc_id")
       val train = leakageSafeSplitOf(docs)
         .filter(col("split") === "train").select("doc_id")
+      // the gate lists are corpus-derived doc_id sets — shuffle_hash,
+      // never a static broadcast that only fits at bench scale (the
+      // pagerank rule); the three semis reuse one doc_id partitioning
       val survivors = docs
-        .join(keepBand, Seq("doc_id"), "left_semi")
-        .join(clean, Seq("doc_id"), "left_semi")
-        .join(train, Seq("doc_id"), "left_semi")
+        .join(keepBand.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .join(clean.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .join(train.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text")
+        // EAGER checkpoint of the survivor projection: packOf reads its
+        // input twice (chunk totals + offset join-back) and derives the
+        // chunk span in a third action — without materialization the
+        // whole gate chain (band histogram, clean gates, split hash)
+        // would re-execute per use, and a LAZY checkpoint re-plans per
+        // action under AQE (the dedup_clusters lesson). This is block
+        // reuse of the survivor rows, not a per-stage corpus copy
+        .localCheckpoint()
       packOf(survivors)
     },
     Some {

@@ -191,7 +191,7 @@ class PlanSpec extends SparkSpec {
     // hierarchy_rollup_ptr: the closure and rollup tables are all
     // node-count-sized — same rule
     for (key <- Seq("fuzzy_link", "collocation_pmi", "shared_passage_pairs",
-        "hierarchy_rollup_ptr")) {
+        "hierarchy_rollup_ptr", "substring_dedup")) {
       val p = SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan.toString
       assert(p.contains("ShuffledHashJoin"), s"[$key] no shuffle-hash join:\n$p")
       // single-row scalar totals (collocation's n/m) ride BroadcastNestedLoopJoin
