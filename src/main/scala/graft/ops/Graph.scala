@@ -332,10 +332,12 @@ object Graph {
     * the pointer column itself — seed with (k,k,0) ∪ (k,parent,1), then
     * `rounds` rounds of clo ∪ (clo ⋈ clo) double the covered distance
     * 1→2→4→…→2^rounds, so any depth ≤ 2^rounds resolves in O(log D)
-    * bounded self-joins (production runs the same round to convergence
-    * with the dedup_clusters checkpoint loop; callers with a provable
-    * depth bound pass the matching round count — each extra round is a
-    * full re-distinct of the closure, not free). Tree-ness makes
+    * bounded self-joins — run through the shared convergence iterator,
+    * which exits the round after the closure stops growing, so callers'
+    * `rounds` is a CAP from their provable depth bound, not a spend
+    * (each executed round is a full re-distinct of the closure, not
+    * free — the early exit is what makes a generous cap safe). Tree-ness
+    * makes
     * (k, anc) determine d, so the per-round distinct is exact dedup,
     * not a choice.
     *
@@ -522,8 +524,9 @@ object Graph {
     * present — a data-defined frontier, fed via a single-row broadcast
     * rather than a collect) reports its exact hop distance; nodes
     * farther than 8 hops are excluded by BOTH engines (the oracle's
-    * recursion guard and the Spark round count encode the same bound;
-    * production runs the same round to convergence).
+    * recursion guard and the Spark round cap encode the same bound,
+    * and the loop exits at its fixed point as soon as the frontier
+    * empties — on this graph rounds, not the cap, set the cost).
     *
     * Scale shape: per round ONE shuffle-hash join frontier⋈edges on src
     * + one min-aggregate; the frontier is ≤ node-count rows, edges are
