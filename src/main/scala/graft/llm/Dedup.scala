@@ -685,11 +685,17 @@ object Dedup {
     * constant with a gram stride at recall cost; this is the exact
     * tier. */
   def substringDedupOf(docs: DataFrame, k: Int = 50): DataFrame = {
+    // h = unhex(md5): the FULL 128 bits (a truncated hash would manufacture
+    // false dup spans once the corpus's gram count hits its birthday
+    // bound) as 16 raw bytes, not the 32-char hex string — the gram
+    // table is the dominant shuffle at scale and the key is half the
+    // hex width. The oracle needs no mirror: dup-ness is defined by
+    // gram EQUALITY, and any injective encoding yields identical rows
     val pos = docs.filter(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("i"),
-        md5(expr(s"substring(text, p, $k)")).as("h"))
+        unhex(md5(expr(s"substring(text, p, $k)"))).as("h"))
     val crossDoc = pos.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
