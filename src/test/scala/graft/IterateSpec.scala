@@ -68,6 +68,25 @@ class IterateSpec extends SparkSpec {
     assert(fixed.df.agg(max(col("v"))).as[Long].head() == 0L)
   }
 
+  test("growth: an empty init converges immediately (no-seed BFS is empty, not an error)") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val init = Seq.empty[Long].toDF("node").select(col("node"), lit(0L).as("d"))
+    val fixed = Iterate.growth(init, 8)(ops.Graph.bfsStep(edges))
+    assert(fixed.converged && fixed.rounds == 1 && fixed.df.count() == 0)
+  }
+
+  test("ptrRollup: a CYCLE in the parent pointers fails loudly at the cap, never silently or forever") {
+    // 1→2→3→1: no root exists, the closure keeps minting longer-distance
+    // pairs, the cap stops it unconverged, and the completeness guard —
+    // which only converged runs may skip — reports every node rootless
+    val cyc = Seq((1L, Some(3L), 1L), (2L, Some(1L), 1L), (3L, Some(2L), 1L))
+      .toDF("k", "parent", "spend_cents")
+    val e = intercept[IllegalArgumentException] {
+      ops.Graph.ptrRollup(cyc, rounds = 4).collect()
+    }
+    assert(e.getMessage.contains("rootless"), e.getMessage)
+  }
+
   test("ptrRollup: converged closure skips the completeness guard, capped one fails it") {
     // depth-10 chain, ample rounds: converges, no exception. Same chain
     // with rounds=2 (distance 4): guard must throw with the rootless
