@@ -669,21 +669,26 @@ object Dedup {
     *      intra-doc repeat is repetition, not duplication; that signal
     *      is repetition_ratio's);
     *   3. join back → the duplicated position set;
-    *   4. maximal runs WITHOUT a window: run starts = positions with
-    *      no duplicated predecessor (anti-join on i-1), run ends = no
-    *      duplicated successor (anti-join on i+1), then each start
-    *      pairs with its nearest end (per-doc range join + min — the
-    *      candidate fan-out is runs-per-doc², bounded by doc length).
+    *   4. maximal runs by gaps-and-islands over a doc-PARTITIONED
+    *      window: consecutive duplicated positions share i − row_number
+    *      (per doc, ordered by i), so one window + one (doc, grp)
+    *      min/max aggregate recovers every maximal run in LINEAR work —
+    *      a start/end pairing join would be runs-per-doc² on a
+    *      pathological alternating-run doc (one straggler task owns
+    *      the blowup). The ORACLE keeps the window-free starts/ends
+    *      NOT-EXISTS form (the DuckDB parallel-window flake guard;
+    *      quadratic is irrelevant at oracle scale), so the two engines
+    *      recover identical runs by different algorithms.
     *   A run of positions [s, e] witnesses the duplicated span
     *   [s, e + k - 1], reported as (span_start = s, span_len = e-s+k).
     *
     * Scale shape: two corpus-wide shuffles (gram df count, join-back)
-    * + three doc_id-keyed joins, everything shuffle_hash (gram and
-    * position tables are corpus-derived — never broadcast); no
-    * all-pairs doc comparison anywhere — cross-doc evidence lives
-    * entirely in the gram df aggregate. Production corpora cut the
-    * constant with a gram stride at recall cost; this is the exact
-    * tier. */
+    * + one doc_id exchange feeding the partitioned window, everything
+    * shuffle_hash (gram and position tables are corpus-derived — never
+    * broadcast); no all-pairs doc comparison anywhere — cross-doc
+    * evidence lives entirely in the gram df aggregate. Production
+    * corpora cut the constant with a gram stride at recall cost; this
+    * is the exact tier. */
   def substringDedupOf(docs: DataFrame, k: Int = 50): DataFrame = {
     // h = unhex(md5): the FULL 128 bits (a truncated hash would manufacture
     // false dup spans once the corpus's gram count hits its birthday
@@ -700,28 +705,17 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("h")
-    // dup feeds the starts AND ends anti-joins: checkpoint so the gram
-    // explode + df join runs once, not once per branch
     val dup = pos.join(crossDoc.hint("shuffle_hash"), "h")
       .select("doc_id", "i")
-      .localCheckpoint(false)
-    // the shifted dup sides are corpus-derived — shuffle_hash, never a
-    // static broadcast that only fits at bench scale (the pagerank rule;
-    // both sides already hash by (doc_id, i))
-    val starts = dup.join(
-        dup.select(col("doc_id"), (col("i") + 1).as("i"))
-          .hint("shuffle_hash"),
-        Seq("doc_id", "i"), "left_anti")
-    val ends = dup.join(
-        dup.select(col("doc_id"), (col("i") - 1).as("i"))
-          .hint("shuffle_hash"),
-        Seq("doc_id", "i"), "left_anti")
-    starts.select(col("doc_id"), col("i").as("s"))
-      .join(ends.select(col("doc_id").as("d2"), col("i").as("e"))
-          .hint("shuffle_hash"),
-        col("doc_id") === col("d2") && col("e") >= col("s"))
-      .groupBy("doc_id", "s")
-      .agg(min(col("e")).as("e"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // i − row_number within their doc, so one partitioned window + one
+    // aggregate recovers every maximal run (linear; the window's
+    // doc_id exchange is the only extra shuffle)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    dup.withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"))
       .select(col("doc_id"), col("s").as("span_start"),
         (col("e") - col("s") + k).as("span_len"))
   }
