@@ -62,6 +62,14 @@ def adversarial_docs():
     add("ydinvoimala ja sauna jarvi metsa talvi", lang="fi") # 1-doc lang
     add("una palabra el que", lang="pt")                     # tie pair:
     add("otra palabra el que", lang="pt")                    # same score
+    # substring_dedup run-splitting: two docs share two DISJOINT >=50-char
+    # spans separated by differing middles -> two maximal runs per doc,
+    # and a third doc shares one span only partially (< 50 chars -> no run)
+    span_a = "shared passage alpha " * 3          # 63 chars
+    span_b = "shared passage bravo " * 3          # 63 chars
+    add(span_a + " first middle unique text here " + span_b)
+    add(span_a + " second different middle filler " + span_b)
+    add(span_a[:40] + " too short a share to reach the fifty char gram")
     return docs
 
 
