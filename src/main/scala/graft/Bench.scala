@@ -67,10 +67,15 @@ object Bench {
     def medianOf(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
-    val results: Seq[(String, Double)] = names.map(_._1).zipWithIndex.map {
-      case (name, i) =>
-        val ok = passRuns.map(_._2(i)._2).filter(_ >= 0)
-        name -> (if (ok.isEmpty) -1.0 else medianOf(ok))
+    // ONE extraction of each key's successful-pass timings feeds both
+    // the median and the spread — two copies of this index alignment
+    // would desynchronize silently if the failure sentinel changed
+    val okByKey: Seq[(String, Seq[Double])] = names.map(_._1).zipWithIndex
+      .map { case (name, i) =>
+        name -> passRuns.map(_._2(i)._2).filter(_ >= 0)
+      }
+    val results: Seq[(String, Double)] = okByKey.map { case (name, ok) =>
+      name -> (if (ok.isEmpty) -1.0 else medianOf(ok))
     }
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -111,10 +116,12 @@ object Bench {
     // a single-pass contention spike is visible in the artifact without
     // re-running — a key whose median moved round-over-round but whose
     // spread is large was measured under noise, not regressed (the
-    // fuzzy_link 2.6→3.6→2.8 s lesson from rounds 4-6)
-    val spreadJs = names.map(_._1).zipWithIndex.map { case (name, i) =>
-      val ok = passRuns.map(_._2(i)._2).filter(_ >= 0)
-      val r = if (ok.size < 2) 1.0 else ok.max / math.max(ok.min, 0.001)
+    // fuzzy_link 2.6→3.6→2.8 s lesson from rounds 4-6). A key with
+    // FEWER than 2 successful passes gets the -1 sentinel, never a
+    // fake "perfectly stable" 1.0 — those are exactly the flaky keys a
+    // spread reader must not be reassured about
+    val spreadJs = okByKey.map { case (name, ok) =>
+      val r = if (ok.size < 2) -1.0 else ok.max / math.max(ok.min, 0.001)
       "\"" + name + "\":" + fmt(r, 2)
     }.mkString("{", ",", "}")
     val stages = {

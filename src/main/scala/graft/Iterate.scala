@@ -65,7 +65,14 @@ object Iterate {
     * change value once present, so "row count stopped growing" is an
     * exact fixed-point witness and costs one count job over the
     * checkpointed frame (the previous round's count is carried, not
-    * recounted). */
+    * recounted).
+    *
+    * PRECONDITION: `init` must be duplicate-free AND `step` must never
+    * drop rows. A dup-carrying seed that step's aggregate dedups can
+    * cancel genuine round-1 growth in the count and truncate the loop
+    * as a false "converged" — callers seed from distinct()/groupBy
+    * outputs (bfsFrom distincts its sources; closures seed from a
+    * unique-key node table). */
   def growth(init: DataFrame, maxRounds: Int)
       (step: DataFrame => DataFrame): Fixed = {
     var last = -1L

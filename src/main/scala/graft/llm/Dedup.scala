@@ -696,11 +696,16 @@ object Dedup {
     // table is the dominant shuffle at scale and the key is half the
     // hex width. The oracle needs no mirror: dup-ness is defined by
     // gram EQUALITY, and any injective encoding yields identical rows
+    // pos feeds BOTH the df aggregate and the join-back probe:
+    // checkpoint it (the sharedPassagePairsFromFp rule) so the gram
+    // explode + md5 — the tier's dominant map cost — runs once, not
+    // once per branch; lazy is safe here (single downstream action)
     val pos = docs.filter(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("i"),
         unhex(md5(expr(s"substring(text, p, $k)"))).as("h"))
+      .localCheckpoint(false)
     val crossDoc = pos.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -215,7 +215,8 @@ object TextOps {
               SELECT doc_id, COALESCE(lang, '') AS lang,
                      COALESCE($stopMilliSql, -1) AS q
               FROM documents),
-            hist AS (SELECT lang, q AS v, count(*) AS cnt FROM scored GROUP BY 1, 2),
+            hist AS (SELECT lang, q AS v, count(*) AS cnt FROM scored
+                     WHERE q >= 0 GROUP BY 1, 2),
             bands AS (
               SELECT lang, v,
                      CAST(1 + least(2,
@@ -236,8 +237,11 @@ object TextOps {
     * without the sentinel such docs would be neither kept nor
     * rejected — lost from the curation profile without trace. With
     * it, every input doc appears in the output: NULL-lang docs band
-    * among themselves under lang='', NULL-text docs sort below every
-    * real score (q=-1 → bottom band of their language). */
+    * among themselves under lang='', and a NULL-text doc (q=-1, no
+    * score to band on) is assigned band 3 / keep_flag 0 UNCONDITIONALLY
+    * — the histogram is built over real scores only, so score-less
+    * docs can neither dilute a language's terciles nor sneak into
+    * band 1 of a sentinel-dominated language. */
   def qualityBandOf(docs: DataFrame): DataFrame = {
     val scored = docs
       .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
@@ -245,7 +249,8 @@ object TextOps {
           expr(s"(1000 * cast(${stopCount(stopWords7)} as bigint)) " +
             "div greatest(cast(size(filter(split(lower(text), ' '), w -> w != '')) as bigint), 1)"),
           lit(-1L)).as("q"))
-    val hist = scored.groupBy(col("lang"), col("q").as("v"))
+    val hist = scored.filter(col("q") >= 0)
+      .groupBy(col("lang"), col("q").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val above = Window.partitionBy("lang").orderBy(col("v").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -256,18 +261,21 @@ object TextOps {
       .select(col("lang").as("bl"), col("v"),
         expr("1 + least(2, (3 * cum) div n)").cast("long").as("band"))
     scored
-      .join(broadcast(bands), col("lang") === col("bl") && col("q") === col("v"))
+      .join(broadcast(bands),
+        col("lang") === col("bl") && col("q") === col("v"), "left")
       .select(col("doc_id"), col("lang"), col("q").as("stop_milli"),
-        col("band"), (col("band") <= 2).cast("long").as("keep_flag"))
+        coalesce(col("band"), lit(3L)).as("band"),
+        (coalesce(col("band"), lit(3L)) <= 2).cast("long").as("keep_flag"))
   }
 
   val qualityBandFilter = QuerySpec(
     "quality_band_filter",
     (s, d) => qualityBandOf(documents(s, d)).orderBy("doc_id"),
     Some(s"""WITH $qualityBandCteSql
-            SELECT s.doc_id, s.lang, s.q AS stop_milli, b.band,
-                   CAST(b.band <= 2 AS BIGINT) AS keep_flag
-            FROM scored s JOIN bands b ON b.lang = s.lang AND b.v = s.q
+            SELECT s.doc_id, s.lang, s.q AS stop_milli,
+                   CAST(COALESCE(b.band, 3) AS BIGINT) AS band,
+                   CAST(COALESCE(b.band, 3) <= 2 AS BIGINT) AS keep_flag
+            FROM scored s LEFT JOIN bands b ON b.lang = s.lang AND b.v = s.q
             ORDER BY doc_id""")
   )
 
@@ -952,7 +960,11 @@ object TextOps {
       .select(col("doc_id"),
         (expr(s"k div ${C}L") + 1L) * C - col("k") as "pos",
         expr(s"k div ${C}L").as("fp_hash"))
-      .orderBy("doc_id", "pos")
+    // NO trailing global sort: the one consumer that needs doc order
+    // (the winnow_fingerprint key) sorts after the stage's parquet
+    // round-trip anyway (parquet doesn't guarantee order), and the
+    // pairing path starts with a distinct — a sort here would bill a
+    // corpus-sized range exchange to every stage build for nothing
   }
 
   /** The winnowing fingerprint table as a materialized pipeline stage —

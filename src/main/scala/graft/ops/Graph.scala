@@ -514,7 +514,11 @@ object Graph {
   private[graft] def bfsFrom(sources: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame =
     graft.Iterate.growth(
-      sources.select(col("node").cast("long").as("node"), lit(0L).as("d")),
+      // distinct: growth's count witness requires a duplicate-free seed
+      // (a dup row the first min-agg removes would cancel genuine
+      // round-1 growth and truncate the loop as a false "converged")
+      sources.select(col("node").cast("long").as("node"), lit(0L).as("d"))
+        .distinct(),
       rounds)(bfsStep(edges)).df
 
   /** Multi-source BFS distance labeling over the supplier co-purchase

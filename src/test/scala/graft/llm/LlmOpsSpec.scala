@@ -160,12 +160,19 @@ class LlmOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang")
     val out = TextOps.qualityBandOf(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[String]("lang"), r.getAs[Long]("stop_milli"))).toMap
+        (r.getAs[String]("lang"), r.getAs[Long]("stop_milli"),
+          r.getAs[Long]("band"), r.getAs[Long]("keep_flag"))).toMap
     assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L),
       s"docs lost from the curation profile: ${out.keySet}")
     assert(out(3L)._1 == "", "NULL lang must band under the '' sentinel")
-    assert(out(4L)._2 == -1L && out(5L)._2 == -1L,
-      "NULL text must score the -1 sentinel (bottom of its language)")
+    // score-less docs are banded 3 / not kept UNCONDITIONALLY — even in
+    // a language made ENTIRELY of sentinel docs (doc 5's '' lang) they
+    // must not occupy band 1 of an empty histogram
+    for (id <- Seq(4L, 5L)) {
+      assert(out(id)._2 == -1L, s"doc $id: expected sentinel score")
+      assert(out(id)._3 == 3L && out(id)._4 == 0L,
+        s"doc $id: score-less doc must be band 3 / keep 0, got ${out(id)}")
+    }
   }
 
   test("pipeline_quality_pack: composed survivors equal the stagewise intersection, packed in doc_id order") {
