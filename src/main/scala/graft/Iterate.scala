@@ -70,15 +70,32 @@ object Iterate {
     * PRECONDITION: `init` must be duplicate-free AND `step` must never
     * drop rows. A dup-carrying seed that step's aggregate dedups can
     * cancel genuine round-1 growth in the count and truncate the loop
-    * as a false "converged" — callers seed from distinct()/groupBy
-    * outputs (bfsFrom distincts its sources; closures seed from a
-    * unique-key node table). */
+    * as a false "converged" — the worst failure mode of this family, so
+    * both halves are ENFORCED, not just documented: the seed is
+    * distinct-counted once (on the already-checkpointed frame — one
+    * seed-sized shuffle, paid only on round 1) and any round-over-round
+    * count DECREASE (a row-dropping step) throws instead of feeding the
+    * metric. Callers seed from distinct()/groupBy outputs (bfsFrom
+    * distincts its sources; closures seed from a unique-key node
+    * table), so neither check fires on the shipped loops. */
   def growth(init: DataFrame, maxRounds: Int)
       (step: DataFrame => DataFrame): Fixed = {
     var last = -1L
     fixpoint(init, maxRounds)(step) { (prev, next) =>
-      val pn = if (last >= 0) last else prev.count()
+      val pn = if (last >= 0) last else {
+        val n = prev.count()
+        val nd = prev.distinct().count()
+        require(n == nd,
+          s"growth seed carries duplicates ($n rows, $nd distinct): a " +
+            "deduping step would cancel round-1 growth and false-converge " +
+            "— distinct() the seed")
+        n
+      }
       last = next.count()
+      require(last >= pn,
+        s"growth step dropped rows ($pn -> $last): the count metric is " +
+          "only a fixed-point witness for monotone loops — use fixpoint " +
+          "with a full change metric")
       last - pn
     }
   }

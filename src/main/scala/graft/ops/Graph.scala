@@ -40,9 +40,15 @@ object Graph {
       // broadcast it: shuffle_hash keeps each round a bounded hash join
       // on src, and with edges bucketed by src (ops/Bucketed pattern)
       // only the 8-byte rank column moves at 100 TB-graph scale. The
-      // change metric is a node-sized join on the checkpointed rank
-      // tables — the price of a convergence exit; every node keeps
-      // in-degree ≥ 1 here, so the inner join sees every row
+      // change metric is a node-sized FULL-OUTER join on the
+      // checkpointed rank tables — the price of a convergence exit.
+      // Full outer, not inner: Iterate.fixpoint's contract is "count
+      // EVERY difference", including rows appearing or disappearing
+      // between rounds. This graph's rank row set is fixed after round
+      // 1 (in-degree ≥ 1 everywhere), so inner would happen to be
+      // correct here — but the metric must not depend on graph shape,
+      // or reuse with an asymmetric edge source turns early stop into
+      // silent truncation
       val ranks = graft.Iterate.fixpoint(
         outdeg.select(col("src").as("id"), lit(1000L).as("rank")), 3) { rs =>
         edges
@@ -56,8 +62,10 @@ object Graph {
           .select(col("dst").as("id"), col("rank"))
       } { (prev, next) =>
         next.select(col("id"), col("rank").as("r1"))
-          .join(prev.select(col("id"), col("rank").as("r0")), "id")
-          .filter(col("r1") =!= col("r0")).count()
+          .join(prev.select(col("id"), col("rank").as("r0")), Seq("id"),
+            "full_outer")
+          .filter(col("r0").isNull || col("r1").isNull ||
+            col("r1") =!= col("r0")).count()
       }.df
       ranks.join(outdeg.hint("shuffle_hash"), col("id") === col("src"))
         .select(col("id").as("nation_id"), col("rank").as("rank_milli"),

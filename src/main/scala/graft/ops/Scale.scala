@@ -17,14 +17,18 @@ object Scale {
     * replicated once per salt, and the join key becomes (key, salt) —
     * the hot key's rows now land on `salts` different reducers.
     *
-    * Salt assignment only needs uniformity, not reproducibility, for
-    * inner-join correctness: every big-side row matches exactly the one
-    * replica carrying its salt.
+    * The salt is a content-derived hash over the row (the
+    * salted_skew_join rule — no rand(), no monotonically_increasing_id),
+    * so task retries and replays route every row identically: a
+    * nondeterministic salt is inner-join-correct but makes straggler
+    * re-execution reshuffle rows onto different reducers mid-job.
+    * Uniformity caveat: rows identical in EVERY column share a salt —
+    * dedup before salting if the hot key's rows are literal duplicates.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(hash(big.columns.map(col): _*), lit(salts)).cast("long"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -68,6 +68,28 @@ class IterateSpec extends SparkSpec {
     assert(fixed.df.agg(max(col("v"))).as[Long].head() == 0L)
   }
 
+  test("growth: a dup-carrying seed throws instead of false-converging") {
+    // seed {1, 1} on edges 1→2: bfsStep's min-agg dedups, so round 1
+    // produces 2 rows from a 2-row (1-distinct) seed — the count metric
+    // would read "no growth" and truncate the loop as converged. The
+    // enforced precondition turns that silent truncation into a loud
+    // IllegalArgumentException.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val init = Seq(1L, 1L).toDF("node").select(col("node"), lit(0L).as("d"))
+    val e = intercept[IllegalArgumentException] {
+      Iterate.growth(init, 8)(ops.Graph.bfsStep(edges))
+    }
+    assert(e.getMessage.contains("duplicates"), e.getMessage)
+  }
+
+  test("growth: a row-dropping step violates the monotone contract loudly") {
+    val init = Seq((1L, 0L), (2L, 1L)).toDF("node", "d")
+    val e = intercept[IllegalArgumentException] {
+      Iterate.growth(init, 8)(cur => cur.filter(col("d") < 1))
+    }
+    assert(e.getMessage.contains("dropped rows"), e.getMessage)
+  }
+
   test("growth: an empty init converges immediately (no-seed BFS is empty, not an error)") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val init = Seq.empty[Long].toDF("node").select(col("node"), lit(0L).as("d"))
