@@ -61,16 +61,24 @@ object Dedup {
     * clustering (`dedup_clusters`) both consume it, so it is
     * materialized once per (application, data dir) — exactly how a
     * production dedup run treats its signature/candidate artifacts. */
+  /** Band projection of a MinHash signature table (2 bands × 4 slots;
+    * band hash = md5 of the concatenated slots). ONE definition shared
+    * by the full-corpus candidate pipeline and the incremental delta
+    * path — a drift between the two would silently make the corpus
+    * index and a new shard's bands incomparable. */
+  def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), lit(0L).as("band"),
+        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
+      .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
+        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
+
   /** Unmaterialized candidate-pair pipeline over any (doc_id, text)
     * frame. */
   def candidatePairsOf(docs: DataFrame): DataFrame = {
     // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
     // feeds 2 band subtrees; checkpoint it within the stage build
     val sig = signaturesOf(docs).localCheckpoint(false)
-    val bands = sig.select(col("doc_id"), lit(0L).as("band"),
-        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("bh"))
-      .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
-        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
+    val bands = bandsOf(sig)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -759,8 +767,110 @@ object Dedup {
             FROM runs ORDER BY doc_id, span_start""")
   )
 
+  /** Shard/corpus split key for the incremental path: the top fifth of
+    * doc_ids plays the "new crawl" shard, everything below is the
+    * existing corpus. Derived from the data, not a fixed constant, so
+    * the 80/20 shape holds at every scale factor. One max() over the
+    * pruned doc_id column — the sanctioned scalar-feedback pattern
+    * (SURVEY §2 A10). */
+  def deltaSplitOf(s: SparkSession, d: String): Long =
+    documents(s, d).agg(expr("(max(doc_id) + 1) * 4 div 5"))
+      .first().getLong(0)
+
+  /** The EXISTING corpus's LSH band index, materialized once per
+    * (application, dir) — the static side of incremental dedup. At
+    * production scale this artifact IS the dedup state: built once over
+    * the 100 TB corpus, re-read (never recomputed) by every daily-shard
+    * job until the corpus itself is compacted. */
+  def corpusBandStage(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"minhash_bands_corpus|$d") {
+      val split = deltaSplitOf(s, d)
+      bandsOf(signaturesOf(documents(s, d).filter(col("doc_id") < split)))
+    }
+
+  /** Incremental (delta) dedup: dedup a NEW shard against an EXISTING
+    * corpus without recomputing the corpus index — the
+    * daily-crawl-vs-100 TB-corpus production shape. All signature work
+    * in the job is SHARD-sized (the corpus contributes only its
+    * materialized band index); the probe joins are shuffle_hash with
+    * the shard side as the hash-build — the corpus index is
+    * corpus-sized and must never be broadcast nor built into a hash
+    * table, while the daily shard is the naturally small side.
+    *
+    * Semantics: a shard doc is a duplicate iff it shares an LSH band
+    * with any corpus doc (the corpus is canonical — its docs always
+    * win) or with a smaller-id shard doc (first-wins inside the shard,
+    * the dedup_exact rule); `dup_of` is the smallest such partner.
+    * When corpus ids all precede shard ids — the keyed 80/20 split —
+    * this equals the FULL-corpus pipeline restricted to shard docs,
+    * which is exactly what the oracle checks. */
+  def deltaDedupOf(corpusBands: DataFrame, shard: DataFrame): DataFrame = {
+    // shard bands feed two join subtrees — checkpoint so the shingle
+    // explode + signature aggregate (the delta job's only corpus-scan-
+    // free map cost) runs once, not once per branch
+    val sb = bandsOf(signaturesOf(shard)).localCheckpoint(false)
+    val vsCorpus = corpusBands.as("c")
+      .join(sb.as("s").hint("shuffle_hash"),
+        col("c.band") === col("s.band") && col("c.bh") === col("s.bh"))
+      .select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("partner"))
+    val vsShard = sb.as("a")
+      .join(sb.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
+    val partners = vsCorpus.unionByName(vsShard)
+      .groupBy("doc_id").agg(min(col("partner")).as("dup_of"))
+    shard.select("doc_id")
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
+  }
+
+  /** Oracle = the FULL pipeline over corpus ∪ shard, restricted to
+    * shard docs — proving the incremental plan computes the same
+    * answer as a from-scratch run, which is the entire point of a
+    * delta path. */
+  val deltaDedup = QuerySpec(
+    "delta_dedup",
+    (s, d) => {
+      val split = deltaSplitOf(s, d)
+      val shard = documents(s, d).filter(col("doc_id") >= split)
+        .select("doc_id", "text")
+      deltaDedupOf(corpusBandStage(s, d), shard).orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
+            sig AS (
+              SELECT doc_id,
+                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
+                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
+                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
+                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS t FROM documents),
+            partners AS (
+              SELECT id2 AS doc_id, min(id1) AS dup_of FROM pairs
+              WHERE id2 >= (SELECT t FROM split) GROUP BY id2)
+            SELECT s.doc_id, p.dup_of,
+                   CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id >= (SELECT t FROM split)) s
+            LEFT JOIN partners p USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
         clusters, keep, decontaminate, minhashSimEst, bloomPruneJoin,
-        substringDedup)
+        substringDedup, deltaDedup)
 }

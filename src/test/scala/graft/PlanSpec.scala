@@ -272,6 +272,35 @@ class PlanSpec extends SparkSpec {
     assert(!kp.contains("BroadcastHashJoin"), kp)
   }
 
+  test("delta_dedup READS the materialized corpus index — it never rebuilds it") {
+    val df = SparkEntry.queries("delta_dedup")(spark, sf)
+    df.collect() // finalize AQE; also forces the stage build if first
+    // an adaptive plan prints Final AND Initial sections — scan-count
+    // assertions must not double-count the same node across the two
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the corpus side is a parquet scan of the Materialize artifact
+    // (graft_mv temp dir) — the incremental path's static input
+    assert(p.contains("graft_mv"),
+      s"corpus index not read from the materialized artifact:\n$p")
+    // the only documents.parquet scan in the job is the shard keep-list
+    // side: one scan, doc_id-only, shard filter pushed down. A corpus
+    // index REBUILD would show as a second documents scan reading text
+    // below the signature aggregate. (The shard signature build reads
+    // text too, but behind its checkpoint boundary — asserted by the
+    // ExistingRDD scan — so the visible plan has exactly one.)
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents"))
+      .toSeq
+    assert(docScans.size == 1, s"expected 1 documents scan:\n$p")
+    assert(docScans.head.contains("GreaterThanOrEqual(doc_id"),
+      s"shard filter not pushed to the scan: ${docScans.head}")
+    assert(!docScans.head.contains("text"),
+      s"shard keep-list scan reads text: ${docScans.head}")
+    assert(p.contains("ExistingRDD"),
+      s"shard bands not checkpointed (signature work would run per branch):\n$p")
+  }
+
   test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
     val df = SparkEntry.queries("sequence_pack")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
