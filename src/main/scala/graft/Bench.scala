@@ -10,17 +10,20 @@ package graft
   * line carries the slowest keys only, trimming fastest-first until it
   * fits, with `queries_omitted` recording how many were dropped.
   *
-  * SELF-DEFENDING TIMING: the whole key loop runs SPARK_GRAFT_BENCH_PASSES
-  * times (default 3) and every key reports its per-pass MEDIAN, so a
-  * co-tenant load spike during one pass cannot print a scary number into
-  * the round record — identical code measured 92.6 s quiet vs 168.8 s on a
-  * load-4.2 box in round 4, and the artifact itself must carry that
-  * diagnosis. `pass_totals` + `pass_load_avg` record what each pass saw;
-  * a contended run shows up as divergent pass totals instead of silently
-  * inflating the headline. (Median also bills one-time Materialize builds
-  * and codegen compiles to `stages`/`codegen_compile_sec` rather than to
-  * whichever key paid them in pass 1 — steady-state engine cost is the
-  * comparable number.)
+  * SELF-DEFENDING TIMING: a RECORDED warmup pass (SPARK_GRAFT_BENCH_WARMUP,
+  * default 1; `warmup_total` in BENCH_FULL.json) runs the whole key loop
+  * first, so one-time Materialize builds and the bulk of the janino
+  * codegen floor land before any measured pass — then the key loop runs
+  * SPARK_GRAFT_BENCH_PASSES times (default 3) and every key reports its
+  * per-pass MEDIAN, so a co-tenant load spike during one pass cannot
+  * print a scary number into the round record — identical code measured
+  * 92.6 s quiet vs 168.8 s on a load-4.2 box in round 4, and the artifact
+  * itself must carry that diagnosis. `pass_totals` + `pass_load_avg`
+  * record what each pass saw; a contended run shows up as divergent pass
+  * totals instead of silently inflating the headline. With all measured
+  * passes post-warmup, `pass_spread` measures contention rather than
+  * structural first-pass cost (round 6's dedup_clusters spread was 32.7×
+  * purely because pass 1 absorbed the cc_labels stage build).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,9 +42,32 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // RECORDED warmup pass(es): run the whole key loop once before any
+    // measured pass, so the one-time Materialize stage builds and the
+    // bulk of the janino codegen floor land HERE by construction rather
+    // than being median-ed out of pass 1 — pass_spread then measures
+    // contention, not structural first-pass cost (round 6's
+    // dedup_clusters showed 32.7× spread purely because pass 1 absorbed
+    // the cc_labels build). The warmup is recorded (warmup_total in
+    // BENCH_FULL.json), never hidden: excluded from medians by
+    // construction, not by the median's vote
+    val warmups = math.max(0, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").trim.toInt).getOrElse(1))
+    val warmupRuns: Seq[(Double, Double)] = (1 to warmups).map { _ =>
+      val wl = loadAvg
+      val t0 = System.nanoTime()
+      names.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+        Harness.sweepBlocks(spark)
+      }
+      (wl, (System.nanoTime() - t0) / 1e9)
+    }
+    val warmupTotal = warmupRuns.map(_._2).sum
     // fixed (sorted) order within each pass: per-key timings comparable
-    // across rounds, and one-time pipeline materializations land on
-    // deterministic keys (in pass 1 — medians then bill them to `stages`)
+    // across rounds; one-time pipeline materializations already landed in
+    // the warmup pass, so every measured pass sees steady state
     val passRuns: Seq[(Double, Seq[(String, Double)])] = (1 to passes).map { _ =>
       val passLoad = loadAvg
       val res = names.map { case (name, fn) =>
@@ -145,6 +171,8 @@ object Bench {
         s""""sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,""" +
         s""""passes":$passes,"pass_totals":${arr(passTotals, 3)},""" +
         s""""pass_load_avg":${arr(passRuns.map(_._1), 1)},""" +
+        s""""warmup_passes":$warmups,"warmup_total":${fmt(warmupTotal, 3)},""" +
+        s""""warmup_load_avg":${arr(warmupRuns.map(_._1), 1)},""" +
         s""""failed":$failed,"load_avg_before":${fmt(loadBefore, 1)},"load_avg":${fmt(loadAfter, 1)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))

@@ -233,6 +233,50 @@ object ScaleProbe {
     println(s"""{"probe":"source_interleave_schedule","sf":"$sfDir","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe triangle [ks...]`: replication curve for
+    * the SHIPPED degree-ordered triangle pipeline
+    * (ops.Graph.triangleCountOf) over the supplier co-purchase graph:
+    * the materialized edge set is replicated k× with node-id offsets
+    * (disjoint graph copies — the corpus-growth shape), so the oriented
+    * wedge count, the pipeline's true work measure, grows exactly k×.
+    * Runtime should track the printed wedge count (the O(|E|^1.5) bound
+    * is about wedges per component; disjoint growth must stay linear) —
+    * an unoriented or all-pairs shape would grow quadratically in the
+    * whole edge set. Wedges are counted from the SAME orientation the
+    * pipeline builds: Σ_u C(outdeg(u), 2). */
+  private def triangleProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    // NO checkpoint on e0: it is already a Materialize parquet stage
+    // (cheap re-read, real stats), and a shared localCheckpoint here
+    // would be freed by the per-k sweepBlocks out from under later ks
+    val e0 = ops.Graph.copurchaseEdges(spark, sfDir)
+    val baseEdges = e0.count()
+    val stride = e0.agg(greatest(max(col("s1")), max(col("s2"))))
+      .first().getLong(0) + 1L
+    val runs = ks.map { k =>
+      val edges = (0 until k).map(i =>
+          e0.select((col("s1") + lit(i * stride)).as("s1"),
+            (col("s2") + lit(i * stride)).as("s2")))
+        .reduce(_ unionByName _)
+        .localCheckpoint(false)
+      val wedges = ops.Graph.orientedOf(edges)
+        .groupBy("u").agg(count(lit(1)).as("od"))
+        .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)))
+        .first().getLong(0)
+      val t0 = System.nanoTime()
+      val nodes = ops.Graph.triangleCountOf(edges).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] k=$k%-2d edges=${k * baseEdges}%-8d wedges=$wedges%-9d " +
+        f"nodes=$nodes%-7d ${secs}%.1f s")
+      (k, k * baseEdges, wedges, nodes, secs)
+    }
+    val qs = runs.map { case (k, e, w, n, s) =>
+      s"""{"k":$k,"edges":$e,"wedges":$w,"nodes":$n,"sec":$s}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"triangle_wedges","sf":"$sfDir","runs":$qs}""")
+  }
+
   /** `runMain graft.ScaleProbe hierarchy [ns...]`: node-count curve for
     * the SHIPPED pointer-doubling closure (ops.Graph.ptrRollup) on a
     * synthetic hash-parent forest (parent ≤ k/2, ~1-in-7 roots — the
@@ -302,6 +346,14 @@ object ScaleProbe {
       val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
                else Seq(100000L, 400000L, 1600000L)
       bfsProbe(spark, ns)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("triangle")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 2, 4, 8)
+      triangleProbe(spark, sfDir, ks)
       spark.stop()
       return
     }

@@ -169,40 +169,53 @@ object Graph {
     * The single-row pair-total is the one broadcast (config-sized);
     * degree and edge tables are corpus-derived and stay on
     * shuffle_hash joins. */
+  /** Degree-ordered orientation of an undirected (s1, s2) edge frame:
+    * each edge points low-degree → high-degree (ties by id) as (u, v).
+    * Checkpointed — both the wedge and close joins scan it. Exposed for
+    * ScaleProbe's wedge-count accounting. */
+  private[graft] def orientedOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("s1").as("node"))
+      .union(edges.select(col("s2")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    edges
+      .join(deg.select(col("node").as("s1"), col("dg").as("d1"))
+        .hint("shuffle_hash"), "s1")
+      .join(deg.select(col("node").as("s2"), col("dg").as("d2"))
+        .hint("shuffle_hash"), "s2")
+      .select(
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("s1") < col("s2")),
+          col("s1")).otherwise(col("s2")).as("u"),
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("s1") < col("s2")),
+          col("s2")).otherwise(col("s1")).as("v"))
+      .localCheckpoint(false)
+  }
+
+  /** Per-node triangle counts over any undirected (s1, s2) edge frame —
+    * the SHIPPED triangle pipeline, parameterized over its edge source so
+    * the spec (co-purchase graph) and ScaleProbe's replication curve run
+    * the identical plan. */
+  private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
+    val oriented = orientedOf(edges)
+    // wedge + close joins hinted shuffle_hash: both sides are
+    // corpus-derived (never broadcast), and hashing beats sorting the
+    // O(|E|^1.5) wedge stream
+    val tri = oriented
+      .join(oriented.select(col("u").as("v"), col("v").as("w"))
+        .hint("shuffle_hash"), "v")
+      .join(oriented.select(col("u"), col("v").as("w"), lit(1).as("hit"))
+        .hint("shuffle_hash"), Seq("u", "w"))
+      .select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("triangle_cnt"))
+      .orderBy("s_suppkey")
+  }
+
   val triangleCount = QuerySpec(
     "triangle_count",
-    (s, d) => {
-      val edges = copurchaseEdges(s, d)
-      val deg = edges.select(col("s1").as("node"))
-        .union(edges.select(col("s2")))
-        .groupBy("node").agg(count(lit(1)).as("dg"))
-      val oriented = edges
-        .join(deg.select(col("node").as("s1"), col("dg").as("d1"))
-          .hint("shuffle_hash"), "s1")
-        .join(deg.select(col("node").as("s2"), col("dg").as("d2"))
-          .hint("shuffle_hash"), "s2")
-        .select(
-          when(col("d1") < col("d2") ||
-            (col("d1") === col("d2") && col("s1") < col("s2")),
-            col("s1")).otherwise(col("s2")).as("u"),
-          when(col("d1") < col("d2") ||
-            (col("d1") === col("d2") && col("s1") < col("s2")),
-            col("s2")).otherwise(col("s1")).as("v"))
-        .localCheckpoint(false)
-      // wedge + close joins hinted shuffle_hash: both sides are
-      // corpus-derived (never broadcast), and hashing beats sorting the
-      // O(|E|^1.5) wedge stream
-      val tri = oriented
-        .join(oriented.select(col("u").as("v"), col("v").as("w"))
-          .hint("shuffle_hash"), "v")
-        .join(oriented.select(col("u"), col("v").as("w"), lit(1).as("hit"))
-          .hint("shuffle_hash"), Seq("u", "w"))
-        .select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
-        .groupBy("s_suppkey")
-        .agg(count(lit(1)).as("triangle_cnt"))
-        .orderBy("s_suppkey")
-    },
+    (s, d) => triangleCountOf(copurchaseEdges(s, d)),
     Some(s"""WITH $copurchaseEdgesSql,
             deg AS (
               SELECT node, count(*) AS dg FROM (
