@@ -65,6 +65,15 @@ object Bench {
       (wl, (System.nanoTime() - t0) / 1e9)
     }
     val warmupTotal = warmupRuns.map(_._2).sum
+    // snapshot which Materialize stages the warmup built: with ≥1 warmup
+    // pass every stage lands here by construction (the warmup runs every
+    // key), so a stage tagged "pass" below is a protocol violation worth
+    // seeing in the artifact — it means some key built one-time state
+    // the warmup didn't reach, and that key's pass-1 time carries it
+    val stagesAfterWarmup: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      Materialize.buildSecs.keySet.asScala.toSet
+    }
     // fixed (sorted) order within each pass: per-key timings comparable
     // across rounds; one-time pipeline materializations already landed in
     // the warmup pass, so every measured pass sees steady state

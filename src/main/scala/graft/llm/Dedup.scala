@@ -150,6 +150,25 @@ object Dedup {
     }
   )
 
+  /** tok/tv/sigv/sig CTE chain computing the (doc_id, simhash) table in
+    * DuckDB — shared verbatim by the hamming-pair and delta-simhash
+    * oracles (mirrors [[simhashSignatures]] exactly). */
+  private val simhashSigCtes: String = {
+    val v = (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    val votes = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val bits = (0 until 32).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (
+            SELECT doc_id, UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+            FROM documents),
+          tv AS (SELECT doc_id, $v AS v FROM tok),
+          sigv AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id),
+          sig AS (SELECT doc_id, $bits AS simhash FROM sigv)"""
+  }
+
   /** SimHash signature table (doc_id, simhash) over any (doc_id, text)
     * frame — shared by the listing spec, the hamming-distance pair
     * search, and tests. */
@@ -167,6 +186,17 @@ object Dedup {
     sig.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** Nibble-block projection of a (doc_id, simhash) signature table:
+    * 8 rows per doc, one per 4-bit block. ONE definition shared by the
+    * full-corpus hamming pair search and the incremental delta path —
+    * the bandsOf rule: a drift between the two would silently make the
+    * corpus index and a new shard's blocks incomparable. */
+  def nibbleBlocksOf(sig: DataFrame): DataFrame =
+    (0 until 8).map(i =>
+        sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("blk"),
+          expr(s"(simhash div ${1 << (4 * i)}) % 16").as("nib")))
+      .reduce(_ unionByName _)
+
   /** SimHash near-dup search: pairs within hamming distance 3, found by
     * nibble-block candidate generation — ≤7 differing bits cannot touch
     * all 8 nibbles (pigeonhole), so every qualifying pair shares at
@@ -178,10 +208,7 @@ object Dedup {
       // materialized parquet: the 8 block-projections re-scan a tiny
       // file with real stats instead of a stats-less checkpoint subtree
       val sig = simhashStage(s, d)
-      val blocks = (0 until 8).map(i =>
-          sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("blk"),
-            expr(s"(simhash div ${1 << (4 * i)}) % 16").as("nib")))
-        .reduce(_ unionByName _)
+      val blocks = nibbleBlocksOf(sig)
       val cand = blocks.as("a")
         .join(blocks.as("b"),
           col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
@@ -196,19 +223,7 @@ object Dedup {
         .orderBy("id1", "id2")
     },
     Some {
-      val v = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString(" + ")
-      val votes = (0 until 32).map(j =>
-        s"SUM(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-      val bits = (0 until 32).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH tok AS (
-            SELECT doc_id, UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
-            FROM documents),
-          tv AS (SELECT doc_id, $v AS v FROM tok),
-          sigv AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id),
-          sig AS (SELECT doc_id, $bits AS simhash FROM sigv),
+      s"""WITH $simhashSigCtes,
           blocks AS (
             SELECT doc_id, simhash, blk, (simhash // (16 ** blk)::BIGINT) % 16 AS nib
             FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(blk)),
@@ -777,68 +792,112 @@ object Dedup {
     documents(s, d).agg(expr("(max(doc_id) + 1) * 4 div 5"))
       .first().getLong(0)
 
-  /** The EXISTING corpus's LSH band index, materialized once per
-    * (application, dir) — the static side of incremental dedup. At
+  /** The EXISTING corpus's MinHash SIGNATURE index, materialized once
+    * per (application, dir) — the static side of incremental dedup. At
     * production scale this artifact IS the dedup state: built once over
     * the 100 TB corpus, re-read (never recomputed) by every daily-shard
-    * job until the corpus itself is compacted. */
-  def corpusBandStage(s: SparkSession, d: String): DataFrame =
-    graft.Materialize.once(s, s"minhash_bands_corpus|$d") {
+    * job until the corpus itself is compacted. The signature table (not
+    * just its band projection) is what persists: bands derive from it
+    * with one stateless map ([[bandsOf]]), and the verify tier needs
+    * the full 8 slots to estimate Jaccard on band-colliding candidates. */
+  def corpusSigStage(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"minhash_sigs_corpus|$d") {
       val split = deltaSplitOf(s, d)
-      bandsOf(signaturesOf(documents(s, d).filter(col("doc_id") < split)))
+      signaturesOf(documents(s, d).filter(col("doc_id") < split))
     }
+
+  /** Slot-agreement MinHash Jaccard estimate in milli-units (matching
+    * slots / 8 — the [[minhashSimEst]] estimator) over a frame carrying
+    * signature columns a0..a7 and b0..b7. */
+  private def estMilliCol =
+    expr(s"(1000 * (${(0 until 8).map(i => s"CASE WHEN a$i = b$i THEN 1 ELSE 0 END").mkString(" + ")})) div 8")
+
+  /** Estimated-Jaccard VERIFY tier over band-collision candidates: keep
+    * (id1, id2) only when the signatures' slot-agreement estimate clears
+    * 625 milli (≥ 5 of 8 slots). A band collision alone fixes exactly 4
+    * slots (its own band), scoring 500 — so the tier demands at least
+    * one INDEPENDENT agreeing slot from the other band before a
+    * candidate is called a duplicate, the same confirm-after-LSH step
+    * `dedup_keep` gets from clustering. `sig` must cover both id sides;
+    * both joins build on the (small) pair side — the signature table is
+    * corpus-sized and is never broadcast nor hash-built. */
+  def verifiedPairs(pairs: DataFrame, sig: DataFrame): DataFrame = {
+    val sa = sig.toDF("id1" +: (0 until 8).map(i => s"a$i"): _*)
+    val sb = sig.toDF("id2" +: (0 until 8).map(i => s"b$i"): _*)
+    pairs.hint("shuffle_hash").join(sa, "id1")
+      .hint("shuffle_hash").join(sb, "id2")
+      .filter(estMilliCol >= 625)
+      .select("id1", "id2")
+  }
 
   /** Incremental (delta) dedup: dedup a NEW shard against an EXISTING
     * corpus without recomputing the corpus index — the
     * daily-crawl-vs-100 TB-corpus production shape. All signature work
     * in the job is SHARD-sized (the corpus contributes only its
-    * materialized band index); the probe joins are shuffle_hash with
-    * the shard side as the hash-build — the corpus index is
+    * materialized signature index); the probe joins are shuffle_hash
+    * with the shard side as the hash-build — the corpus index is
     * corpus-sized and must never be broadcast nor built into a hash
     * table, while the daily shard is the naturally small side.
     *
-    * Semantics: a shard doc is a duplicate iff it shares an LSH band
-    * with any corpus doc (the corpus is canonical — its docs always
+    * Semantics: a shard doc is a duplicate iff it (a) shares an LSH
+    * band with a corpus doc (the corpus is canonical — its docs always
     * win) or with a smaller-id shard doc (first-wins inside the shard,
-    * the dedup_exact rule); `dup_of` is the smallest such partner.
-    * When corpus ids all precede shard ids — the keyed 80/20 split —
-    * this equals the FULL-corpus pipeline restricted to shard docs,
-    * which is exactly what the oracle checks. */
-  def deltaDedupOf(corpusBands: DataFrame, shard: DataFrame): DataFrame = {
-    // shard bands feed two join subtrees — checkpoint so the shingle
-    // explode + signature aggregate (the delta job's only corpus-scan-
-    // free map cost) runs once, not once per branch
-    val sb = bandsOf(signaturesOf(shard)).localCheckpoint(false)
-    val vsCorpus = corpusBands.as("c")
+    * the dedup_exact rule), AND (b) the pair clears the
+    * estimated-Jaccard verify tier ([[verifiedPairs]] — band collision
+    * is a candidate signal, not a verdict); `dup_of` is the smallest
+    * verified partner. When corpus ids all precede shard ids — the
+    * keyed 80/20 split — this equals the FULL pipeline + verify rule
+    * restricted to shard docs, which is exactly what the oracle checks. */
+  def deltaDedupOf(corpusSig: DataFrame, shard: DataFrame): DataFrame =
+    // shard signatures feed three subtrees (two band joins + the verify
+    // join) — checkpoint so the shingle explode + signature aggregate
+    // (the delta job's only corpus-scan-free map cost) runs once
+    deltaDedupFromSigs(corpusSig, signaturesOf(shard).localCheckpoint(false),
+      shard.select("doc_id"))
+
+  /** [[deltaDedupOf]] below the signature build — exposed so the spec
+    * can exercise the verify tier on hand-crafted signatures (a band
+    * collision with < 5 agreeing slots is not constructible from
+    * natural text on demand). */
+  private[llm] def deltaDedupFromSigs(corpusSig: DataFrame,
+      shardSig: DataFrame, shardIds: DataFrame): DataFrame = {
+    val sb = bandsOf(shardSig)
+    val vsCorpus = bandsOf(corpusSig).as("c")
       .join(sb.as("s").hint("shuffle_hash"),
         col("c.band") === col("s.band") && col("c.bh") === col("s.bh"))
-      .select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("partner"))
+      .select(col("c.doc_id").as("id1"), col("s.doc_id").as("id2"))
     val vsShard = sb.as("a")
       .join(sb.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("b.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
-    val partners = vsCorpus.unionByName(vsShard)
-      .groupBy("doc_id").agg(min(col("partner")).as("dup_of"))
-    shard.select("doc_id")
+      .select(col("b.doc_id").as("id1"), col("a.doc_id").as("id2"))
+    // id1 < id2 throughout: corpus ids precede shard ids by the split
+    // construction, and the intra-shard join orders explicitly — so the
+    // (id1, id2) orientation verifiedPairs expects is already canonical.
+    // The partner-side signature union is disjoint on doc_id for the
+    // same reason.
+    val cand = vsCorpus.unionByName(vsShard).distinct()
+    val partners = verifiedPairs(cand, corpusSig.unionByName(shardSig))
+      .groupBy(col("id2").as("doc_id")).agg(min(col("id1")).as("dup_of"))
+    shardIds
       .join(partners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.cast("long").as("is_dup"))
   }
 
-  /** Oracle = the FULL pipeline over corpus ∪ shard, restricted to
-    * shard docs — proving the incremental plan computes the same
-    * answer as a from-scratch run, which is the entire point of a
-    * delta path. */
+  /** Oracle = the FULL pipeline over corpus ∪ shard — band candidates
+    * filtered by the SAME estimated-Jaccard verify rule — restricted to
+    * shard docs: proving the incremental plan computes the same answer
+    * as a from-scratch run, which is the entire point of a delta path. */
   val deltaDedup = QuerySpec(
     "delta_dedup",
     (s, d) => {
       val split = deltaSplitOf(s, d)
       val shard = documents(s, d).filter(col("doc_id") >= split)
         .select("doc_id", "text")
-      deltaDedupOf(corpusBandStage(s, d), shard).orderBy("doc_id")
+      deltaDedupOf(corpusSigStage(s, d), shard).orderBy("doc_id")
     },
-    Some("""WITH sh AS (
+    Some(s"""WITH sh AS (
               SELECT doc_id, substr(text, i, 8) AS s
               FROM documents,
                    UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
@@ -857,10 +916,99 @@ object Dedup {
               SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            vpairs AS (
+              SELECT p.id1, p.id2
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.id1
+              JOIN sig sb ON sb.doc_id = p.id2
+              WHERE (1000 * (${(0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")})) // 8 >= 625),
             split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS t FROM documents),
             partners AS (
-              SELECT id2 AS doc_id, min(id1) AS dup_of FROM pairs
+              SELECT id2 AS doc_id, min(id1) AS dup_of FROM vpairs
               WHERE id2 >= (SELECT t FROM split) GROUP BY id2)
+            SELECT s.doc_id, p.dup_of,
+                   CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id >= (SELECT t FROM split)) s
+            LEFT JOIN partners p USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
+  /** The EXISTING corpus's SimHash signature index, materialized once
+    * per (application, dir) — the second index family the incremental
+    * pattern generalizes to (the delta_dedup design, applied to the
+    * simhash pipeline): built once, re-read (never recomputed) by every
+    * shard job. */
+  def simhashCorpusStage(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"simhash_sigs_corpus|$d") {
+      val split = deltaSplitOf(s, d)
+      simhashSignatures(documents(s, d).filter(col("doc_id") < split))
+    }
+
+  /** Incremental SimHash dedup: a new shard against the existing
+    * corpus's materialized signature index. Per-job signature work is
+    * SHARD-sized; the corpus contributes only its (doc_id, simhash)
+    * index, probed by the nibble-block equi-join with the shard side as
+    * the shuffle_hash build (the corpus index is never broadcast nor
+    * hash-built). No separate verify tier needed here: hamming distance
+    * is computed EXACTLY on the signatures themselves, so the ≤3 cut is
+    * the verdict, not a candidate signal. */
+  def deltaSimhashOf(corpusSig: DataFrame, shard: DataFrame): DataFrame =
+    // shard signatures feed both probe joins — checkpoint so the token
+    // explode + 32-bit-vote aggregate runs once, not per branch
+    deltaSimhashFromSigs(corpusSig,
+      simhashSignatures(shard).localCheckpoint(false),
+      shard.select("doc_id"))
+
+  private[llm] def deltaSimhashFromSigs(corpusSig: DataFrame,
+      shardSig: DataFrame, shardIds: DataFrame): DataFrame = {
+    val sb = nibbleBlocksOf(shardSig)
+    val vsCorpus = nibbleBlocksOf(corpusSig).as("c")
+      .join(sb.as("s").hint("shuffle_hash"),
+        col("c.blk") === col("s.blk") && col("c.nib") === col("s.nib"))
+      .select(col("c.doc_id").as("id1"), col("c.simhash").as("s1"),
+        col("s.doc_id").as("id2"), col("s.simhash").as("s2"))
+    val vsShard = sb.as("a")
+      .join(sb.as("b"),
+        col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("b.doc_id").as("id1"), col("b.simhash").as("s1"),
+        col("a.doc_id").as("id2"), col("a.simhash").as("s2"))
+    val partners = vsCorpus.unionByName(vsShard).distinct()
+      .filter(expr("bit_count(s1 ^ s2)") <= 3)
+      .groupBy(col("id2").as("doc_id")).agg(min(col("id1")).as("dup_of"))
+    shardIds
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
+  }
+
+  /** Oracle = the FULL simhash hamming pipeline over corpus ∪ shard,
+    * restricted to shard docs — the delta_dedup equivalence, on the
+    * second index family. */
+  val deltaSimhash = QuerySpec(
+    "delta_simhash",
+    (s, d) => {
+      val split = deltaSplitOf(s, d)
+      val shard = documents(s, d).filter(col("doc_id") >= split)
+        .select("doc_id", "text")
+      deltaSimhashOf(simhashCorpusStage(s, d), shard).orderBy("doc_id")
+    },
+    Some(s"""WITH $simhashSigCtes,
+            blocks AS (
+              SELECT doc_id, simhash, blk, (simhash // (16 ** blk)::BIGINT) % 16 AS nib
+              FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(blk)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id1, a.simhash AS s1,
+                     b.doc_id AS id2, b.simhash AS s2
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk AND a.nib = b.nib AND a.doc_id < b.doc_id),
+            split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS t FROM documents),
+            partners AS (
+              SELECT id2 AS doc_id, min(id1) AS dup_of FROM cand
+              WHERE bit_count(xor(s1, s2)) <= 3
+                AND id2 >= (SELECT t FROM split)
+              GROUP BY id2)
             SELECT s.doc_id, p.dup_of,
                    CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup
             FROM (SELECT doc_id FROM documents
@@ -872,5 +1020,5 @@ object Dedup {
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
         clusters, keep, decontaminate, minhashSimEst, bloomPruneJoin,
-        substringDedup, deltaDedup)
+        substringDedup, deltaDedup, deltaSimhash)
 }

@@ -301,6 +301,29 @@ class PlanSpec extends SparkSpec {
       s"shard bands not checkpointed (signature work would run per branch):\n$p")
   }
 
+  test("delta_simhash READS the materialized corpus signature index — it never rebuilds it") {
+    // the delta_dedup assertion, applied to the second index family:
+    // corpus side off the Materialize artifact, shard signature work
+    // behind its checkpoint, and the only documents scan is the
+    // doc_id-only shard keep-list with the shard filter pushed down
+    val df = SparkEntry.queries("delta_simhash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("graft_mv"),
+      s"corpus index not read from the materialized artifact:\n$p")
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents"))
+      .toSeq
+    assert(docScans.size == 1, s"expected 1 documents scan:\n$p")
+    assert(docScans.head.contains("GreaterThanOrEqual(doc_id"),
+      s"shard filter not pushed to the scan: ${docScans.head}")
+    assert(!docScans.head.contains("text"),
+      s"shard keep-list scan reads text: ${docScans.head}")
+    assert(p.contains("ExistingRDD"),
+      s"shard signatures not checkpointed (signature work would run per branch):\n$p")
+  }
+
   test("sequence_pack: the document-volume window is PARTITIONED (global sort only over chunk totals)") {
     val df = SparkEntry.queries("sequence_pack")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
