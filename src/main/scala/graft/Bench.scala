@@ -159,10 +159,20 @@ object Bench {
       val r = if (ok.size < 2) -1.0 else ok.max / math.max(ok.min, 0.001)
       "\"" + name + "\":" + fmt(r, 2)
     }.mkString("{", ",", "}")
+    // each stage carries WHERE it was built: "warmup" (the protocol —
+    // with ≥1 warmup pass every one-time build lands there because the
+    // warmup runs every key) vs "pass" (a protocol violation: some key
+    // built one-time state the warmup didn't reach, and that key's
+    // pass-1 time carries the build — exactly what a round-over-round
+    // reader needs to see before calling it a regression)
     val stages = {
       import scala.jdk.CollectionConverters._
       Materialize.buildSecs.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .map { case (k, v) =>
+          val during = if (stagesAfterWarmup.contains(k)) "warmup" else "pass"
+          "\"" + k + "\":{\"sec\":" + fmt(v, 3) +
+            ",\"built_during\":\"" + during + "\"}"
+        }
         .mkString("{", ",", "}")
     }
     // janino attribution: whole-stage codegen compile time is a fixed

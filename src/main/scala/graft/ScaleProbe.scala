@@ -339,6 +339,78 @@ object ScaleProbe {
     println(s"""{"probe":"bfs_frontier","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe delta [ks...]`: the incremental-dedup
+    * value claim, measured — a FIXED daily shard probed against a
+    * corpus index that grows k× (replicated with doc_id offsets, so
+    * the band/nibble indexes really grow and really collide: every
+    * replica is an exact near-dup group). The corpus-side signature
+    * index is built OUTSIDE the timing (in production it is a
+    * Materialize stage, built once and re-read by every shard job);
+    * the timed region is exactly one shard job: shard signature build
+    * + index probe joins + verify. The claim this prints: per-shard
+    * runtime stays near-FLAT while corpus (and index-build) cost
+    * grows linearly — i.e. the delta path's cost is shard-sized, not
+    * corpus-sized. Shard doc_ids are offset ABOVE every replicated
+    * corpus id, preserving the corpus-ids-precede-shard-ids canonical
+    * orientation both delta pipelines assume. Covers BOTH index
+    * families: minhash-band (delta_dedup) and simhash-nibble
+    * (delta_simhash). */
+  private def deltaProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val stride = strideOf(docs0)
+    // fixed 80/20 split of the BASE corpus — the shard never changes
+    // across ks, only the index it probes
+    val split = stride * 4L / 5L
+    val corpus0 = docs0.filter(col("doc_id") < split)
+    val shard0 = docs0.filter(col("doc_id") >= split)
+      // lift shard ids above every replicated corpus id (max k
+      // replicas × stride), keeping id1 < id2 canonical at every k
+      .select((col("doc_id") + lit(ks.max.toLong * stride)).as("doc_id"),
+        col("text"))
+    val shardN = shard0.count()
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val runs = ks.map { k =>
+      // per-k shard pin (the per-k sweep frees the previous one): the
+      // untimed count is the shard job's input read, not probe work
+      val shard = shard0.localCheckpoint(false)
+      shard.count()
+      val corpus = (0 until k).map(i =>
+          corpus0.select((col("doc_id") + lit(i * stride)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      // index builds are the amortized once-per-corpus cost — the
+      // lazy localCheckpoint is forced by the timed count, so the
+      // artifact shows builds growing ~k× while the shard probe
+      // stays flat
+      val mhSig = llm.Dedup.signaturesOf(corpus).localCheckpoint(false)
+      val (mhBuildSec, _) = time(mhSig.count())
+      val shSig = llm.Dedup.simhashSignatures(corpus).localCheckpoint(false)
+      val (shBuildSec, _) = time(shSig.count())
+      val (mhSec, mhDups) = time {
+        llm.Dedup.deltaDedupOf(mhSig, shard)
+          .agg(coalesce(sum(col("is_dup")), lit(0L))).first().getLong(0)
+      }
+      val (shSec, shDups) = time {
+        llm.Dedup.deltaSimhashOf(shSig, shard)
+          .agg(coalesce(sum(col("is_dup")), lit(0L))).first().getLong(0)
+      }
+      Harness.sweepBlocks(spark)
+      println(f"[probe] k=$k%-2d corpus=${k * split}%-8d shard=$shardN%-6d " +
+        f"minhash_probe=${mhSec}%5.1f s (build ${mhBuildSec}%5.1f s, dups $mhDups) " +
+        f"simhash_probe=${shSec}%5.1f s (build ${shBuildSec}%5.1f s, dups $shDups)")
+      (k, mhSec, mhBuildSec, mhDups, shSec, shBuildSec, shDups)
+    }
+    val qs = runs.map { case (k, ms, mb, md, ss, sb, sd) =>
+      s"""{"k":$k,"minhash_probe_sec":$ms,"minhash_build_sec":$mb,""" +
+        s""""minhash_dups":$md,"simhash_probe_sec":$ss,""" +
+        s""""simhash_build_sec":$sb,"simhash_dups":$sd}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"delta_shard_vs_corpus","sf":"$sfDir","shard_docs":$shardN,"runs":$qs}""")
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     if (args.headOption.contains("bfs")) {
@@ -346,6 +418,14 @@ object ScaleProbe {
       val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
                else Seq(100000L, 400000L, 1600000L)
       bfsProbe(spark, ns)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("delta")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 2, 4, 8)
+      deltaProbe(spark, sfDir, ks)
       spark.stop()
       return
     }

@@ -634,9 +634,13 @@ object Dedup {
     * the bloom is O(bits) at a chosen fpp no matter the cardinality, and
     * the membership probe runs scan-side BEFORE any shuffle, so the
     * join's input shrinks from |training shingles| to |hits + ε|. The
-    * probe is the one sanctioned UDF in the codebase: a broadcast sketch
-    * membership test Spark offers no builtin for (mirroring its internal
-    * BloomFilterMightContain, which is not public API). */
+    * probe is Catalyst's own `BloomFilterMightContain` (the expression
+    * Spark's runtime row-group filtering injects), reached through the
+    * bridge shim since it is not public API: the filter is built over
+    * xxhash64(s) longs (the same keying the injected joins use) and
+    * shipped as a foldable binary literal, so the membership test stays
+    * inside whole-stage codegen — no UDF, no BatchEvalPython, no
+    * codegen fence in the scan stage. */
   val bloomPruneJoin = QuerySpec(
     "bloom_prune_join",
     (s, d) => {
@@ -648,13 +652,23 @@ object Dedup {
       val bsh = TextOps.shingleRows(docs.filter(col("doc_id") < 20), 8)
         .select("s").distinct().localCheckpoint()
       // expectedNumItems from a count over the (small) eval side —
-      // sanctioned scalar feedback, same as kmeans' seed collect
-      val bf = bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), 0.03)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((x: String) => x != null && bfB.value.mightContainString(x))
+      // sanctioned scalar feedback, same as kmeans' seed collect.
+      // Keyed by xxhash64(s): putLong/mightContainLong is the pairing
+      // BloomFilterMightContain evaluates against
+      val bf = bsh.select(xxhash64(col("s")).as("h"))
+        .stat.bloomFilter("h", math.max(bsh.count(), 1L), 0.03)
+      val bfBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray
+      }
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graft.bridge
+      val mightContain = bridge.column(BloomFilterMightContain(
+        Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+        bridge.expression(xxhash64(col("s")))))
       val tsh = TextOps.shingleRows(docs.filter(col("doc_id") >= 20), 8)
         .distinct()
-        .filter(mightContain(col("s")))
+        .filter(mightContain)
       tsh.join(bsh, Seq("s"), "left_semi")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("hit_cnt"))

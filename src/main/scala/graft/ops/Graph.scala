@@ -49,8 +49,11 @@ object Graph {
       // contract), but it costs two checkpoint scans feeding ONE
       // aggregate instead of a node-sized full-outer join per round
       // (the join was measured at ~half the key's runtime). The hash
-      // sum wraps mod 2^64; a colliding pair of DIFFERENT multisets
-      // needs the signed 64-bit hash sums to cancel exactly — the
+      // sum accumulates in DECIMAL(38,0): under Spark 4's default ANSI
+      // mode a signed-64-bit sum would throw ARITHMETIC_OVERFLOW, and
+      // 38 digits hold |Σ±h| ≤ n·2^63 exactly up to n ≈ 10^19 rows —
+      // far past any node count. A colliding pair of DIFFERENT
+      // multisets needs the exact signed hash sums to cancel — the
       // 2^-64 sketch-equality trade every checksum comparison makes.
       val ranks = graft.Iterate.fixpoint(
         outdeg.select(col("src").as("id"), lit(1000L).as("rank")), 3) { rs =>
@@ -71,8 +74,10 @@ object Graph {
         // are equal, not an error)
         val r = tag(next, 1L).unionByName(tag(prev, -1L))
           .agg(coalesce(sum(col("sgn")), lit(0L)),
-            coalesce(sum(col("sgn") * col("h")), lit(0L))).first()
-        if (r.getLong(0) == 0L && r.getLong(1) == 0L) 0L else 1L
+            coalesce(sum(col("sgn").cast("decimal(38,0)") *
+                col("h").cast("decimal(38,0)")),
+              lit(0L).cast("decimal(38,0)"))).first()
+        if (r.getLong(0) == 0L && r.getDecimal(1).signum == 0) 0L else 1L
       }.df
       ranks.join(outdeg.hint("shuffle_hash"), col("id") === col("src"))
         .select(col("id").as("nation_id"), col("rank").as("rank_milli"),

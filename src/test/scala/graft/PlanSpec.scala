@@ -139,15 +139,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"dim enrichment degraded to SMJ:\n$p")
   }
 
-  test("bloom_prune_join probes the sketch BEFORE the exact semi-join") {
+  test("bloom_prune_join probes the sketch BEFORE the exact semi-join, in codegen") {
     val df = SparkEntry.queries("bloom_prune_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the UDF membership filter must sit below the semi join in the tree
-    // (prune-then-join, not join-then-prune)
+    // the membership filter must sit below the semi join in the tree
+    // (prune-then-join, not join-then-prune) and be Catalyst's
+    // might_contain expression, not a UDF (a UDF would fence the scan
+    // stage out of whole-stage codegen)
     val joinIdx = p.indexOf("LeftSemi")
     assert(joinIdx >= 0, p)
     val below = p.substring(joinIdx)
-    assert(below.contains("UDF"), s"bloom probe not below the semi join:\n$p")
+    assert(below.contains("might_contain"),
+      s"bloom probe not below the semi join:\n$p")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"bloom probe left codegen (UDF node in plan):\n$p")
   }
 
   test("triangle_count: wedge joins are shuffle-hash, nothing corpus-derived broadcasts") {
