@@ -58,5 +58,5 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
-        spanCorruption, bpeMergePairs, pipelineQualityPack)
+        spanCorruption, bpeMergePairs, pipelineQualityPack, globalShuffle)
 }

@@ -103,6 +103,68 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * never exceeds 64k. Exposed for the ScaleProbe bound printout. */
   def packSpanFor(maxKey: Long): Long = math.max(1L, maxKey / 65536L + 1L)
 
+  /** Deterministic epoch shuffle (training-order randomization): every
+    * document gets a pseudorandom but REPRODUCIBLE position in the
+    * epoch's read order — md5("epoch:1:" || doc_id) as the sort key, so
+    * any worker can recompute the permutation from the seed alone, no
+    * stored shuffle table — plus a round-robin shard assignment
+    * (pos % 32: consecutive positions land on different shards, the
+    * property data loaders want so one shard never serves a run of
+    * adjacent-position docs).
+    *
+    * The rank is computed with the SAME two-level scan as
+    * [[sequencePack]], not `row_number` over one global window (a
+    * single-reducer sort of the whole corpus at 100 TB): md5 keys are
+    * uniform by construction, so their first two hex digits split the
+    * corpus into 256 even buckets — (1) per-bucket counts, (2) a global
+    * prefix window over the 256-row bucket table (fixed-size step at
+    * ANY corpus size), (3) offsets joined back and the intra-bucket
+    * rank windowed PARTITIONED by bucket. Lexicographic order on the
+    * full key is consistent with prefix-bucket order, so the two-level
+    * rank equals the global rank exactly — the oracle states exactly
+    * that global rank (in window-free self-join form, the
+    * sequence_pack DuckDB-flake guard). */
+  val globalShuffle = QuerySpec(
+    "global_shuffle",
+    (s, d) => {
+      val keyed = documents(s, d).select(col("doc_id"),
+        md5(concat(lit("epoch:1:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("bucket", substring(col("k"), 1, 2))
+      val bucketCounts = keyed.groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+      val wBuckets = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketOffsets = bucketCounts
+        .withColumn("off", coalesce(sum(col("n")).over(wBuckets), lit(0L)))
+        .select("bucket", "off")
+      val wInBucket = Window.partitionBy("bucket").orderBy("k", "doc_id")
+      // shuffle_hash, not broadcast: the 256-row offsets table is
+      // corpus-derived (the never-statically-broadcast rule); both
+      // sides already hash by bucket for the window, and AQE may still
+      // demote the bounded side at runtime
+      keyed.join(bucketOffsets.hint("shuffle_hash"), "bucket")
+        .withColumn("pos",
+          col("off") + row_number().over(wInBucket) - lit(1L))
+        .select(col("doc_id"), col("pos"),
+          (col("pos") % 32).as("shard"))
+        .orderBy("doc_id")
+    },
+    // window-free rank (count of strictly-smaller keys) — the same
+    // DuckDB globally-ordered-window flake guard sequence_pack uses;
+    // quadratic is trivial at oracle scale
+    Some("""WITH keys AS (
+              SELECT doc_id,
+                     md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+            ranked AS (
+              SELECT a.doc_id, CAST(COUNT(b.doc_id) AS BIGINT) AS pos
+              FROM keys a LEFT JOIN keys b
+                ON b.k < a.k OR (b.k = a.k AND b.doc_id < a.doc_id)
+              GROUP BY a.doc_id)
+            SELECT doc_id, pos, pos % 32 AS shard
+            FROM ranked ORDER BY doc_id""")
+  )
+
   /** Overlapping-window document chunking (embedding / retrieval prep):
     * 200-char windows at stride 150, so consecutive chunks share a
     * 50-char overlap and no content is lost at boundaries. Pure per-row

@@ -222,7 +222,7 @@ class PlanSpec extends SparkSpec {
     // true size. A static broadcast pin here is what the round-4 review
     // flagged: at 10¹¹ docs a FIXED span would make the offsets
     // ~10⁸ rows, and a pinned broadcast() would ship them to every task.
-    for (key <- Seq("sequence_pack", "source_interleave")) {
+    for (key <- Seq("sequence_pack", "source_interleave", "global_shuffle")) {
       val p = SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan.toString
       assert(!p.contains("BroadcastHashJoin"),
         s"[$key] corpus-derived broadcast in static plan:\n$p")

@@ -162,6 +162,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("global_shuffle: pos is a permutation, two-level rank equals the global rank, shards balance") {
+    val rows = SparkEntry.queries("global_shuffle")(spark, sf).collect()
+    // exact permutation of [0, n)
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
+      (0L until rows.length).toSeq)
+    // the two-level bucket rank must equal the one-window global rank
+    // it decomposes (same md5 key, same tiebreak)
+    val naive = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch:1:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("k", "doc_id")) - lit(1L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos"))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pos") == naive(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: two-level rank diverged from global")
+    }
+    // round-robin shard balance: counts differ by at most 1
+    val shardCounts = rows.groupBy(_.getAs[Long]("shard")).map(_._2.length)
+    assert(shardCounts.max - shardCounts.min <= 1,
+      s"shards unbalanced: $shardCounts")
+    // determinism: a second run is bit-identical (seeded permutation)
+    val again = SparkEntry.queries("global_shuffle")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("span_corruption: target + corrupted input reconstruct the original") {
     val rows = SparkEntry.queries("span_corruption")(spark, sf).collect()
     assert(rows.nonEmpty)
