@@ -669,6 +669,32 @@ object Extended {
             GROUP BY 1, 2 ORDER BY hour, country""")
   )
 
+  /** §2.10's stream-stream interval join, batch-executed under the
+    * oracle gate: click→purchase attribution pairs within a 1-hour
+    * window (graft.streaming.Events.clickAttribution — one definition;
+    * the streaming twin is MemoryStream-tested with watermarked state
+    * eviction on both sides, the capability class plain batch engines
+    * don't have). */
+  val streamClickAttrib = QuerySpec(
+    "stream_click_attrib",
+    (s, d) => {
+      val ev = events(s, d)
+      graft.streaming.Events.clickAttribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+                   CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+            ORDER BY click_id, purchase_id""")
+  )
+
   /** Robust outliers by Median-Absolute-Deviation: |x − med| > 3·MAD,
     * the heavy-tail-safe cousin of zscore_outliers (one extreme balance
     * inflates a standard deviation but barely moves a median). Both
@@ -879,6 +905,7 @@ object Extended {
     windowQtdMtd, windowMomDelta, jsonExtractAgg, eventSessions,
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
     regressionMoments, histogramBins, topkPerGroup, quartilesExact,
-    eventFunnel, rolling30dRevenue, madOutliers, streamEnrich, gapFillLocf,
+    eventFunnel, rolling30dRevenue, madOutliers, streamEnrich,
+    streamClickAttrib, gapFillLocf,
     ewmaSmoothing)
 }

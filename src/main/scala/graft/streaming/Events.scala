@@ -93,6 +93,39 @@ object Events {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (click→purchase attribution): every
+    * purchase is paired with each same-user click in the preceding
+    * hour. The event-time range predicate in the join condition is
+    * what makes this runnable on two UNBOUNDED streams: with both
+    * sides watermarked, Spark derives a state-retention bound per side
+    * (a click can only match purchases up to 1 hour later, so click
+    * state older than watermark − 1 h is evicted; purchase state
+    * evicts at the watermark) — without the range predicate the join
+    * state would grow forever. Stream-agnostic like the rest of this
+    * module: on batch frames the watermarks are no-ops and the same
+    * definition becomes a plain interval join (the
+    * `stream_click_attrib` oracle key). Lag is exact integer
+    * MICROSECONDS (unix_micros ↔ DuckDB epoch_us) — the event
+    * timestamps carry sub-second parts, and a seconds cast would
+    * floor/round differently across engines. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        cents(col("value")).as("value_cents"))
+  }
+
   /** Custom-gap sessionization via flatMapGroupsWithState — the
     * explicit-state twin of `userSessions` for session semantics the
     * built-in session_window can't express (e.g. gap rules that depend on

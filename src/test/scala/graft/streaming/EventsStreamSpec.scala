@@ -156,6 +156,54 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch join; out-of-window pairs never form") {
+    implicit val sctx = spark.sqlContext
+    def e(id: Long, t: String, uid: Long, v: Double) =
+      (id, Timestamp.valueOf(t), uid, v)
+    val clicks = Seq(
+      e(10L, "2024-01-01 10:00:00", 1L, 0.0),
+      e(11L, "2024-01-01 10:30:00", 1L, 0.0),
+      e(12L, "2024-01-01 10:00:00", 2L, 0.0))
+    val purchases = Seq(
+      // matches clicks 10 and 11 (both within the preceding hour)
+      e(20L, "2024-01-01 10:45:00", 1L, 5.0),
+      // 75 min after click 10 → only click 11 matches
+      e(21L, "2024-01-01 11:15:00", 1L, 2.0),
+      // different user than click 12's partner-in-time
+      e(22L, "2024-01-01 10:10:00", 3L, 9.0))
+    def df(s: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "value")
+
+    val cs = MemoryStream[(Long, Timestamp, Long, Double)]
+    val ps = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = Events.clickAttribution(df(cs), df(ps))
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append").start()
+    try {
+      // clicks arrive first, purchases in a LATER micro-batch: the join
+      // must buffer click state across batches to form the pairs
+      cs.addData(clicks)
+      q.processAllAvailable()
+      ps.addData(purchases)
+      q.processAllAvailable()
+      // watermark pushers on both sides, so buffered pairs flush
+      cs.addData(e(98L, "2024-01-01 20:00:00", 50L, 0.0))
+      ps.addData(e(99L, "2024-01-01 20:00:00", 60L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_test").collect().map(_.toSeq).toSet
+      val batch = Events.clickAttribution(
+          clicks.toDF("event_id", "ts", "user_id", "value"),
+          purchases.toDF("event_id", "ts", "user_id", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.map(r => (r(0), r(1))) ==
+        Set((10L, 20L), (11L, 20L), (11L, 21L)))
+      // lag is exact integer microseconds
+      assert(streamed.find(r => r(0) == 10L && r(1) == 20L)
+        .get(3) == 45L * 60 * 1000000)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val data = Seq(
       ev("2024-01-01 10:00:00", "click", 1.0),
