@@ -261,6 +261,84 @@ object Etl {
             GROUP BY 1 ORDER BY p_brand NULLS FIRST""")
   )
 
+  /** Z-order layout audit (multi-dimensional clustering for scan
+    * pruning — the Delta/Iceberg OPTIMIZE ZORDER technique): interleave
+    * the low 16 bits of (l_partkey, l_suppkey) into a Morton z-value,
+    * carve the z-range into 16 equal spans standing in for output
+    * files, and report each file's row count and per-key min/max — the
+    * statistics a reader's file-skipping uses. The point of z-order is
+    * that BOTH keys cluster: each file covers a narrow slice of the
+    * partkey range AND the suppkey range simultaneously, so a filter on
+    * either column prunes most files (a plain sort on one key gives
+    * perfect pruning on it and none on the other).
+    *
+    * Scale shape: each key is min/max-normalized onto the full 16-bit
+    * domain BEFORE interleaving — without it a narrow key (suppkey
+    * spans 1..10 at sf0.001) contributes only low-order z bits and
+    * never clusters; normalized, both dims occupy the same bit
+    * positions at every scale factor. The normalization bounds are one
+    * 4-scalar aggregate (the A10 pattern); the z-value itself is pure
+    * per-row bit arithmetic (one codegen stage over the scan) and
+    * files are the top-4-bit z cells — bit-ALIGNED, so every file
+    * fixes the top 2 bits of each dim and covers at most a quarter of
+    * both ranges by construction (an unaligned max(z)/16 span could
+    * straddle a major z boundary, where the curve jumps in one dim).
+    * NO global sort in the plan — exactly how a writer would
+    * range-partition by z before writing. */
+  val zorderLayout = QuerySpec(
+    "zorder_layout",
+    (s, d) => {
+      val raw = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+      // normalization bounds: one tiny 4-scalar aggregate (A10)
+      val b = raw.agg(min(col("pk")), max(col("pk")),
+        min(col("sk")), max(col("sk"))).first()
+      val (pkLo, pkW) = (b.getLong(0), math.max(b.getLong(1) - b.getLong(0), 1L))
+      val (skLo, skW) = (b.getLong(2), math.max(b.getLong(3) - b.getLong(2), 1L))
+      val interleave = (0 until 16).map(i =>
+        s"(shiftright(pkn, $i) & 1) * ${1L << (2 * i)}L + " +
+          s"(shiftright(skn, $i) & 1) * ${1L << (2 * i + 1)}L")
+        .mkString(" + ")
+      val zt = raw
+        .withColumn("pkn", expr(s"(pk - ${pkLo}L) * 65535L div ${pkW}L"))
+        .withColumn("skn", expr(s"(sk - ${skLo}L) * 65535L div ${skW}L"))
+        .withColumn("z", expr(interleave))
+      // 16 files = the top 4 z bits (BIT-ALIGNED, not max(z)/16 spans:
+      // an unaligned span can straddle a major z boundary, where the
+      // curve jumps in one dim and that file's min/max degenerates).
+      // Aligned cells fix the top 2 bits of EACH dim — every file
+      // covers ≤ a quarter of both ranges by construction
+      zt.groupBy(expr(s"z div ${1L << 28}L").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+        .orderBy("file_id")
+    },
+    Some(s"""WITH raw AS (
+              SELECT CAST(l_partkey AS BIGINT) AS pk,
+                     CAST(l_suppkey AS BIGINT) AS sk
+              FROM lineitem),
+            bounds AS (
+              SELECT min(pk) AS pk_lo, greatest(max(pk) - min(pk), 1) AS pk_w,
+                     min(sk) AS sk_lo, greatest(max(sk) - min(sk), 1) AS sk_w
+              FROM raw),
+            zt AS (
+              SELECT pk, sk,
+                     ${(0 until 16).map(i =>
+                       s"((pkn >> $i) & 1) * ${1L << (2 * i)} + " +
+                       s"((skn >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")} AS z
+              FROM (SELECT pk, sk,
+                           (pk - pk_lo) * 65535 // pk_w AS pkn,
+                           (sk - sk_lo) * 65535 // sk_w AS skn
+                    FROM raw, bounds))
+            SELECT z // ${1L << 28} AS file_id,
+                   count(*) AS n_rows,
+                   min(pk) AS pk_min, max(pk) AS pk_max,
+                   min(sk) AS sk_min, max(sk) AS sk_max
+            FROM zt GROUP BY 1 ORDER BY file_id""")
+  )
+
   /** Full CUBE over (segment, year) — all four grouping sets in one
     * Expand + one shuffle (the reference assembles the same cross-tab
     * from four separate queries, BusinessAnalysis.Rmd:456-490).
@@ -372,5 +450,5 @@ object Etl {
 
   val all: Seq[QuerySpec] = Seq(
     scd2Build, incrementalUpsert, dqAudit, saltedSkewJoin, cubeTotals,
-    tableChecksum)
+    tableChecksum, zorderLayout)
 }

@@ -58,6 +58,31 @@ class EtlSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("zorder_layout: every row lands in exactly one file, both dims cluster") {
+    val files = Etl.zorderLayout.fn(spark, sf).collect()
+    val base = graft.Tables.lineitem(spark, sf)
+    // partition of the corpus: file row counts sum to the table size
+    assert(files.map(_.getAs[Long]("n_rows")).sum == base.count())
+    assert(files.length <= 16)
+    // the z-order property: each file's span of EITHER key is at most
+    // a quarter of the global span (a one-key sort would give perfect
+    // pk clustering and no sk clustering; the bit-aligned top-4-bit
+    // cells fix the top 2 NORMALIZED bits of each dim, so a file
+    // covers ≤ 1/4 of both ranges, +2 for integer-div rounding)
+    def widths(lo: String, hi: String) =
+      files.map(r => r.getAs[Long](hi) - r.getAs[Long](lo))
+    val pkGlobal = base.agg(
+      max(col("l_partkey")).cast("long") - min(col("l_partkey")).cast("long"))
+      .first().getLong(0)
+    val skGlobal = base.agg(
+      max(col("l_suppkey")).cast("long") - min(col("l_suppkey")).cast("long"))
+      .first().getLong(0)
+    assert(widths("pk_min", "pk_max").max <= pkGlobal / 4 + 2,
+      s"pk not clustered: ${widths("pk_min", "pk_max").toSeq} vs global $pkGlobal")
+    assert(widths("sk_min", "sk_max").max <= skGlobal / 4 + 2,
+      s"sk not clustered: ${widths("sk_min", "sk_max").toSeq} vs global $skGlobal")
+  }
+
   test("cube_totals covers all four grouping sets") {
     val out = Etl.cubeTotals.fn(spark, sf).cache()
     try {
