@@ -695,6 +695,32 @@ object Extended {
             ORDER BY click_id, purchase_id""")
   )
 
+  /** The LEFT OUTER twin of stream_click_attrib (every purchase, with
+    * NULL click columns when nothing matched — streaming emits those
+    * null rows only on watermark eviction; batch is a plain left outer
+    * interval join). Oracle orders click_id NULLS FIRST to match
+    * Spark's ascending null placement. */
+  val streamAttribOuter = QuerySpec(
+    "stream_attrib_outer",
+    (s, d) => {
+      val ev = events(s, d)
+      graft.streaming.Events.purchaseAttribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   p.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+                   CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id, click_id NULLS FIRST""")
+  )
+
   /** Robust outliers by Median-Absolute-Deviation: |x − med| > 3·MAD,
     * the heavy-tail-safe cousin of zscore_outliers (one extreme balance
     * inflates a standard deviation but barely moves a median). Both
@@ -906,6 +932,6 @@ object Extended {
     medianByNation, antiJoinOrphans, ntileDeciles, zscoreOutliers,
     regressionMoments, histogramBins, topkPerGroup, quartilesExact,
     eventFunnel, rolling30dRevenue, madOutliers, streamEnrich,
-    streamClickAttrib, gapFillLocf,
+    streamClickAttrib, streamAttribOuter, gapFillLocf,
     ewmaSmoothing)
 }

@@ -126,6 +126,35 @@ object Events {
         cents(col("value")).as("value_cents"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution
+    * complement: EVERY purchase appears, paired with each same-user
+    * click in the preceding hour or with NULL click columns if none
+    * exists. The null rows are the semantically hard part of streaming
+    * outer joins: "no click matched" is only provable once the
+    * watermark passes the end of the purchase's match window (a
+    * qualifying click could still arrive late until then), so Spark
+    * holds the unmatched purchase in state and emits the null row on
+    * eviction — the MemoryStream spec pins exactly that delayed
+    * emission. Batch frames degrade to a plain left outer interval
+    * join (the `stream_attrib_outer` oracle key). */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        cents(col("value")).as("value_cents"))
+  }
+
   /** Custom-gap sessionization via flatMapGroupsWithState — the
     * explicit-state twin of `userSessions` for session semantics the
     * built-in session_window can't express (e.g. gap rules that depend on

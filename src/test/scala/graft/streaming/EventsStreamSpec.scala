@@ -204,6 +204,65 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join: unmatched purchases emit ONLY after watermark eviction") {
+    implicit val sctx = spark.sqlContext
+    def e(id: Long, t: String, uid: Long, v: Double) =
+      (id, Timestamp.valueOf(t), uid, v)
+    def df(s: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "value")
+    val cs = MemoryStream[(Long, Timestamp, Long, Double)]
+    val ps = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = Events.purchaseAttribution(df(cs), df(ps))
+      .writeStream.format("memory").queryName("attrib_outer_test")
+      .outputMode("append").start()
+    try {
+      // one matched purchase, one with no click anywhere
+      cs.addData(e(10L, "2024-01-01 10:00:00", 1L, 0.0))
+      ps.addData(e(20L, "2024-01-01 10:30:00", 1L, 5.0),
+        e(21L, "2024-01-01 10:40:00", 2L, 3.0))
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer_test").collect()
+      // the matched pair may emit immediately; the NULL row for
+      // purchase 21 MUST NOT — a late click could still match it
+      assert(!early.exists(r => r.getLong(0) == 21L),
+        s"null row emitted before its window closed: ${early.mkString(";")}")
+      // watermark pushers on both sides move the watermark past
+      // purchase 21's whole match window → eviction emits the null row
+      cs.addData(e(98L, "2024-01-01 20:00:00", 50L, 0.0))
+      ps.addData(e(99L, "2024-01-01 20:00:00", 60L, 0.0))
+      q.processAllAvailable()
+      cs.addData(e(96L, "2024-01-01 21:00:00", 50L, 0.0))
+      ps.addData(e(97L, "2024-01-01 21:00:00", 60L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer_test")
+        .select("purchase_id", "click_id", "user_id", "value_cents")
+        .collect().map(_.toSeq).toSet
+      assert(got.contains(Seq(20L, 10L, 1L, 500L)))
+      assert(got.contains(Seq(21L, null, 2L, 300L)),
+        s"unmatched purchase never surfaced: $got")
+      // streaming == batch on the CLOSED purchases (the 20:00/21:00
+      // pushers' own windows are still open in the stream — their null
+      // rows are correctly withheld, while a batch run emits them)
+      val batch = Events.purchaseAttribution(
+          Seq(e(10L, "2024-01-01 10:00:00", 1L, 0.0),
+            e(98L, "2024-01-01 20:00:00", 50L, 0.0),
+            e(96L, "2024-01-01 21:00:00", 50L, 0.0))
+            .toDF("event_id", "ts", "user_id", "value"),
+          Seq(e(20L, "2024-01-01 10:30:00", 1L, 5.0),
+            e(21L, "2024-01-01 10:40:00", 2L, 3.0),
+            e(99L, "2024-01-01 20:00:00", 60L, 0.0),
+            e(97L, "2024-01-01 21:00:00", 60L, 0.0))
+            .toDF("event_id", "ts", "user_id", "value"))
+        .filter(col("purchase_id") < 90L)
+        .select("purchase_id", "click_id", "user_id", "value_cents")
+        .collect().map(_.toSeq).toSet
+      assert(spark.table("attrib_outer_test")
+        .filter(col("purchase_id") < 90L)
+        .select("purchase_id", "click_id", "user_id", "value_cents")
+        .collect().map(_.toSeq).toSet == batch)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val data = Seq(
       ev("2024-01-01 10:00:00", "click", 1.0),
