@@ -116,6 +116,18 @@ def adversarial_events():
     add("2024-03-02 10:59:59", 4, "click", 49.995, '{"k": 5}')     # session chain 30-min gaps
     add("2024-03-03 09:00:00", 5, "view", 0.125, '{"k": 8}')       # EXACT binary tie: HALF_UP parity
     add("2024-03-03 09:00:01", 5, "view", -0.125, '{"k": 8}')      # negative tie (away-from-zero)
+    # interval-join boundary probes (stream_click_attrib / _outer:
+    # p.ts >= c.ts AND p.ts < c.ts + 1h — both engines must cut the
+    # window identically at microsecond precision)
+    add("2024-03-04 10:00:00", 7, "click", 0.0, None)
+    add("2024-03-04 10:00:00", 7, "purchase", 1.00, None)          # lag 0: included (>=)
+    add("2024-03-04 10:59:59.999999", 7, "purchase", 2.00, None)   # last µs in window
+    add("2024-03-04 11:00:00", 7, "purchase", 3.00, None)          # exactly +1h: EXCLUDED (<)
+    add("2024-03-04 11:00:00.000001", 7, "purchase", 4.00, None)   # 1µs past: excluded
+    add("2024-03-04 09:00:00", 8, "purchase", 5.00, None)          # no click ever: outer NULL row
+    add("2024-03-04 12:00:00", 9, "click", 0.0, None)              # two clicks, one purchase:
+    add("2024-03-04 12:30:00", 9, "click", 0.0, None)              # both pair with it
+    add("2024-03-04 12:59:00", 9, "purchase", 6.00, None)
     return evs
 
 
