@@ -28,9 +28,18 @@ object StreamDemo {
     }
     arrive("b0", col("event_id") % 2 === 0)
     val schema = raw.schema
-    val stream = s.readStream.schema(schema)
+    // same dtype dispatch as Tables.events: nanos-as-long files need the
+    // div-1000 rebuild, µs files read as NTZ and only need the zone cast
+    val stream0 = s.readStream.schema(schema)
       .option("path", inDir.toString).format("parquet").load()
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        stream0.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream0
+    }
     val q = streaming.Events.hourlyByType(stream)
       .writeStream.format("memory").queryName("hourly").outputMode("complete")
       .start()
@@ -50,6 +59,22 @@ object StreamDemo {
     val sess = streaming.Events.userSessions(Tables.events(s, d))
     println("SESSIONS=" + sess.count())
     sess.orderBy("user_id", "session_start").show(3, false)
-    q.stop(); s.stop()
+    // stream-stream interval join on the SAME file-source stream, split
+    // into click/purchase sides: inner pairs emit as soon as both sides
+    // arrive (only outer-join null rows wait for eviction), so the
+    // complete-data count must equal the batch run exactly
+    val qa = streaming.Events.clickAttribution(
+        stream.filter(col("event_type") === "click"),
+        stream.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    qa.processAllAvailable()
+    val ev = Tables.events(s, d)
+    val batchPairs = streaming.Events.clickAttribution(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase")).count()
+    println("ATTRIB_PAIRS=" + s.table("attrib").count() +
+      " ATTRIB_BATCH_EQUAL=" + (s.table("attrib").count() == batchPairs))
+    qa.stop(); q.stop(); s.stop()
   }
 }
