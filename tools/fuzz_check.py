@@ -193,6 +193,26 @@ def main():
             l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
       ) TO '{WORK}/lineitem.parquet' (FORMAT PARQUET)""")
 
+    # part rows stress fuzzy_link's deletion-neighborhood linkage
+    # (codepoint-exact substring/levenshtein parity on multibyte names),
+    # string_funcs, and the product dim build: unicode, 1-char, quotes,
+    # NULL/empty names (must degrade to "excluded", not crash on the
+    # pk % length(name) corruption), duplicate names, NULL price/size
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{BASE}/part.parquet')
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (920001, 'café wïdget 中文', 'Brand#90', 'FUZZ', 1,    1.005),
+          (920002, 'x',               'Brand#90', 'FUZZ', 2,    0.01),
+          (920003, 'quote "name" ok', 'Brand#91', 'FUZZ', 3,    10.00),
+          (920004, NULL,              'Brand#91', 'FUZZ', 4,    10.00),
+          (920005, '',                'Brand#91', 'FUZZ', 5,    10.00),
+          (920006, 'cold widget',     'Brand#92', 'FUZZ', NULL, NULL),
+          (920007, 'cold widget',     'Brand#92', 'FUZZ', 6,    -1.00)
+        ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+      ) TO '{WORK}/part.parquet' (FORMAT PARQUET)""")
+
     out = "/tmp/graft_fuzz_out"
     # stale outputs from a previous run would be silently compared when a
     # query THROWS (Verify's overwrite never happens for failed keys)
