@@ -284,7 +284,11 @@ object Etl {
     * both ranges by construction (an unaligned max(z)/16 span could
     * straddle a major z boundary, where the curve jumps in one dim).
     * NO global sort in the plan — exactly how a writer would
-    * range-partition by z before writing. */
+    * range-partition by z before writing. A NULL key cannot be placed
+    * on the curve: NULL propagates through the bit arithmetic to a
+    * NULL z and those rows land in one dedicated null file (ordered
+    * first — the oracle says NULLS FIRST to match Spark's ascending
+    * placement), mirroring how layout writers route null-key rows. */
   val zorderLayout = QuerySpec(
     "zorder_layout",
     (s, d) => {
@@ -336,7 +340,7 @@ object Etl {
                    count(*) AS n_rows,
                    min(pk) AS pk_min, max(pk) AS pk_max,
                    min(sk) AS sk_min, max(sk) AS sk_max
-            FROM zt GROUP BY 1 ORDER BY file_id""")
+            FROM zt GROUP BY 1 ORDER BY file_id NULLS FIRST""")
   )
 
   /** Full CUBE over (segment, year) — all four grouping sets in one

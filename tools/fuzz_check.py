@@ -188,7 +188,8 @@ def main():
           (900001, 1, 1, 1, NULL,  10.00, 0.05, 0.0, 'N', 'O', TIMESTAMP '1997-06-20 00:00:00'),
           (900001, 1, 1, 1, 5.00,  10.00, NULL, 0.0, 'N', 'O', TIMESTAMP '1997-06-20 00:00:00'),
           (900002, 2, 1, 1, 0.00,  10.00, 0.05, 0.0, 'A', 'F', NULL),
-          (900004, 3, 1, 2, 3.00,  -1.00, 1.00, 0.0, 'R', 'F', TIMESTAMP '1997-06-21 00:00:00')
+          (900004, 3, 1, 2, 3.00,  -1.00, 1.00, 0.0, 'R', 'F', TIMESTAMP '1997-06-21 00:00:00'),
+          (900005, NULL, NULL, 3, 1.00, 10.00, 0.0, 0.0, 'N', 'O', TIMESTAMP '1997-06-22 00:00:00')
         ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
             l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
       ) TO '{WORK}/lineitem.parquet' (FORMAT PARQUET)""")
