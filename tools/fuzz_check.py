@@ -214,6 +214,30 @@ def main():
         ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
       ) TO '{WORK}/part.parquet' (FORMAT PARQUET)""")
 
+    # supplier + nation rows stress the graph family (pagerank groups
+    # nations by region; a NULL n_regionkey node must drop out of the
+    # edge set identically in both engines), the 3-chain join, and the
+    # per-nation stats keys (a nation with NO customers/suppliers)
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{BASE}/supplier.parquet')
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (930001, 'Fuzz NullNation Supplier', NULL, 100.00),
+          (930002, 'Fuzz ürü 供应商',          1,    NULL),
+          (930003, NULL,                       2,    -0.005)
+        ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+      ) TO '{WORK}/supplier.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{BASE}/nation.parquet')
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (940001, 'FUZZ_NULL_REGION', NULL),
+          (940002, 'FUZZ_LONE_REGION', 99)
+        ) t(n_nationkey, n_name, n_regionkey)
+      ) TO '{WORK}/nation.parquet' (FORMAT PARQUET)""")
+
     out = "/tmp/graft_fuzz_out"
     # stale outputs from a previous run would be silently compared when a
     # query THROWS (Verify's overwrite never happens for failed keys)
