@@ -27,50 +27,52 @@ object Etl {
     * per-row array-explode emitting 1 or 2 versions — no second pass over
     * either side, no driver loop. At 100 TB both sides hash-partition on
     * the key and the merge is embarrassingly parallel. */
-  val scd2Build = QuerySpec(
-    "scd2_build",
-    (s, d) => {
-      val d1 = to_date(lit("2020-01-01"))
-      val d2 = to_date(lit("2024-07-01"))
-      val dNull = lit(null).cast("date")
-      val cur = customer(s, d)
-        .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
-      // insert keys are offset by max(key), not a constant: a fixed
-      // +1000000 collides with genuine customer keys once c_custkey
-      // exceeds 1M (sf>=7), silently breaking the one-current-version
-      // invariant. max(key) is sanctioned scalar feedback (A10 pattern)
-      // and keeps the insert range disjoint at every scale factor.
-      val insOff = cur.agg(max(col("key"))).first().getLong(0)
-      // staged batch: every key%3 row arrives (key%6 actually changes,
-      // the rest are no-ops the merge must NOT version), key%17 rows
-      // arrive under a fresh key range (pure inserts)
-      val staged = cur.filter(col("key") % 3 === 0)
-        .select(col("key"),
-          when(col("key") % 6 === 0, lit("REASSIGNED"))
-            .otherwise(col("segment")).as("new_segment"))
-        .unionByName(cur.filter(col("key") % 17 === 0)
-          .select((col("key") + insOff).as("key"),
-            lit("NEWSEG").as("new_segment")))
-      def ver(seg: Column, v: Long, curF: Long, from: Column, to: Column) =
-        struct(seg.as("segment"), lit(v).as("version"),
-          lit(curF).as("is_current"), from.as("valid_from"),
-          to.as("valid_to"))
-      val changed = col("segment").isNotNull &&
-        col("new_segment").isNotNull && col("new_segment") =!= col("segment")
-      cur.join(staged, Seq("key"), "full_outer")
-        .select(col("key"), explode(
-          when(changed, array(
-            ver(col("segment"), 1L, 0L, d1, d2),
-            ver(col("new_segment"), 2L, 1L, d2, dNull)))
-          .when(col("segment").isNotNull, array(
-            ver(col("segment"), 1L, 1L, d1, dNull)))
-          .otherwise(array(
-            ver(col("new_segment"), 1L, 1L, d2, dNull)))).as("r"))
-        .select(col("key"), col("r.segment"), col("r.version"),
-          col("r.is_current"), col("r.valid_from"), col("r.valid_to"))
-        .orderBy("key", "version")
-    },
-    Some("""WITH cur AS (
+  /** The SCD2 dimension frame shared by scd2_build and scd2_asof —
+    * ONE definition of the versioning rule (a drift between the two
+    * keys would silently desynchronize build and lookup). */
+  private def scd2Of(s: SparkSession, d: String): DataFrame = {
+    val d1 = to_date(lit("2020-01-01"))
+    val d2 = to_date(lit("2024-07-01"))
+    val dNull = lit(null).cast("date")
+    val cur = customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+    // insert keys are offset by max(key), not a constant: a fixed
+    // +1000000 collides with genuine customer keys once c_custkey
+    // exceeds 1M (sf>=7), silently breaking the one-current-version
+    // invariant. max(key) is sanctioned scalar feedback (A10 pattern)
+    // and keeps the insert range disjoint at every scale factor.
+    val insOff = cur.agg(max(col("key"))).first().getLong(0)
+    // staged batch: every key%3 row arrives (key%6 actually changes,
+    // the rest are no-ops the merge must NOT version), key%17 rows
+    // arrive under a fresh key range (pure inserts)
+    val staged = cur.filter(col("key") % 3 === 0)
+      .select(col("key"),
+        when(col("key") % 6 === 0, lit("REASSIGNED"))
+          .otherwise(col("segment")).as("new_segment"))
+      .unionByName(cur.filter(col("key") % 17 === 0)
+        .select((col("key") + insOff).as("key"),
+          lit("NEWSEG").as("new_segment")))
+    def ver(seg: Column, v: Long, curF: Long, from: Column, to: Column) =
+      struct(seg.as("segment"), lit(v).as("version"),
+        lit(curF).as("is_current"), from.as("valid_from"),
+        to.as("valid_to"))
+    val changed = col("segment").isNotNull &&
+      col("new_segment").isNotNull && col("new_segment") =!= col("segment")
+    cur.join(staged, Seq("key"), "full_outer")
+      .select(col("key"), explode(
+        when(changed, array(
+          ver(col("segment"), 1L, 0L, d1, d2),
+          ver(col("new_segment"), 2L, 1L, d2, dNull)))
+        .when(col("segment").isNotNull, array(
+          ver(col("segment"), 1L, 1L, d1, dNull)))
+        .otherwise(array(
+          ver(col("new_segment"), 1L, 1L, d2, dNull)))).as("r"))
+      .select(col("key"), col("r.segment"), col("r.version"),
+        col("r.is_current"), col("r.valid_from"), col("r.valid_to"))
+  }
+
+  /** The scd2 CTE chain shared by both oracles (mirrors [[scd2Of]]). */
+  private val scd2SqlCte = """WITH cur AS (
               SELECT c_custkey AS key, c_mktsegment AS segment FROM customer),
             staged AS (
               SELECT key, CASE WHEN key % 6 = 0 THEN 'REASSIGNED'
@@ -82,28 +84,72 @@ object Etl {
               FROM cur WHERE key % 17 = 0),
             j AS (
               SELECT COALESCE(cur.key, staged.key) AS key, segment, new_segment
-              FROM cur FULL OUTER JOIN staged ON cur.key = staged.key)
-            SELECT key, segment, CAST(1 AS BIGINT) AS version,
-                   CAST(0 AS BIGINT) AS is_current,
-                   DATE '2020-01-01' AS valid_from,
-                   DATE '2024-07-01' AS valid_to
-            FROM j WHERE segment IS NOT NULL AND new_segment IS NOT NULL
-                     AND new_segment <> segment
-            UNION ALL
-            SELECT key, new_segment, CAST(2 AS BIGINT), CAST(1 AS BIGINT),
-                   DATE '2024-07-01', CAST(NULL AS DATE)
-            FROM j WHERE segment IS NOT NULL AND new_segment IS NOT NULL
-                     AND new_segment <> segment
-            UNION ALL
-            SELECT key, segment, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
-                   DATE '2020-01-01', CAST(NULL AS DATE)
-            FROM j WHERE segment IS NOT NULL
-                     AND (new_segment IS NULL OR new_segment = segment)
-            UNION ALL
-            SELECT key, new_segment, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
-                   DATE '2024-07-01', CAST(NULL AS DATE)
-            FROM j WHERE segment IS NULL
-            ORDER BY key, version""")
+              FROM cur FULL OUTER JOIN staged ON cur.key = staged.key),
+            scd2 AS (
+              SELECT key, segment, CAST(1 AS BIGINT) AS version,
+                     CAST(0 AS BIGINT) AS is_current,
+                     DATE '2020-01-01' AS valid_from,
+                     DATE '2024-07-01' AS valid_to
+              FROM j WHERE segment IS NOT NULL AND new_segment IS NOT NULL
+                       AND new_segment <> segment
+              UNION ALL
+              SELECT key, new_segment, CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+                     DATE '2024-07-01', CAST(NULL AS DATE)
+              FROM j WHERE segment IS NOT NULL AND new_segment IS NOT NULL
+                       AND new_segment <> segment
+              UNION ALL
+              SELECT key, segment, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                     DATE '2020-01-01', CAST(NULL AS DATE)
+              FROM j WHERE segment IS NOT NULL
+                       AND (new_segment IS NULL OR new_segment = segment)
+              UNION ALL
+              SELECT key, new_segment, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                     DATE '2024-07-01', CAST(NULL AS DATE)
+              FROM j WHERE segment IS NULL)"""
+
+  val scd2Build = QuerySpec(
+    "scd2_build",
+    (s, d) => scd2Of(s, d).orderBy("key", "version"),
+    Some(s"""$scd2SqlCte
+            SELECT key, segment, version, is_current, valid_from, valid_to
+            FROM scd2 ORDER BY key, version""")
+  )
+
+  /** Point-in-time lookup over the SCD2 dimension — the query pattern
+    * versioned dims exist for: which segment was each key in AS OF a
+    * date? Four probe dates exercise every band boundary (mid-band,
+    * last day of version 1, the EXACT version-2 start — valid_from is
+    * inclusive, valid_to exclusive — and the open current band).
+    * One valid version per (probe, key) by the SCD2 invariant, so the
+    * output order is total.
+    *
+    * Scale shape: the probe set is a 4-row literal frame (a
+    * BroadcastNestedLoopJoin against a constant-sized side — the
+    * sanctioned broadcast class); the band filter then runs row-local.
+    * Per-ROW as-of dates at corpus scale use the AsOf sort-merge
+    * machinery instead (asof_attribution); this key pins the band
+    * SEMANTICS both paths must share. */
+  val scd2AsOf = QuerySpec(
+    "scd2_asof",
+    (s, d) => {
+      val probes = Seq("2020-06-01", "2024-06-30", "2024-07-01", "2025-01-01")
+      val p = s.range(1).select(explode(array(
+        probes.map(x => to_date(lit(x))): _*)).as("as_of"))
+      scd2Of(s, d).crossJoin(p)
+        .filter(col("as_of") >= col("valid_from") &&
+          (col("valid_to").isNull || col("as_of") < col("valid_to")))
+        .select(col("as_of"), col("key"), col("segment"), col("version"))
+        .orderBy("as_of", "key")
+    },
+    Some(s"""$scd2SqlCte,
+            probes AS (
+              SELECT UNNEST([DATE '2020-06-01', DATE '2024-06-30',
+                             DATE '2024-07-01', DATE '2025-01-01']) AS as_of)
+            SELECT as_of, key, segment, version
+            FROM scd2, probes
+            WHERE as_of >= valid_from
+              AND (valid_to IS NULL OR as_of < valid_to)
+            ORDER BY as_of, key""")
   )
 
   /** CDC-style incremental upsert: a delta batch (updates + brand-new
@@ -453,6 +499,6 @@ object Etl {
   )
 
   val all: Seq[QuerySpec] = Seq(
-    scd2Build, incrementalUpsert, dqAudit, saltedSkewJoin, cubeTotals,
-    tableChecksum, zorderLayout)
+    scd2Build, scd2AsOf, incrementalUpsert, dqAudit, saltedSkewJoin,
+    cubeTotals, tableChecksum, zorderLayout)
 }

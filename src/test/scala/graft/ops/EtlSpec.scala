@@ -58,6 +58,28 @@ class EtlSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("scd2_asof: band boundaries are from-inclusive to-exclusive, inserts appear on time") {
+    val got = Etl.scd2AsOf.fn(spark, sf).collect()
+    val byProbe = got.groupBy(_.getAs[java.sql.Date]("as_of").toString)
+    val nCust = graft.Tables.customer(spark, sf).count()
+    // before any change: every existing key at version 1, inserts absent
+    assert(byProbe("2020-06-01").length == nCust)
+    assert(byProbe("2020-06-01").forall(_.getAs[Long]("version") == 1L))
+    // last day of version 1: still version 1 everywhere (to-exclusive)
+    assert(byProbe("2024-06-30").forall(_.getAs[Long]("version") == 1L))
+    // the EXACT version-2 start date already resolves to version 2
+    // (from-inclusive) and the inserts are now present
+    val atFlip = byProbe("2024-07-01")
+    assert(atFlip.exists(_.getAs[Long]("version") == 2L))
+    assert(atFlip.length > nCust, "inserted keys missing at their valid_from")
+    assert(atFlip.map(_.getAs[Long]("key")).distinct.length == atFlip.length,
+      "a key resolved to TWO versions at one date — bands overlap")
+    // open current band: same resolution as any later date
+    assert(byProbe("2025-01-01").map(r =>
+      (r.getAs[Long]("key"), r.getAs[Long]("version"))).toSet ==
+      atFlip.map(r => (r.getAs[Long]("key"), r.getAs[Long]("version"))).toSet)
+  }
+
   test("zorder_layout: every row lands in exactly one file, both dims cluster") {
     val files = Etl.zorderLayout.fn(spark, sf).collect()
     val base = graft.Tables.lineitem(spark, sf)
