@@ -73,8 +73,9 @@ object StreamDemo {
     val batchPairs = streaming.Events.clickAttribution(
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "purchase")).count()
-    println("ATTRIB_PAIRS=" + s.table("attrib").count() +
-      " ATTRIB_BATCH_EQUAL=" + (s.table("attrib").count() == batchPairs))
+    val attribPairs = s.table("attrib").count()
+    println("ATTRIB_PAIRS=" + attribPairs +
+      " ATTRIB_BATCH_EQUAL=" + (attribPairs == batchPairs))
     qa.stop(); q.stop(); s.stop()
   }
 }

@@ -99,9 +99,12 @@ class EtlSpec extends SparkSpec {
     val skGlobal = base.agg(
       max(col("l_suppkey")).cast("long") - min(col("l_suppkey")).cast("long"))
       .first().getLong(0)
-    assert(widths("pk_min", "pk_max").max <= pkGlobal / 4 + 2,
+    // bound: a file fixes the top 2 normalized bits → width ≤
+    // range·16384/65535 = range/4 + range/262140, +2 integer-div slack
+    // (the second term matters once the key range exceeds ~260k)
+    assert(widths("pk_min", "pk_max").max <= pkGlobal / 4 + pkGlobal / 262140 + 2,
       s"pk not clustered: ${widths("pk_min", "pk_max").toSeq} vs global $pkGlobal")
-    assert(widths("sk_min", "sk_max").max <= skGlobal / 4 + 2,
+    assert(widths("sk_min", "sk_max").max <= skGlobal / 4 + skGlobal / 262140 + 2,
       s"sk not clustered: ${widths("sk_min", "sk_max").toSeq} vs global $skGlobal")
   }
 

@@ -249,9 +249,11 @@ def main():
         cwd="/root/repo", capture_output=True, text=True, timeout=900)
     # only genuine key failures ("[verify] <key> failed: ...") gate the
     # exit code — Verify also prints informational "[verify] stage built
-    # once" lines, which must not fail the run
+    # once" lines. Anchor on the failure marker itself: excluding the
+    # info-line text instead would drop a real failure whose exception
+    # message happens to contain it
     fails = [l for l in r.stderr.splitlines()
-             if "[verify]" in l and "stage built once" not in l]
+             if "[verify]" in l and "failed:" in l]
     for l in fails:
         print(l)
     if r.returncode != 0 and not Path(f"{out}/oracle_sql.json").exists():
