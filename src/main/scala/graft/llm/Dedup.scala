@@ -51,9 +51,6 @@ object Dedup {
     sh.groupBy("doc_id").agg(slots.head, slots.tail: _*)
   }
 
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    signaturesOf(documents(s, d))
-
   /** MinHash + LSH banding (2 bands × 4 rows ⇒ candidate threshold
     * ≈ 0.84 Jaccard): docs sharing any band hash become a candidate
     * near-dup pair. A PIPELINE STAGE, not a per-query computation: the
@@ -92,10 +89,20 @@ object Dedup {
       candidatePairsOf(documents(s, d))
     }
 
-  val minhashLsh = QuerySpec(
-    "dedup_minhash",
-    (s, d) => candidatePairs(s, d).orderBy("id1", "id2"),
-    Some("""WITH sh AS (
+  /** Full-corpus MinHash signature table as a materialized stage — the
+    * shingle explode + 8 min-aggs is the family's dominant map cost and
+    * must run once per (application, dir), not once per consuming key
+    * (minhash_sim_est re-derived it from scratch before this stage). */
+  def minhashSigStage(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"minhash_sigs|$d") {
+      signaturesOf(documents(s, d))
+    }
+
+  /** sh/sig/bands CTE chain for the MinHash signature/band tables in
+    * DuckDB — ONE definition shared by the five minhash-family oracles
+    * (mirrors [[signaturesOf]] + [[bandsOf]] exactly; a drift in any
+    * copy would silently desynchronize one key's Spark/DuckDB pair). */
+  private def minhashSigCtes: String = """sh AS (
               SELECT doc_id, substr(text, i, 8) AS s
               FROM documents,
                    UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
@@ -109,7 +116,33 @@ object Dedup {
             bands AS (
               SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
               UNION ALL
-              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig)
+              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig)"""
+
+  /** Band-collision candidate pairs CTE (named so simEst can call it
+    * `cand` while the cc chain calls it `pairs`). */
+  private def minhashPairCte(name: String): String = s"""$name AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
+  /** Connected-components closure over the candidate pairs (recursive —
+    * callers must open with WITH RECURSIVE) — shared by the clusters
+    * and keep oracles. */
+  private def minhashCcCtes: String = s"""${minhashPairCte("pairs")},
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL
+              SELECT id2, id1 FROM pairs),
+            verts AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, root) AS (
+              SELECT id, id FROM verts
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)"""
+
+  val minhashLsh = QuerySpec(
+    "dedup_minhash",
+    (s, d) => candidatePairs(s, d).orderBy("id1", "id2"),
+    Some(s"""WITH $minhashSigCtes
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -133,27 +166,17 @@ object Dedup {
   val simhash = QuerySpec(
     "dedup_simhash",
     (s, d) => simhashStage(s, d).orderBy("doc_id"),
-    Some {
-      val v = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
-        .mkString(" + ")
-      val votes = (0 until 32).map(j =>
-        s"SUM(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-      val bits = (0 until 32).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH tok AS (
-            SELECT doc_id, UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
-            FROM documents),
-          tv AS (SELECT doc_id, $v AS v FROM tok),
-          sig AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id)
-          SELECT doc_id, $bits AS simhash FROM sig ORDER BY doc_id"""
-    }
+    // the shared CTE chain, not an inline re-derivation: one definition
+    // of the vote/bit SQL for this key, the hamming pairs, and the
+    // delta path alike
+    Some(s"""WITH $simhashSigCtes
+          SELECT doc_id, simhash FROM sig ORDER BY doc_id""")
   )
 
   /** tok/tv/sigv/sig CTE chain computing the (doc_id, simhash) table in
     * DuckDB — shared verbatim by the hamming-pair and delta-simhash
     * oracles (mirrors [[simhashSignatures]] exactly). */
-  private val simhashSigCtes: String = {
+  private def simhashSigCtes: String = {
     val v = (0 until 8).map(i =>
       s"(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
       .mkString(" + ")
@@ -371,7 +394,7 @@ object Dedup {
       // the node's previous label rides along in the same aggregate
       // (min over own-only rows), so the change metric costs no extra
       // join — just a scan of the already-checkpointed label table
-      val labels = graft.Iterate.fixpoint(
+      val fixed = graft.Iterate.fixpoint(
         edges.select(col("a").as("id")).distinct()
           .select(col("id"), col("id").as("label")), 20) { cur =>
         val nbr = cur.select("id", "label").as("l")
@@ -382,7 +405,19 @@ object Dedup {
           .groupBy("id")
           .agg(min(col("label")).as("label"),
                min(when(col("own"), col("label"))).as("prev"))
-      } { (_, next) => next.filter(col("label") =!= col("prev")).count() }.df
+      } { (_, next) => next.filter(col("label") =!= col("prev")).count() }
+      // min-label propagation moves a label ONE hop per round, so the
+      // cap bounds component DIAMETER, not log(diameter): a capped-out
+      // loop would report one component as several cluster_ids (and
+      // dedup_keep would keep extra duplicates) while the unbounded
+      // recursive-CTE oracle computes the true closure — fail loudly
+      // instead (the ptrRollup discipline); a deeper corpus needs a
+      // bigger cap or the pointer-doubling formulation
+      require(fixed.converged,
+        s"cc label propagation hit the ${fixed.rounds}-round cap without " +
+          "converging — a near-dup chain longer than the cap exists; " +
+          "raise the cap or switch to pointer doubling")
+      val labels = fixed.df
       val out = labels
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         // pin the result so the edges/labels checkpoint blocks can be
@@ -396,34 +431,8 @@ object Dedup {
   val clusters = QuerySpec(
     "dedup_clusters",
     (s, d) => clusterLabels(s, d).orderBy("doc_id"),
-    Some("""WITH RECURSIVE sh AS (
-              SELECT doc_id, substr(text, i, 8) AS s
-              FROM documents,
-                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
-            sig AS (
-              SELECT doc_id,
-                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
-                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
-                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
-                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
-              FROM sh GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
-              UNION ALL
-              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-            edges AS (
-              SELECT id1 AS a, id2 AS b FROM pairs
-              UNION ALL
-              SELECT id2, id1 FROM pairs),
-            verts AS (SELECT DISTINCT a AS id FROM edges),
-            reach(id, root) AS (
-              SELECT id, id FROM verts
-              UNION
-              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
+    Some(s"""WITH RECURSIVE $minhashSigCtes,
+            $minhashCcCtes
             SELECT id AS doc_id, min(root) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id""")
   )
@@ -446,34 +455,8 @@ object Dedup {
         .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE sh AS (
-              SELECT doc_id, substr(text, i, 8) AS s
-              FROM documents,
-                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
-            sig AS (
-              SELECT doc_id,
-                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
-                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
-                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
-                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
-              FROM sh GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
-              UNION ALL
-              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-            edges AS (
-              SELECT id1 AS a, id2 AS b FROM pairs
-              UNION ALL
-              SELECT id2, id1 FROM pairs),
-            verts AS (SELECT DISTINCT a AS id FROM edges),
-            reach(id, root) AS (
-              SELECT id, id FROM verts
-              UNION
-              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id),
+    Some(s"""WITH RECURSIVE $minhashSigCtes,
+            $minhashCcCtes,
             labels AS (SELECT id, min(root) AS cid FROM reach GROUP BY id)
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> cid)
@@ -542,13 +525,16 @@ object Dedup {
     "minhash_sim_est",
     (s, d) => {
       val cand = candidatePairs(s, d)
-      val sig = signaturesOf(documents(s, d)).localCheckpoint(false)
+      // the materialized full-corpus signature stage, NOT a from-scratch
+      // signaturesOf: the shingle explode + 8 min-aggs is the family's
+      // dominant map cost and already ran once per (application, dir)
+      val sig = minhashSigStage(s, d)
       val sigA = sig.toDF("id1" +: (0 until 8).map(i => s"a$i"): _*)
       val sigB = sig.toDF("id2" +: (0 until 8).map(i => s"b$i"): _*)
       val est = cand.join(sigA, "id1").join(sigB, "id2")
-        .select(col("id1"), col("id2"),
-          expr(s"(1000 * (${(0 until 8).map(i => s"CASE WHEN a$i = b$i THEN 1 ELSE 0 END").mkString(" + ")})) div 8")
-            .as("est_milli"))
+        // estMilliCol: ONE definition of the slot-agreement estimator,
+        // shared with the delta verify tier it calibrates
+        .select(col("id1"), col("id2"), estMilliCol.as("est_milli"))
       val candDocs = cand.select(col("id1").as("doc_id"))
         .union(cand.select(col("id2").as("doc_id"))).distinct()
       val sh = TextOps.shingleRows(documents(s, d), 8).distinct()
@@ -569,25 +555,8 @@ object Dedup {
         .withColumn("err_milli", abs(col("est_milli") - col("true_milli")))
         .orderBy("id1", "id2")
     },
-    Some("""WITH sh AS (
-              SELECT doc_id, substr(text, i, 8) AS s
-              FROM documents,
-                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
-            sig AS (
-              SELECT doc_id,
-                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
-                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
-                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
-                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
-              FROM sh GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
-              UNION ALL
-              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    Some(s"""WITH $minhashSigCtes,
+            ${minhashPairCte("cand")},
             est AS (
               SELECT id1, id2,
                      (1000 * ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
@@ -803,8 +772,11 @@ object Dedup {
     * pruned doc_id column — the sanctioned scalar-feedback pattern
     * (SURVEY §2 A10). */
   def deltaSplitOf(s: SparkSession, d: String): Long =
-    documents(s, d).agg(expr("(max(doc_id) + 1) * 4 div 5"))
-      .first().getLong(0)
+    // null-safe: max over an EMPTY documents table is NULL (a bare
+    // getLong would NPE) — split 0 makes both corpus and shard empty,
+    // so the delta keys degrade to clean empty results, not a crash
+    Option(documents(s, d).agg(expr("(max(doc_id) + 1) * 4 div 5"))
+      .first().get(0)).map(_.toString.toLong).getOrElse(0L)
 
   /** The EXISTING corpus's MinHash SIGNATURE index, materialized once
     * per (application, dir) — the static side of incremental dedup. At
@@ -911,25 +883,8 @@ object Dedup {
         .select("doc_id", "text")
       deltaDedupOf(corpusSigStage(s, d), shard).orderBy("doc_id")
     },
-    Some(s"""WITH sh AS (
-              SELECT doc_id, substr(text, i, 8) AS s
-              FROM documents,
-                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
-            sig AS (
-              SELECT doc_id,
-                min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
-                min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
-                min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
-                min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
-              FROM sh GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
-              UNION ALL
-              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    Some(s"""WITH $minhashSigCtes,
+            ${minhashPairCte("pairs")},
             vpairs AS (
               SELECT p.id1, p.id2
               FROM pairs p

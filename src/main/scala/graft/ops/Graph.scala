@@ -6,8 +6,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as deterministic dataflow: PageRank over the
-  * nation adjacency graph (edge u→v iff u≠v share a region — every node
-  * has out-degree ≥ 1 by construction, so no dangling-mass term).
+  * nation adjacency graph (edge u→v iff u≠v share a region). The graph's
+  * NODE SET is edge-derived: a nation alone in its region has no
+  * same-region peer, hence no edges, and is EXCLUDED from the graph (and
+  * the output) rather than carried as a dangling node — a deliberate
+  * semantic both engines state identically (the oracle derives nodes
+  * from the same self-join), verified by the fuzz corpus's
+  * single-nation region. Within the edge-derived graph every node has
+  * out-degree ≥ 1, so no dangling-mass term.
   *
   * Everything stays exact integer milli-units: ranks start at 1000, each
   * round is r' = 150 + (850 · Σ_in (r div outdeg)) div 1000 — the two
@@ -574,10 +580,14 @@ object Graph {
     "graph_bfs_levels",
     (s, d) => {
       val e0 = copurchaseEdges(s, d)
+      // EAGER checkpoint: the 8 frontier rounds each run an action over
+      // this loop-invariant table, and a lazy checkpoint is re-planned
+      // per action under AQE (the measured clusterLabels lesson) — the
+      // symmetrize-union would be rebuilt every round
       val edges = e0
         .union(e0.select(col("s2").as("s1"), col("s1").as("s2")))
         .select(col("s1").as("src"), col("s2").as("dst"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val minNation = supplier(s, d).agg(min(col("s_nationkey")).as("mn"))
       val sources = supplier(s, d)
         .join(broadcast(minNation), col("s_nationkey") === col("mn"))
