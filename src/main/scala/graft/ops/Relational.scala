@@ -273,9 +273,23 @@ object Relational {
     * generation is per-row (N·L variant rows, map-side), the only
     * shuffle keys on the variant string, and verification touches
     * candidates only: O(N·L + |cand|) vs the naive O(N²) levenshtein
-    * cross join. At production scale, high-frequency variants (shared
-    * boilerplate names) get the ngram_jaccard df cap before the join;
-    * this corpus's names don't need it. */
+    * cross join.
+    *
+    * HOT-BLOCK GUARD (two halves, both load-bearing at 100 TB):
+    * (1) the variant explode and the candidate join run over DISTINCT
+    * names, each clean name carrying its row multiplicity — a name
+    * shared verbatim by millions of rows (the replicated-corpus case,
+    * and the dominant real-world skew: boilerplate product names)
+    * contributes ONE row per variant block instead of millions, and
+    * true matches fan back out through one output-bound equi-join on
+    * the dirty name; (2) what exact collapse can't bound — many
+    * DISTINCT names crowding one deletion variant — is fenced by a
+    * loud cap on the worst per-variant candidate block
+    * (`spark.graft.fuzzyLink.maxBlockPairs`, default 1e6 pairs): a
+    * skewed block degrades LOUDLY instead of silently going quadratic,
+    * the same cap discipline as the cc-propagation round cap
+    * (llm/Dedup.scala clusterLabels). The gate costs two count-aggs
+    * over the already-checkpointed variant tables. */
   val fuzzyLink = QuerySpec(
     "fuzzy_link",
     (s, d) => {
@@ -287,7 +301,7 @@ object Relational {
       val clean = part(s, d)
         .filter(col("p_name").isNotNull && length(col("p_name")) > 0)
         .select(col("p_partkey").as("pk"), col("p_name").as("name"))
-      val dirty = clean.select(col("pk"),
+      val dirty = clean.select(col("pk"), col("name").as("own_name"),
         expr("""concat(substring(name, 1, CAST(pk % length(name) AS INT)),
                        substring(name, CAST(pk % length(name) AS INT) + 2, 100000))""")
           .as("dname"))
@@ -300,18 +314,42 @@ object Relational {
                 s"concat(substring($nameCol, 1, i - 1), substring($nameCol, i + 1, 100000))"))
               .as("v"))
           .drop("i").distinct()
+      // guard half 1: exact-collapse to distinct names BEFORE the
+      // variant explode; multiplicity rides as name_cnt
+      val cleanNames = clean.groupBy("name").agg(count(lit(1)).as("name_cnt"))
+      val dirtyNames = dirty.select("dname").distinct()
+      // checkpoint the variant tables: the block gate and the candidate
+      // join both consume them — one explode, two readers
+      val dv = variants(dirtyNames, "dname").localCheckpoint()
+      val cv = variants(cleanNames, "name").localCheckpoint()
+      // guard half 2: loud cap on the worst per-variant candidate block
+      val maxPairs =
+        s.conf.get("spark.graft.fuzzyLink.maxBlockPairs", "1000000").toLong
+      val worst = dv.groupBy("v").agg(count(lit(1)).as("dc"))
+        .join(cv.groupBy("v").agg(count(lit(1)).as("cc")).hint("shuffle_hash"),
+          "v")
+        .agg(max(col("dc") * col("cc")).as("mx"))
+        .first()
+      val worstPairs = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(worstPairs <= maxPairs,
+        s"fuzzy_link hot block: a deletion variant fans out to $worstPairs " +
+          s"candidate pairs (> cap $maxPairs) even after exact-name " +
+          "collapse — a skewed name neighborhood would go quadratic; " +
+          "raise spark.graft.fuzzyLink.maxBlockPairs or pre-filter " +
+          "boilerplate names (ngram_jaccard df-cap discipline)")
       // shuffle_hash, never broadcast: BOTH variant sides are
       // corpus-derived (N·L rows) — the static plan must not pick a
       // broadcast that only fits at bench scale
-      val cand = variants(dirty, "dname")
-        .join(variants(clean, "name")
-            .select(col("pk").as("cpk"), col("name"), col("v"))
-            .hint("shuffle_hash"), "v")
-        .select("pk", "dname", "cpk", "name").distinct()
-      cand.filter(levenshtein(col("dname"), col("name")) <= 1)
+      val cand = dv
+        .join(cv.hint("shuffle_hash"), "v")
+        .select("dname", "name", "name_cnt").distinct()
+      val matched = cand.filter(levenshtein(col("dname"), col("name")) <= 1)
+      // fan matches back out to rows: output-bound equi-join (every
+      // produced row contributes to some pk's n_matches)
+      dirty.join(matched.hint("shuffle_hash"), "dname")
         .groupBy(col("pk"))
-        .agg(count(lit(1)).as("n_matches"),
-          max((col("cpk") === col("pk")).cast("long")).as("recovered"))
+        .agg(sum(col("name_cnt")).as("n_matches"),
+          max((col("name") === col("own_name")).cast("long")).as("recovered"))
         .select(col("pk").as("p_partkey"), col("n_matches"), col("recovered"))
         .orderBy("p_partkey")
     },

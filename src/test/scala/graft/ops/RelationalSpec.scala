@@ -127,6 +127,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy_link hot-block guard: cap-out fails loudly, not silently quadratic") {
+    // the guard's contract: a per-variant candidate block bigger than the
+    // cap must THROW with a diagnosable message — never silently emit the
+    // quadratic block. cap=0 makes every nonempty block a violation.
+    spark.conf.set("spark.graft.fuzzyLink.maxBlockPairs", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("fuzzy_link")(spark, sf)
+      }
+      assert(e.getMessage.contains("hot block"), e.getMessage)
+      assert(e.getMessage.contains("maxBlockPairs"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.fuzzyLink.maxBlockPairs")
+    // and at the default cap the corpus passes (the guard is a fence,
+    // not a tax on healthy data)
+    assert(SparkEntry.queries("fuzzy_link")(spark, sf).limit(1).count() == 1L)
+  }
+
   test("FastSS blocking is COMPLETE for every single-edit pair (property)") {
     // the exactness claim's crux: the deletion-neighborhood equi-join may
     // over-generate candidates (levenshtein verify removes those) but
