@@ -69,13 +69,10 @@ object Dedup {
       .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
         md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
 
-  /** Unmaterialized candidate-pair pipeline over any (doc_id, text)
-    * frame. */
-  def candidatePairsOf(docs: DataFrame): DataFrame = {
-    // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
-    // feeds 2 band subtrees; checkpoint it within the stage build
-    val sig = signaturesOf(docs).localCheckpoint(false)
-    val bands = bandsOf(sig)
+  /** LSH band self-join: docs sharing any band hash become a candidate
+    * pair. ONE definition consumed by both the keyed pipeline (over the
+    * materialized signature stage) and the arbitrary-frame path. */
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -84,9 +81,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Unmaterialized candidate-pair pipeline over any (doc_id, text)
+    * frame — for delta/probe callers with a non-corpus frame. The
+    * keyed corpus path goes through [[candidatePairs]], which builds
+    * from the shared signature STAGE instead of re-deriving it. */
+  def candidatePairsOf(docs: DataFrame): DataFrame = {
+    // the signature build (explode + 8 min-aggs over ~300 shingles/doc)
+    // feeds 2 band subtrees; checkpoint it within the stage build
+    val sig = signaturesOf(docs).localCheckpoint(false)
+    pairsFromBands(bandsOf(sig))
+  }
+
   def candidatePairs(s: SparkSession, d: String): DataFrame =
     graft.Materialize.once(s, s"minhash_cand_pairs|$d") {
-      candidatePairsOf(documents(s, d))
+      // build from the materialized signature stage (stages nest), so
+      // the dominant shingle-explode + 8 min-aggs map cost runs once
+      // per (application, dir) no matter which consumer lands first —
+      // candidate pairs, clustering, or minhash_sim_est
+      pairsFromBands(bandsOf(minhashSigStage(s, d)))
     }
 
   /** Full-corpus MinHash signature table as a materialized stage — the
