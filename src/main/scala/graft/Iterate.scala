@@ -9,9 +9,11 @@ import org.apache.spark.sql.graft.bridge
   * frontier expansion (ops/Graph.bfsFrom), and pointer-doubling
   * ancestor closures (ops/Graph.ptrRollup, hierarchyRollup).
   *
-  * Each round: run `step`, EAGERLY `localCheckpoint` the result (a lazy
-  * checkpoint is re-planned per action under AQE, so an iterative loop
-  * would recompute every previous round's lineage — measured 168 s vs
+  * Each round: run `step`, EAGERLY checkpoint the result — local by
+  * default, reliable under `spark.graft.checkpointDir` (see
+  * [[Iterate.checkpoint]]); a lazy checkpoint is re-planned per action
+  * under AQE, so an iterative loop would recompute every previous
+  * round's lineage — measured 168 s vs
   * ~8 s at sf0.1 on the cluster loop), evaluate the caller's change
   * metric on the already-materialized frame (one cheap scan job — no
   * recomputation), free the previous round's blocks, and stop as soon
@@ -44,17 +46,39 @@ object Iterate {
     * and whether the change metric hit zero before `maxRounds`. */
   final case class Fixed(df: DataFrame, rounds: Int, converged: Boolean)
 
+  /** Durability switch for the loop's per-round materialization.
+    * `spark.graft.checkpointDir` UNSET (the default — right for
+    * local[32] and the bench harness): `localCheckpoint`, executor-
+    * local blocks, fastest, but lineage-truncated state dies with its
+    * executor — an executor loss kills the whole iterative job. SET (a
+    * shared filesystem path — HDFS/S3 on a real cluster): an EAGER
+    * RELIABLE `checkpoint()` into that directory, so a preempted
+    * executor costs one task re-read instead of the job; the loop
+    * frees each round's files as soon as the next round lands
+    * (bridge.freeCheckpoint), bounding the footprint to two rounds'
+    * state, not the loop's history. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   def fixpoint(init: DataFrame, maxRounds: Int)
       (step: DataFrame => DataFrame)
       (changed: (DataFrame, DataFrame) => Long): Fixed = {
-    var cur = init.localCheckpoint()
+    var cur = checkpoint(init)
     var r = 0
     var conv = false
     while (r < maxRounds && !conv) {
-      val next = step(cur).localCheckpoint()
+      val next = checkpoint(step(cur))
       r += 1
       conv = changed(cur, next) == 0L
-      bridge.unpersistLocalCheckpoint(cur)
+      bridge.freeCheckpoint(cur)
       cur = next
     }
     Fixed(cur, r, conv)

@@ -36,4 +36,30 @@ object bridge {
           l.rdd.unpersist(blocking = false)
         case _ => ()
       }
+
+  /** Free EVERYTHING behind a frame checkpointed by `graft.Iterate`:
+    * the BlockManager blocks of a localCheckpoint AND the on-disk files
+    * of a reliable `checkpoint()` (`ReliableRDDCheckpointData
+    * .cleanCheckpoint` is private[spark]; this bridge package sits
+    * under org.apache.spark, so the loop can bound its disk footprint
+    * to two rounds' state instead of the loop's whole history). Both
+    * halves are no-ops for the mode not in use. */
+  def freeCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+          org.apache.spark.rdd.ReliableRDDCheckpointData.cleanCheckpoint(
+            l.rdd.sparkContext, l.rdd.id)
+        case _ => ()
+      }
+
+  /** Reliable-checkpoint file path(s) behind a frame — empty for
+    * localCheckpoint frames. Spec evidence for the durability switch. */
+  def checkpointFiles(df: org.apache.spark.sql.Dataset[_]): Seq[String] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile
+      }.flatten
 }
