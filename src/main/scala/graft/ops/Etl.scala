@@ -335,36 +335,46 @@ object Etl {
     * NULL z and those rows land in one dedicated null file (ordered
     * first — the oracle says NULLS FIRST to match Spark's ascending
     * placement), mirroring how layout writers route null-key rows. */
+  /** Per-row Morton-cell assignment behind `zorder_layout` — factored
+    * out so the file-skipping demonstration (ZorderPruneSpec, PLANS.md
+    * §zorder_prune) writes REAL parquet files from the same curve the
+    * audit key reports on. Returns (pk, sk, file_id) with file_id the
+    * bit-aligned top-4-z-bit cell in [0, 15], or NULL for null-key rows
+    * (the dedicated null file). */
+  def zorderRows(s: SparkSession, d: String): DataFrame = {
+    val raw = lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+    // normalization bounds: one tiny 4-scalar aggregate (A10)
+    val b = raw.agg(min(col("pk")), max(col("pk")),
+      min(col("sk")), max(col("sk"))).first()
+    val (pkLo, pkW) = (b.getLong(0), math.max(b.getLong(1) - b.getLong(0), 1L))
+    val (skLo, skW) = (b.getLong(2), math.max(b.getLong(3) - b.getLong(2), 1L))
+    val interleave = (0 until 16).map(i =>
+      s"(shiftright(pkn, $i) & 1) * ${1L << (2 * i)}L + " +
+        s"(shiftright(skn, $i) & 1) * ${1L << (2 * i + 1)}L")
+      .mkString(" + ")
+    // 16 files = the top 4 z bits (BIT-ALIGNED, not max(z)/16 spans:
+    // an unaligned span can straddle a major z boundary, where the
+    // curve jumps in one dim and that file's min/max degenerates).
+    // Aligned cells fix the top 2 bits of EACH dim — every file
+    // covers ≤ a quarter of both ranges by construction
+    raw
+      .withColumn("pkn", expr(s"(pk - ${pkLo}L) * 65535L div ${pkW}L"))
+      .withColumn("skn", expr(s"(sk - ${skLo}L) * 65535L div ${skW}L"))
+      .withColumn("z", expr(interleave))
+      .withColumn("file_id", expr(s"z div ${1L << 28}L"))
+      .select("pk", "sk", "file_id")
+  }
+
   val zorderLayout = QuerySpec(
     "zorder_layout",
-    (s, d) => {
-      val raw = lineitem(s, d)
-        .select(col("l_partkey").cast("long").as("pk"),
-          col("l_suppkey").cast("long").as("sk"))
-      // normalization bounds: one tiny 4-scalar aggregate (A10)
-      val b = raw.agg(min(col("pk")), max(col("pk")),
-        min(col("sk")), max(col("sk"))).first()
-      val (pkLo, pkW) = (b.getLong(0), math.max(b.getLong(1) - b.getLong(0), 1L))
-      val (skLo, skW) = (b.getLong(2), math.max(b.getLong(3) - b.getLong(2), 1L))
-      val interleave = (0 until 16).map(i =>
-        s"(shiftright(pkn, $i) & 1) * ${1L << (2 * i)}L + " +
-          s"(shiftright(skn, $i) & 1) * ${1L << (2 * i + 1)}L")
-        .mkString(" + ")
-      val zt = raw
-        .withColumn("pkn", expr(s"(pk - ${pkLo}L) * 65535L div ${pkW}L"))
-        .withColumn("skn", expr(s"(sk - ${skLo}L) * 65535L div ${skW}L"))
-        .withColumn("z", expr(interleave))
-      // 16 files = the top 4 z bits (BIT-ALIGNED, not max(z)/16 spans:
-      // an unaligned span can straddle a major z boundary, where the
-      // curve jumps in one dim and that file's min/max degenerates).
-      // Aligned cells fix the top 2 bits of EACH dim — every file
-      // covers ≤ a quarter of both ranges by construction
-      zt.groupBy(expr(s"z div ${1L << 28}L").as("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
-          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
-        .orderBy("file_id")
-    },
+    (s, d) => zorderRows(s, d)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+        min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+      .orderBy("file_id"),
     Some(s"""WITH raw AS (
               SELECT CAST(l_partkey AS BIGINT) AS pk,
                      CAST(l_suppkey AS BIGINT) AS sk
