@@ -411,8 +411,103 @@ object ScaleProbe {
       .mkString("[", ",", "]")
     println(s"""{"probe":"delta_shard_vs_corpus","sf":"$sfDir","shard_docs":$shardN,"runs":$qs}""")
   }
+  /** `runMain graft.ScaleProbe skewab [factMultipliers...]`:
+    * AQE-vs-manual-salting A/B on salted_skew_join's fabricated hot
+    * key (25% of lineitems collapse onto one part), swept over a
+    * fact-side row multiplier so the curve shows WHERE the variants
+    * diverge — at bench volume the hot partition fits one task and
+    * everything ties; the straggler only emerges as the hot key's
+    * bytes outgrow a core. Three plans over the SAME rows producing
+    * the same 25-row answer (asserted at every k): the shipped ×16
+    * content-derived hand-salt, the plain shuffle-hash join with AQE
+    * skew splitting allowed to act at bench bytes (thresholds lowered
+    * — the defaults are sized for ~256 MB cluster partitions), and
+    * the plain join with AQE off (the straggler control). Emits one
+    * JSON line, committed as SKEW_AB.json. */
+  private def skewAbProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    import org.apache.spark.sql.graft.bridge
+    def fact(s: org.apache.spark.sql.SparkSession, k: Int) =
+      Tables.lineitem(s, sfDir)
+        .withColumn("rep", explode(sequence(lit(1), lit(k))))
+        .select(
+          when(col("l_partkey") % 4 === 0, lit(1L))
+            .otherwise(col("l_partkey")).as("skew_key"),
+          Tables.cents(col("l_extendedprice")).as("price_cents"),
+          // content-derived, never rand(): retries/replays route identically
+          pmod(hash(col("l_orderkey"), col("l_linenumber"), col("rep")),
+            lit(16)).as("salt"))
+    def dim(s: org.apache.spark.sql.SparkSession) =
+      Tables.part(s, sfDir)
+        .select(col("p_partkey").as("skew_key"), col("p_brand"))
+    def aggOf(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("p_brand")
+        .agg(sum(col("price_cents")).as("revenue_cents"),
+          count(lit(1)).as("line_cnt"),
+          count_distinct(col("skew_key")).as("n_parts"))
+        .orderBy("p_brand")
+    def salted(s: org.apache.spark.sql.SparkSession, k: Int) =
+      aggOf(fact(s, k).join(
+        dim(s).withColumn("salt", explode(sequence(lit(0), lit(15))))
+          .hint("shuffle_hash"),
+        Seq("skew_key", "salt")))
+    def plain(s: org.apache.spark.sql.SparkSession, k: Int) =
+      aggOf(fact(s, k).drop("salt")
+        .join(dim(s).hint("shuffle_hash"), Seq("skew_key")))
+    val aqeSkew = bridge.sessionWithConf(spark,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m")
+    val noAqe = bridge.sessionWithConf(spark,
+      "spark.sql.adaptive.enabled" -> "false")
+    val curve = ks.map { k =>
+      val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+        Seq("salted_x16" -> (() => salted(spark, k)),
+          "plain_aqe_skew" -> (() => plain(aqeSkew, k)),
+          "plain_no_aqe" -> (() => plain(noAqe, k)))
+      // warmup pass doubling as the correctness gate: salting/AQE must
+      // not change a single output value
+      val ref = variants.map { case (n, f) =>
+        n -> f().collect().map(_.toString).toSeq }
+      require(ref.map(_._2).distinct.size == 1,
+        s"variants disagree at k=$k: " +
+          ref.map { case (n, r) => s"$n=${r.take(2)}" }.mkString("; "))
+      val timed = variants.map { case (n, f) =>
+        val runs = (1 to 3).map { _ =>
+          Harness.sweepBlocks(spark)
+          val t0 = System.nanoTime()
+          val df = f()
+          df.collect()
+          ((System.nanoTime() - t0) / 1e9,
+            df.queryExecution.executedPlan.toString.contains("skew=true"))
+        }
+        val med = runs.map(_._1).sorted.apply(runs.size / 2)
+        (n, med, runs.exists(_._2))
+      }
+      println(f"[probe] k=$k%-3d " + timed.map { case (n, m, sk) =>
+        f"$n=$m%6.2f s${if (sk) " (skew split)" else ""}" }.mkString("  "))
+      val vs = timed.map { case (n, med, skewed) =>
+        f""""$n":{"median_sec":$med%.3f,"aqe_skew_applied":$skewed}"""
+      }.mkString(",")
+      s"""{"fact_mult":$k,$vs}"""
+    }
+    println(s"""{"probe":"skew_ab","sf":"$sfDir","salt_width":16,""" +
+      s""""curve":[${curve.mkString(",")}]}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("skewab")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 4, 16)
+      skewAbProbe(spark, sfDir, ks)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bfs")) {
       val spark = Harness.session()
       val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
