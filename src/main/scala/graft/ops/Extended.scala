@@ -311,28 +311,25 @@ object Extended {
           max(col("cents")).as("max_cents"),
           sum(col("cents")).as("sum_cents"))
         .orderBy("decile"),
-    // window-free oracle (DuckDB parallel-window flake guard): rank =
-    // 1 + strictly-before count under (cents NULLS FIRST, o_orderkey),
-    // NTILE(10) from that rank via the first-r-buckets formula
-    // (q = n//10, r = n%10); the quadratic self-count is fine at oracle
-    // scale (orders is 15k rows at sf0.01)
+    // deterministic-window oracle: the rank order is TOTAL (unique
+    // o_orderkey tiebreak) with NULLS FIRST spelled explicitly — the
+    // Spark-ASC-is-NULLS-FIRST vs DuckDB-ASC-is-NULLS-LAST divergence
+    // the earlier window-free form guarded against, without that form's
+    // O(N²) self-count (which stalled the 5× gate at 750k orders:
+    // ~6·10¹¹ pair evaluations). NTILE(10) still comes from the
+    // first-r-buckets formula so the bucket-boundary contract stays
+    // pinned in the oracle text, not in DuckDB's NTILE implementation.
     Some("""WITH src AS (
               SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                           AS BIGINT) AS cents, o_orderkey
               FROM orders),
             r AS (
-              SELECT a.cents, a.o_orderkey,
-                     CAST(1 + COUNT(CASE
-                       WHEN (b.cents IS NULL AND a.cents IS NOT NULL)
-                         OR (b.cents IS NULL AND a.cents IS NULL
-                             AND b.o_orderkey < a.o_orderkey)
-                         OR b.cents < a.cents
-                         OR (b.cents = a.cents
-                             AND b.o_orderkey < a.o_orderkey)
-                       THEN 1 END) AS BIGINT) AS rn,
-                     CAST(COUNT(*) AS BIGINT) AS n
-              FROM src a CROSS JOIN src b
-              GROUP BY a.cents, a.o_orderkey),
+              SELECT cents, o_orderkey,
+                     CAST(ROW_NUMBER() OVER
+                       (ORDER BY cents ASC NULLS FIRST, o_orderkey)
+                       AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n
+              FROM src),
             d AS (
               SELECT cents,
                      CAST(CASE WHEN rn <= (n % 10) * (n // 10 + 1)
@@ -810,8 +807,14 @@ object Extended {
         .agg(min(to_date(col("o_orderdate"))).as("lo"),
           max(to_date(col("o_orderdate"))).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+      // DISTINCT names: the spine is the VALUE domain, so a dimension
+      // table carrying duplicate names (replicated corpora, conformed
+      // dims merged from two systems) must not emit duplicate
+      // (region, day) series rows — 5×-gate catch: the raw crossJoin
+      // produced 5 identical spine rows per name while the oracle's
+      // grouped LOCF collapsed them
       val spine = days.crossJoin(
-        broadcast(region(s, d).select(col("r_name").as("region"))))
+        broadcast(region(s, d).select(col("r_name").as("region")).distinct()))
       val daily = dated
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -851,7 +854,9 @@ object Extended {
               JOIN region ON n_regionkey = r_regionkey
               GROUP BY 1, 2),
             spine AS (
-              SELECT r_name AS region, dt FROM region CROSS JOIN days),
+              SELECT region, dt
+              FROM (SELECT DISTINCT r_name AS region FROM region)
+                   CROSS JOIN days),
             locf AS (
               SELECT s.region, s.dt, max(b.dt) AS src_dt
               FROM spine s

@@ -240,7 +240,7 @@ object Graph {
                 SELECT s1 AS node FROM edges
                 UNION ALL SELECT s2 FROM edges)
               GROUP BY 1),
-            o AS (
+            o AS MATERIALIZED (
               SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND s1 < s2)
                           THEN s1 ELSE s2 END AS u,
                      CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND s1 < s2)
@@ -248,11 +248,20 @@ object Graph {
               FROM edges
               JOIN deg da ON da.node = s1
               JOIN deg db ON db.node = s2),
-            tri AS (
+            -- wedge CTE forced MATERIALIZED: left free, DuckDB's
+            -- optimizer may close triangles BEFORE enumerating wedges
+            -- (join e1⋈e3 on the shared low endpoint first), which is
+            -- the unoriented Σdeg² blowup the orientation exists to
+            -- avoid — measured 100+ CPU-min vs ~20 s staged on the 5×
+            -- corpus (1.07M edges, 152M wedges). Materializing pins
+            -- wedge-then-close, the same order the Spark plan ships.
+            w AS MATERIALIZED (
               SELECT e1.u AS a, e1.v AS b, e2.v AS c
               FROM o e1
-              JOIN o e2 ON e2.u = e1.v
-              JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+              JOIN o e2 ON e2.u = e1.v),
+            tri AS (
+              SELECT a, b, c
+              FROM w JOIN o e3 ON e3.u = w.a AND e3.v = w.c),
             x AS (
               SELECT a AS node FROM tri
               UNION ALL SELECT b FROM tri

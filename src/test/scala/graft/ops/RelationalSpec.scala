@@ -208,6 +208,28 @@ class RelationalSpec extends SparkSpec {
     assert(filledSeen > 0, "corpus has no gap days — test is vacuous")
   }
 
+  test("gap_fill_locf: duplicate dimension names emit ONE series, not one per row") {
+    // the 5×-gate catch: a region table carrying the same r_name on
+    // several rows (replicated corpus, conformed dims merged from two
+    // systems) must not duplicate (region, day) spine rows — the spine
+    // is the value domain, not the dimension row set
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupdim").toString
+    for (t <- Seq("nation", "customer", "orders"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val reg = spark.read.parquet(s"$sf/region.parquet")
+    reg.unionByName(reg.withColumn("r_regionkey", col("r_regionkey") + lit(100)))
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val rows = SparkEntry.queries("gap_fill_locf")(spark, dir).collect()
+    val pairs = rows.map(r => (r.getString(0), r.getAs[Long]("day_key")))
+    assert(pairs.length == pairs.distinct.length,
+      "duplicate (region, day_key) rows — spine not collapsed to distinct names")
+    val base = SparkEntry.queries("gap_fill_locf")(spark, sf).collect()
+    assert(rows.length == base.length,
+      s"duplicated dim changed the series size: ${rows.length} vs ${base.length}")
+  }
+
   test("hierarchy_rollup: pointer-doubled depth/root match arithmetic, roots partition the forest") {
     val rows = SparkEntry.queries("hierarchy_rollup")(spark, sf).collect()
     assert(rows.nonEmpty)

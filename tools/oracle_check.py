@@ -63,24 +63,39 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # Spark-written table (ScaleData's kx corpus)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    verdicts = {}  # name -> CORRECTNESS-style record (optional 3rd arg)
+
+    def record(name, rows_match, schema_match, hash_match, srows, drows,
+               err=None):
+        verdicts[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": srows,
+            "oracle_rows": drows, "err": err}
+
     for name in sorted(oracle):
         qdir = out / name
         if not qdir.exists():
             failures.append((name, "NO SPARK OUTPUT"))
+            record(name, False, False, False, 0, None, "NO SPARK OUTPUT")
             continue
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
         try:
             duck_rel = con.sql(oracle[name])
         except Exception as e:
             failures.append((name, f"ORACLE SQL ERROR: {e}"))
+            record(name, False, False, False, None, None,
+                   f"ORACLE SQL ERROR: {e}")
             continue
         scols, dcols = list(spark_rel.columns), list(duck_rel.columns)
         if sorted(map(str.lower, scols)) != sorted(map(str.lower, dcols)):
             failures.append((name, f"COLUMNS spark={sorted(scols)} duck={sorted(dcols)}"))
+            record(name, None, False, False, None, None, "COLUMNS differ")
             continue
         # driver sorts columns by name before hashing
         order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
@@ -89,6 +104,8 @@ def main(sf_dir, out_dir):
         dorder = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
         if len(srows) != len(drows):
             failures.append((name, f"ROWS spark={len(srows)} duck={len(drows)}"))
+            record(name, False, True, False, len(srows), len(drows),
+                   "row count mismatch")
             continue
         bad = 0
         hazards = 0
@@ -106,10 +123,17 @@ def main(sf_dir, out_dir):
                     print(f"  [{name}] row {ri} DRIVER-HAZARD decimal(s): {hz}")
         if bad:
             failures.append((name, f"{bad}/{len(srows)} rows differ"))
+            record(name, True, True, False, len(srows), len(drows),
+                   f"{bad} rows differ")
         elif hazards:
             failures.append((name, f"{hazards}/{len(srows)} rows carry trailing-zero decimals the driver hash-fails"))
+            record(name, True, True, False, len(srows), len(drows),
+                   "driver-hazard decimals")
         else:
             print(f"OK   {name}: {len(srows)} rows")
+            record(name, True, True, True, len(srows), len(drows))
+    if len(sys.argv) > 3:
+        Path(sys.argv[3]).write_text(json.dumps(verdicts, indent=1))
     if failures:
         print("\nFAILURES:")
         for n, msg in failures:
