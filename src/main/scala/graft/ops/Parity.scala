@@ -560,14 +560,22 @@ object Parity {
   val surrogateKeys = QuerySpec(
     "surrogate_keys",
     (s, d) =>
+      // DISTINCT first: the surrogate key belongs to the natural KEY,
+      // not the dimension row — a source carrying duplicate names
+      // (replicated corpus, re-delivered extracts) must mint ONE key
+      // per name (5×-gate catch), and row_number over a non-unique
+      // ORDER BY is a tie-order lottery besides
       nation(s, d)
+        .select(col("n_name")).distinct()
         .select(
           asLong(row_number().over(Window.orderBy("n_name"))).as("nation_key"),
           col("n_name").as("nation"))
         .orderBy("nation_key"),
-    // window-free oracle (rank = 1 + count of strictly-smaller names):
+    // window-free oracle (rank = 1 + count of DISTINCT strictly-smaller
+    // names — distinct twice over, so a source with duplicate names
+    // yields the same one-key-per-name ranking as the engine):
     // DuckDB's parallel global-window path is the documented flake source
-    Some("""SELECT CAST(1 + COUNT(b.n_name) AS BIGINT) AS nation_key,
+    Some("""SELECT CAST(1 + COUNT(DISTINCT b.n_name) AS BIGINT) AS nation_key,
                    a.n_name AS nation
             FROM nation a LEFT JOIN nation b ON b.n_name < a.n_name
             GROUP BY a.n_name

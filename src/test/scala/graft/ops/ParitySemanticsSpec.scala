@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,21 @@ class ParitySemanticsSpec extends SparkSpec {
       .select(row_number().over(Window.orderBy("n")).as("k"), $"n")
     assert(df.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
       == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("surrogate keys: duplicate natural keys mint ONE key per name") {
+    // 5×-gate catch: a source delivering the same name on several rows
+    // (replicated corpus, re-delivered extract) must not mint per-row
+    // keys — and row_number over a non-unique ORDER BY would be a
+    // tie-order lottery besides
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupnat").toString
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+    nat.unionByName(nat.withColumn("n_nationkey", $"n_nationkey" + lit(100)))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val dup = SparkEntry.queries("surrogate_keys")(spark, dir).collect()
+    val base = SparkEntry.queries("surrogate_keys")(spark, sf).collect()
+    assert(dup.map(r => (r.getLong(0), r.getString(1))).toSeq
+      == base.map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
 
   test("revenue decimal math is exact at scale 4") {
