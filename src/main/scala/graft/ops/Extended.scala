@@ -311,25 +311,42 @@ object Extended {
           max(col("cents")).as("max_cents"),
           sum(col("cents")).as("sum_cents"))
         .orderBy("decile"),
-    // deterministic-window oracle: the rank order is TOTAL (unique
-    // o_orderkey tiebreak) with NULLS FIRST spelled explicitly — the
-    // Spark-ASC-is-NULLS-FIRST vs DuckDB-ASC-is-NULLS-LAST divergence
-    // the earlier window-free form guarded against, without that form's
-    // O(N²) self-count (which stalled the 5× gate at 750k orders:
-    // ~6·10¹¹ pair evaluations). NTILE(10) still comes from the
-    // first-r-buckets formula so the bucket-boundary contract stays
+    // two-level prefix-sum oracle (the engine's own global-rank trick
+    // mirrored in SQL): rows range-bucket on cents (monotone in the sort
+    // key, so ties never straddle a bucket), ROW_NUMBER runs PARTITIONED
+    // per bucket — never the unpartitioned global window OracleRulesSpec
+    // bans (the DuckDB parallel-window flake class) — and the global rank
+    // is bucket offset + within-bucket rank. Linear at any sf, unlike the
+    // original window-free O(N²) self-count (which stalled the 5× gate at
+    // 750k orders: ~6·10¹¹ pair evaluations). NTILE(10) still comes from
+    // the first-r-buckets formula so the bucket-boundary contract stays
     // pinned in the oracle text, not in DuckDB's NTILE implementation.
     Some("""WITH src AS (
               SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                           AS BIGINT) AS cents, o_orderkey
               FROM orders),
-            r AS (
+            bounds AS (
+              SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM src),
+            sb AS (
               SELECT cents, o_orderkey,
-                     CAST(ROW_NUMBER() OVER
-                       (ORDER BY cents ASC NULLS FIRST, o_orderkey)
+                     CAST(((cents - mn) * 32) // (mx - mn + 1) AS BIGINT)
+                       AS bkt
+              FROM src, bounds),
+            bcnt AS (
+              SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c
+              FROM sb GROUP BY bkt),
+            boff AS (
+              SELECT a.bkt, CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off
+              FROM bcnt a LEFT JOIN bcnt b ON b.bkt < a.bkt
+              GROUP BY a.bkt),
+            r AS (
+              SELECT sb.cents,
+                     boff.off + CAST(ROW_NUMBER() OVER
+                       (PARTITION BY sb.bkt
+                        ORDER BY sb.cents ASC NULLS FIRST, sb.o_orderkey)
                        AS BIGINT) AS rn,
-                     CAST(COUNT(*) OVER () AS BIGINT) AS n
-              FROM src),
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n
+              FROM sb JOIN boff ON sb.bkt = boff.bkt),
             d AS (
               SELECT cents,
                      CAST(CASE WHEN rn <= (n % 10) * (n // 10 + 1)
