@@ -13,7 +13,7 @@ object SparkEntry {
       sources.Io.orcRoundtrip :+ sources.Io.csvRoundtrip :+
       sources.Io.jsonRoundtrip) ++
       ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
-      ops.Graph.all ++ ops.Relational.all ++
+      ops.Graph.all ++ ops.Relational.all ++ ops.Sketches.all ++
       report.Analytics.all ++
       llm.TextOps.all ++ llm.Dedup.all ++ llm.Similarity.all ++
       llm.Multimodal.all
