@@ -498,6 +498,83 @@ object ScaleProbe {
       s""""curve":[${curve.mkString(",")}]}""")
   }
 
+  /** `runMain graft.ScaleProbe sketchdelta [ks...]`: incremental
+    * maintenance curve for the mergeable-sketch family (ops/Sketches
+    * .scala). The materialized state is the per-(event_type, day) HLL
+    * table; a "day" of new events arrives as a FIXED shard while the
+    * corpus behind the stored sketches replicates 1..k× (user_id
+    * offset-strided). Three costs per k: rebuilding the stored sketch
+    * table (the once-per-corpus cost, grows ~k), sketching the arriving
+    * day (must stay shard-sized and flat), and merge+estimate over the
+    * stored sketches (sketch-count-sized, flat — this is the query-time
+    * cost at 100 TB: |types|×|days| 4 KB buffers, never raw rows). At
+    * every k the merged estimate must EQUAL the direct full-corpus
+    * estimate — HLL union is associative, so incremental maintenance is
+    * exact, not approximately-the-same; asserted, not claimed. */
+  private def sketchDeltaProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    val lastDay = ev.agg(max(col("day"))).first().getDate(0)
+    val corpus0 = ev.filter(col("day") < lit(lastDay))
+    val shard0 = ev.filter(col("day") === lit(lastDay))
+    val stride = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
+    val shardN = shard0.count()
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val runs = ks.map { k =>
+      val corpus = (0 until k).map(i =>
+          corpus0.select(col("event_type"), col("day"),
+            (col("user_id") + lit(i * stride)).as("user_id")))
+        .reduce(_ unionByName _)
+      // stored state: one 4 KB sketch per (type, day) — built once per
+      // corpus, pinned so the merge timing below never re-bills it
+      val stored = corpus.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .localCheckpoint(false)
+      val (buildSec, nSketches) = time(stored.count())
+      // the arriving day: cost must be shard-sized, not corpus-sized
+      val shardSk = shard0.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .localCheckpoint(false)
+      val (shardSec, _) = time(shardSk.count())
+      // query time: union stored ∪ arriving sketches, never raw rows
+      val (mergeSec, mergedSum) = time {
+        stored.unionByName(shardSk)
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .agg(sum(col("est"))).first().getLong(0)
+      }
+      // witness: the full raw re-scan incremental maintenance avoids
+      val (directSec, directSum) = time {
+        corpus.unionByName(shard0)
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+          .agg(sum(col("est"))).first().getLong(0)
+      }
+      require(mergedSum == directSum,
+        s"k=$k: merged estimate $mergedSum != direct $directSum — " +
+          "HLL union associativity violated")
+      Harness.sweepBlocks(spark)
+      println(f"[probe] k=$k%-2d sketches=$nSketches%-4d " +
+        f"build=${buildSec}%5.2f s shard=${shardSec}%5.2f s " +
+        f"merge=${mergeSec}%5.2f s direct=${directSec}%5.2f s " +
+        f"est=$mergedSum (== direct)")
+      (k, nSketches, buildSec, shardSec, mergeSec, directSec, mergedSum)
+    }
+    val qs = runs.map { case (k, n, b, s, m, d, e) =>
+      f"""{"k":$k,"stored_sketches":$n,"build_sec":$b%.3f,""" +
+        f""""shard_sketch_sec":$s%.3f,"merge_estimate_sec":$m%.3f,""" +
+        f""""direct_rescan_sec":$d%.3f,"merged_eq_direct":true,""" +
+        f""""est_sum":$e}""" }.mkString("[", ",", "]")
+    println(s"""{"probe":"sketch_delta","sf":"$sfDir",""" +
+      s""""shard_rows":$shardN,"runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     if (args.headOption.contains("skewab")) {
@@ -513,6 +590,14 @@ object ScaleProbe {
       val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
                else Seq(100000L, 400000L, 1600000L)
       bfsProbe(spark, ns)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("sketchdelta")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 2, 4, 8)
+      sketchDeltaProbe(spark, sfDir, ks)
       spark.stop()
       return
     }
