@@ -58,5 +58,6 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
         stratifiedSample, tfidfTopk, sequencePack, docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
-        spanCorruption, bpeMergePairs, pipelineQualityPack, globalShuffle)
+        spanCorruption, bpeMergePairs, pipelineQualityPack, globalShuffle,
+        mixtureAllocate)
 }

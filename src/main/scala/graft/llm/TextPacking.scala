@@ -316,6 +316,105 @@ private[llm] trait TextPacking { self: TextOps.type =>
       .orderBy("pos")
   }
 
+  /** Exact-budget data-mixing allocation (the apportionment half of the
+    * mixing problem — [[sourceInterleave]] schedules the emit ORDER,
+    * this decides each source's exact doc COUNT): a training budget of
+    * total/2 documents is split across sources proportional to
+    * weighted mass (corpus_docs × the same hashed weight_milli the
+    * interleave uses), made EXACT by largest-remainder apportionment —
+    * floor quotas, then the leftover +1s go to the largest fractional
+    * remainders (source-name tie-break), so Σ(alloc+spill) == budget
+    * identically, never off-by-rounding. A source whose quota exceeds
+    * its corpus caps at corpus_docs and the excess is reported as
+    * spill_docs (the honest single-pass contract: redistribution is
+    * the next epoch's run over the spill, not a hidden iterative loop).
+    *
+    * Scale shape: the only corpus-sized work is one map-side-combinable
+    * per-source count; everything after runs on the |sources|-row frame
+    * (config-bounded), where the 1-row totals cross-join and the
+    * remainder rank are free. Products ride DECIMAL(38,0) / HUGEINT:
+    * budget·corpus_docs·weight ≈ 10²⁷ at a 10¹²-doc corpus — inside
+    * both engines, outside BIGINT: overflow-safe BY TYPE, not by luck. */
+  val mixtureAllocate = QuerySpec(
+    "mixture_allocate",
+    (s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val src = documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("corpus_docs"))
+        .withColumn("weight_milli",
+          lit(500L) +
+            expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
+              * 250L)
+        .withColumn("cw", dec(col("corpus_docs") * col("weight_milli")))
+      val tot = src.agg(dec(sum(col("cw"))).as("tot_cw"),
+        expr("sum(corpus_docs) div 2").as("budget"))
+      val q = src.crossJoin(broadcast(tot))
+        .withColumn("quota",
+          expr("(cast(budget as decimal(38,0)) * cw) div tot_cw"))
+        .withColumn("rem",
+          expr("(cast(budget as decimal(38,0)) * cw) % tot_cw"))
+      val sq = q.agg(sum(col("quota")).as("sum_quota"))
+      // remainder rank over the config-bounded source frame — the
+      // unpartitioned window is fine HERE (|sources| rows), same rule
+      // as the chunk-offset tables
+      val rk = q.crossJoin(broadcast(sq))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("uncapped",
+          col("quota") + when(col("rr") <= col("budget") - col("sum_quota"),
+            1L).otherwise(0L))
+      rk.select(col("source"), col("corpus_docs"), col("weight_milli"),
+          col("budget"),
+          least(col("uncapped"), col("corpus_docs")).as("alloc_docs"),
+          (col("uncapped") - least(col("uncapped"), col("corpus_docs")))
+            .as("spill_docs"))
+        .orderBy("source")
+    },
+    Some {
+      val w = s"500 + (${md5Hex32Sql("'w-v1:' || source")}) % 3 * 250"
+      s"""WITH src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS corpus_docs,
+                   CAST($w AS BIGINT) AS weight_milli
+            FROM documents GROUP BY source),
+          cw AS (
+            SELECT *, CAST(corpus_docs AS HUGEINT) * weight_milli AS cw
+            FROM src),
+          tot AS (
+            SELECT SUM(cw) AS tot_cw,
+                   CAST(CAST(SUM(corpus_docs) AS HUGEINT) // 2 AS BIGINT)
+                     AS budget
+            FROM cw),
+          q AS (
+            SELECT cw.*, tot.budget, tot.tot_cw,
+                   CAST((CAST(tot.budget AS HUGEINT) * cw.cw)
+                        // tot.tot_cw AS BIGINT) AS quota,
+                   (CAST(tot.budget AS HUGEINT) * cw.cw) % tot.tot_cw
+                     AS rem
+            FROM cw, tot),
+          x AS (SELECT CAST(SUM(quota) AS BIGINT) AS sum_quota FROM q),
+          rk AS (
+            SELECT a.source, a.corpus_docs, a.weight_milli, a.budget,
+                   a.quota,
+                   CAST(1 + COUNT(CASE WHEN b.rem > a.rem
+                                         OR (b.rem = a.rem
+                                             AND b.source < a.source)
+                                       THEN 1 END) AS BIGINT) AS rr
+            FROM q a JOIN q b ON true
+            GROUP BY a.source, a.corpus_docs, a.weight_milli, a.budget,
+                     a.quota, a.rem),
+          u AS (
+            SELECT rk.*,
+                   rk.quota + CASE WHEN rk.rr <= rk.budget - x.sum_quota
+                                   THEN 1 ELSE 0 END AS uncapped
+            FROM rk, x)
+          SELECT source, corpus_docs, weight_milli, budget,
+                 CAST(LEAST(uncapped, corpus_docs) AS BIGINT) AS alloc_docs,
+                 CAST(uncapped - LEAST(uncapped, corpus_docs) AS BIGINT)
+                   AS spill_docs
+          FROM u ORDER BY source"""
+    }
+  )
+
   /** Span-corruption pair construction (the T5/UL2 denoising objective
     * prep): per document, mask one deterministically-placed span
     * (start = doc_id·37 mod (len−20), length 10–20 by key) and emit the
