@@ -93,5 +93,93 @@ object Sketches {
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
-  val all: Seq[QuerySpec] = Seq(hllMergeable, quantileCalib)
+  /** Batch twin of the streaming-cardinality path
+    * (streaming/Events.scala `hourlyDistinctByType`): per (hour, type)
+    * distinct users, where the production stream keeps one bounded HLL++
+    * sketch per open window (exact distinct would hold per-window user
+    * SETS — unbounded state on a high-cardinality stream) and the
+    * watermark evicts closed windows. Here the same windowed
+    * approx_count_distinct runs next to the exact count and the
+    * hash-matched output is the bound flag: estimate within 5 % + 1 of
+    * exact. rsd is pinned to 1.6 % (the lgK=12 operating point the other
+    * sketch keys use) so the 5 % gate sits at >4σ — at the DEFAULT
+    * rsd=5 % the gate would be ~1σ and a legitimate estimator would fail
+    * it on ~30 % of windows, which is exactly what the ≈sf0.5 gate
+    * caught when per-window cardinality left HLL++'s exact sparse mode.
+    * The +1 absorbs small-cardinality quantization. */
+  val windowDistinct = QuerySpec(
+    "window_distinct_hll",
+    (s, d) => {
+      val ev = events(s, d)
+      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.016).as("approx_users"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.05) + lit(1.0)).as("hll_ok"))
+        .orderBy("hour", "event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS hll_ok
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")
+  )
+
+  /** Sketch ALGEBRA: audience overlap between event types estimated from
+    * the types' HLL sketches alone — |A∩B| = |A| + |B| − |A∪B| with the
+    * union sketch from `hll_union` — so the overlap matrix of N segments
+    * needs N stored sketches, not N² raw-row intersections (the 100 TB
+    * audience-overlap pattern). Inclusion-exclusion compounds the
+    * per-sketch error, so the bound scales with the UNION size, not the
+    * intersection: |est − exact| ≤ 5 % · |A∪B| + 2. The exact branch is
+    * the calibration witness (one distinct (user, type) frame self-joined
+    * on user, bounded by types² per user) — production keeps sketches.
+    *
+    * Scale shape: per-type sketching is one map-side-combinable agg; the
+    * pair algebra runs on the |types|²-row frame (config-bounded). */
+  val hllIntersect = QuerySpec(
+    "hll_intersect_est",
+    (s, d) => {
+      val ut = events(s, d).select(col("event_type"), col("user_id"))
+      val sk = ut.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val a = sk.select(col("event_type").as("t1"), col("sk").as("sk1"))
+      val b = sk.select(col("event_type").as("t2"), col("sk").as("sk2"))
+      val est = a.join(b, col("t1") < col("t2"))
+        .select(col("t1"), col("t2"),
+          hll_sketch_estimate(col("sk1")).as("na"),
+          hll_sketch_estimate(col("sk2")).as("nb"),
+          hll_sketch_estimate(hll_union(col("sk1"), col("sk2")))
+            .as("nu"))
+        .select(col("t1"), col("t2"),
+          (col("na") + col("nb") - col("nu")).as("est_overlap"),
+          col("nu"))
+      val du = ut.distinct()
+      val exact = du.select(col("event_type").as("t1"), col("user_id"))
+        .join(du.select(col("event_type").as("t2"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("exact_overlap"))
+      exact.join(est, Seq("t1", "t2"))
+        .select(col("t1"), col("t2"), col("exact_overlap"),
+          (abs(col("est_overlap") - col("exact_overlap")) <=
+            col("nu") * lit(0.05) + lit(2.0)).as("overlap_ok"))
+        .orderBy("t1", "t2")
+    },
+    Some("""WITH ut AS (
+              SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+                   TRUE AS overlap_ok
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                               AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY t1, t2""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(hllMergeable, quantileCalib, windowDistinct, hllIntersect)
 }

@@ -49,6 +49,21 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("event_cnt"), col("total_value_cents"))
 
+  /** Hourly distinct users per event type — the streaming-cardinality
+    * pattern: EXACT streaming distinct needs per-window user sets
+    * (unbounded state on a high-cardinality stream); approx_count_distinct
+    * keeps one bounded HLL++ sketch per open window instead, and the
+    * watermark evicts closed windows. Same transform serves batch
+    * backfill; the batch twin `window_distinct_hll` (ops/Sketches.scala)
+    * gates the estimate against the exact oracle. */
+  def hourlyDistinctByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.016).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("approx_users"))
+
   /** Per-user session rollup via event-time session windows (gap 30 min):
     * the `mapGroupsWithState`-class capability expressed with the
     * built-in session_window operator (codegen'd, AQE-compatible). */

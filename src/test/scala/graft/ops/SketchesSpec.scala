@@ -36,6 +36,19 @@ class SketchesSpec extends SparkSpec {
     assert(a == b, s"merged=$a direct=$b")
   }
 
+  test("hll_intersect_est: every pair within bound, full pair matrix present") {
+    val rows = SparkEntry.queries("hll_intersect_est")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("overlap_ok"), r)
+      assert(r.getAs[Long]("exact_overlap") >= 0, r)
+      assert(r.getAs[String]("t1") < r.getAs[String]("t2"), r)
+    }
+    // all unordered type pairs, each exactly once
+    val types = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    assert(rows.length == types.length * (types.length - 1) / 2)
+  }
+
   test("quantile_sketch_calib: rank flag true, and bound is tight enough to bite") {
     val rows = SparkEntry.queries("quantile_sketch_calib")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -11,6 +11,9 @@ case class Ev(ts: Timestamp, event_type: String, value: Double)
 /** Event with a user key, for the stream-static enrichment test. */
 case class EvU(ts: Timestamp, user_id: Long, value: Double)
 
+/** Event with user and type, for the streaming-cardinality test. */
+case class EvT(ts: Timestamp, event_type: String, user_id: Long)
+
 /** Structured Streaming semantics: the hourly aggregation must produce
   * the same results incrementally (MemoryStream micro-batches) as in one
   * batch pass — the single-definition batch/stream contract. */
@@ -45,6 +48,37 @@ class EventsStreamSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(streamed == batch)
       assert(streamed.size == 3) // 10h click(2), 11h view, 12h click
+    } finally q.stop()
+  }
+
+  test("streaming distinct-users sketch == batch on the same data, repeats collapse") {
+    implicit val sctx = spark.sqlContext
+    def evt(t: String, ty: String, u: Long) = EvT(Timestamp.valueOf(t), ty, u)
+    val data = Seq(
+      evt("2024-01-01 10:05:00", "click", 1L),
+      evt("2024-01-01 10:15:00", "click", 1L), // repeat — must not count twice
+      evt("2024-01-01 10:40:00", "click", 2L),
+      evt("2024-01-01 10:50:00", "view", 2L),
+      evt("2024-01-01 11:10:00", "click", 3L))
+    val stream = MemoryStream[EvT]
+    val q = Events.hourlyDistinctByType(stream.toDF())
+      .writeStream.format("memory").queryName("distinct_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data.take(3)) // the repeat and its original split batches
+      q.processAllAvailable()
+      stream.addData(data.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("distinct_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Events.hourlyDistinctByType(data.toDF()).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // small cardinalities: HLL++ sparse mode is exact
+      assert(streamed == Set(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L)))
     } finally q.stop()
   }
 
