@@ -329,8 +329,13 @@ object Extended {
               SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM src),
             sb AS (
               SELECT cents, o_orderkey,
-                     CAST(((cents - mn) * 32) // (mx - mn + 1) AS BIGINT)
-                       AS bkt
+                     -- NULL cents sort NULLS FIRST in the rank order, so
+                     -- they get their own FIRST bucket: a NULL bucket
+                     -- would silently fall out of every equi-join below
+                     -- and shift all ranks by one (fuzz-gate-caught)
+                     CAST(CASE WHEN cents IS NULL THEN -1
+                               ELSE ((cents - mn) * 32) // (mx - mn + 1)
+                          END AS BIGINT) AS bkt
               FROM src, bounds),
             bcnt AS (
               SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c
