@@ -339,6 +339,11 @@ private[llm] trait TextPacking { self: TextOps.type =>
     "mixture_allocate",
     (s, d) => {
       val dec = (c: Column) => c.cast("decimal(38,0)")
+      // eager localCheckpoint: the totals, the quota sum, and the final
+      // frame all derive from this config-bounded per-source table, and
+      // Catalyst cannot CSE across the cross-joins — without the pin the
+      // plan re-scans the whole corpus once per branch (3 scans at
+      // 100 TB for one map-side count)
       val src = documents(s, d).groupBy("source")
         .agg(count(lit(1)).as("corpus_docs"))
         .withColumn("weight_milli",
@@ -346,6 +351,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
             expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
               * 250L)
         .withColumn("cw", dec(col("corpus_docs") * col("weight_milli")))
+        .localCheckpoint()
       val tot = src.agg(dec(sum(col("cw"))).as("tot_cw"),
         expr("sum(corpus_docs) div 2").as("budget"))
       val q = src.crossJoin(broadcast(tot))

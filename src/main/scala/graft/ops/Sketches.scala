@@ -144,8 +144,12 @@ object Sketches {
     "hll_intersect_est",
     (s, d) => {
       val ut = events(s, d).select(col("event_type"), col("user_id"))
+      // eager pin: both sides of the pair join derive from this
+      // config-sized frame (|types| rows × 4 KB) — without it each side
+      // re-scans the corpus to rebuild the same sketches
       val sk = ut.groupBy("event_type")
         .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .localCheckpoint()
       val a = sk.select(col("event_type").as("t1"), col("sk").as("sk1"))
       val b = sk.select(col("event_type").as("t2"), col("sk").as("sk2"))
       val est = a.join(b, col("t1") < col("t2"))
@@ -158,9 +162,12 @@ object Sketches {
           (col("na") + col("nb") - col("nu")).as("est_overlap"),
           col("nu"))
       val du = ut.distinct()
+      // shuffle_hash, not broadcast: the distinct (user, type) frame is
+      // corpus-derived — AQE would happily broadcast it at bench sf and
+      // OOM at 100 TB; the static plan must carry the discipline
       val exact = du.select(col("event_type").as("t1"), col("user_id"))
-        .join(du.select(col("event_type").as("t2"), col("user_id")),
-          Seq("user_id"))
+        .join(du.select(col("event_type").as("t2"), col("user_id"))
+          .hint("shuffle_hash"), Seq("user_id"))
         .filter(col("t1") < col("t2"))
         .groupBy("t1", "t2")
         .agg(count(lit(1)).as("exact_overlap"))
