@@ -671,6 +671,67 @@ object Dedup {
             ORDER BY doc_id""")
   )
 
+  /** Bloom false-positive-rate calibration — the membership leg of the
+    * sketch-contract family (ops/Sketches.scala holds the HLL distinct
+    * and GK quantile legs): [[bloomPruneJoin]] USES the filter and
+    * stays exact by re-verifying survivors; this key pins the filter's
+    * own published contract, because at 100 TB the fpp IS the cost
+    * model — every false positive is a row that takes the exact
+    * semi-join it should have skipped. The filter is built over the
+    * blocklist shingles at fpp 0.03, probed with the TRUE NEGATIVES
+    * (training shingles exactly anti-joined against the blocklist), and
+    * the hash-matched output is the bound flag: empirical FPR ≤ 2 × the
+    * requested fpp (Bloom fpp concentrates tightly at these probe
+    * counts; 2× is >5σ). Deterministic because Bloom insertion is bit-OR
+    * — order-independent — over a fixed hash family.
+    *
+    * Scale shape: one shingle scan per side (blocklist side config-
+    * bounded by construction), the filter O(bits) at any cardinality,
+    * the probe a scan-side codegen expression — the witness anti-join is
+    * the only corpus-sized shuffle, and production drops it. */
+  val bloomFprCalib = QuerySpec(
+    "bloom_fpr_calib",
+    (s, d) => {
+      val docs = documents(s, d)
+      val bsh = TextOps.shingleRows(docs.filter(col("doc_id") < 20), 8)
+        .select("s").distinct().localCheckpoint()
+      val bf = bsh.select(xxhash64(col("s")).as("h"))
+        .stat.bloomFilter("h", math.max(bsh.count(), 1L), 0.03)
+      val bfBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray
+      }
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graft.bridge
+      val mightContain = bridge.column(BloomFilterMightContain(
+        Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+        bridge.expression(xxhash64(col("s")))))
+      // true negatives: training shingles NOT in the blocklist (exact)
+      val negatives = TextOps.shingleRows(docs.filter(col("doc_id") >= 20), 8)
+        .select("s").distinct()
+        .join(bsh, Seq("s"), "left_anti")
+      negatives
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(mightContain, 1L).otherwise(0L)).as("n_fp"))
+        .select(col("n_probes"),
+          (col("n_fp") <= col("n_probes") * lit(0.06) + lit(1.0))
+            .as("fpr_ok"))
+    },
+    Some("""WITH bsh AS (
+              SELECT DISTINCT substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)
+              WHERE doc_id < 20),
+            neg AS (
+              SELECT DISTINCT substr(text, i, 8) AS s
+              FROM documents,
+                   UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)
+              WHERE doc_id >= 20
+              EXCEPT SELECT s FROM bsh)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS fpr_ok
+            FROM neg""")
+  )
+
   /** Exact duplicated-SPAN detection over any (doc_id, text) frame —
     * the suffix-array dedup capability class (find every maximal
     * passage of ≥ k chars that also appears verbatim in ANOTHER
@@ -1001,5 +1062,5 @@ object Dedup {
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
         clusters, keep, decontaminate, minhashSimEst, bloomPruneJoin,
-        substringDedup, deltaDedup, deltaSimhash)
+        bloomFprCalib, substringDedup, deltaDedup, deltaSimhash)
 }

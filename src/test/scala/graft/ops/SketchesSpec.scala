@@ -49,6 +49,17 @@ class SketchesSpec extends SparkSpec {
     assert(rows.length == types.length * (types.length - 1) / 2)
   }
 
+  test("bloom_fpr_calib: membership contract holds on true negatives") {
+    val rows = SparkEntry.queries("bloom_fpr_calib")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Boolean]("fpr_ok"), r)
+    val n = r.getAs[Long]("n_probes")
+    assert(n > 0)
+    // the flag must be falsifiable: all-positive probes would fail it
+    assert(n > n * 0.06 + 1.0)
+  }
+
   test("quantile_sketch_calib: rank flag true, and bound is tight enough to bite") {
     val rows = SparkEntry.queries("quantile_sketch_calib")(spark, sf).collect()
     assert(rows.nonEmpty)
