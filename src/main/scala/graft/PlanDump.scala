@@ -53,7 +53,20 @@ object PlanDump {
           "buffers combine map-side), so the merge stage shuffles 4 KB " +
           "sketches keyed by (type, day) — the only raw-row (type, " +
           "user) shuffle belongs to the exact calibration witness, " +
-          "which the production query drops."))
+          "which the production query drops."),
+      "heavy_hitters" ->
+        ("Space-Saving summaries build in one MapPartitions over the " +
+          "pinned item scan (k counters per partition, no raw-item " +
+          "shuffle); the merge aggregates ≤ partitions·k summary rows; " +
+          "the candidate join is ShuffledHashJoin (corpus-derived, " +
+          "never broadcast) and the only BroadcastExchange is the " +
+          "1-row total."),
+      "basket_affinity" ->
+        ("Pair fan-out stays per-basket: collect_set + Generate off ONE " +
+          "groupBy (bounded by the loud basket cap), never a " +
+          "corpus-level self-join; both support joins are " +
+          "ShuffledHashJoin (corpus-derived, never broadcast); the " +
+          "only BroadcastExchange is the 1-row order total."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -12,6 +12,7 @@ object SparkEntry {
       sources.Io.writeRoundtrip :+ sources.Io.jdbcRoundtrip :+
       sources.Io.orcRoundtrip :+ sources.Io.csvRoundtrip :+
       sources.Io.jsonRoundtrip) ++
+      ops.Behavior.all ++
       ops.Extended.all ++ ops.AsOf.all ++ ops.Bucketed.all ++ ops.Etl.all ++
       ops.Graph.all ++ ops.Relational.all ++ ops.Sketches.all ++
       report.Analytics.all ++

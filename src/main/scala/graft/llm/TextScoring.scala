@@ -531,6 +531,49 @@ private[llm] trait TextScoring { self: TextOps.type =>
     }
   )
 
+  /** Weight-proportional fixed-size subsample (priority sampling,
+    * Duffield et al. 2007): each document gets priority w/u — weight
+    * w = n_chars (token-budget-proportional inclusion, the "sample the
+    * corpus down to a budget but keep it long-doc-heavy" curation move),
+    * u a deterministic content-keyed uniform — and the sample is the
+    * global top-k by priority. Same reproducibility contract as
+    * sampleSplit: a document's fate is a pure function of (doc_id, salt,
+    * weight), independent of sharding.
+    *
+    * Exactness discipline: u is the first 32 md5 bits + 1, and the
+    * priority is the INTEGER floor of w·2³³/u — float pow/ln (the A-ES
+    * formulation) would make the top-k boundary an engine-rounding
+    * artifact; quantizing the priority to integers with a doc_id
+    * tie-break keeps the selected set bit-identical across engines. The
+    * w·2³³ product caps at ~2⁴⁶ for document-sized weights — inside
+    * BIGINT by construction (weights ≥ 2²⁰ chars would need DECIMAL).
+    *
+    * Scale shape: pure projection + TakeOrderedAndProject — no global
+    * sort, no shuffle beyond the k-row reduction. */
+  val weightedSample = QuerySpec(
+    "weighted_sample",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          (expr("conv(substring(md5(concat('ws-v1:', cast(doc_id as string))), 1, 8), 16, 10)")
+            .cast("long") + 1L).as("u"))
+        .select(col("doc_id"), col("weight"),
+          expr("weight * 8589934592L div u").as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
+        .orderBy("doc_id"),
+    Some {
+      val v = md5Hex32Sql("'ws-v1:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, weight, priority FROM (
+            SELECT doc_id, n_chars AS weight,
+                   CAST((CAST(n_chars AS HUGEINT) * 8589934592)
+                        // ($v + 1) AS BIGINT) AS priority
+            FROM documents
+            ORDER BY priority DESC, doc_id LIMIT 100)
+          ORDER BY doc_id"""
+    }
+  )
+
   /** Per-document top-3 characteristic tokens by tf·idf-style rarity
     * weighting: score = tf × (1/df) in integer micro units (the log-free
     * idf variant, so scoring is exact integer math — monotone in tf/df,

@@ -187,6 +187,85 @@ object Sketches {
             GROUP BY 1, 2 ORDER BY t1, t2""")
   )
 
+  /** Bounded-memory heavy hitters: per-partition Space-Saving summaries
+    * (k=64 counters each) merged by pointwise sum, calibrated against the
+    * exact counts. The item domain here is the integer value bucket of
+    * `events.value` (zipf-shaped in the fixture; a stand-in for the URL /
+    * user-agent / token domains this runs over in production).
+    *
+    * The guarantee the output pins (Metwally et al.'s Space-Saving, made
+    * mergeable a la Agarwal et al. 2012): each partition's summary errs
+    * by at most N_p/k, so the pointwise-sum merge errs by at most
+    * Σ N_p/k = N/k, and any item with true frequency > N/k must survive
+    * in at least one partial — `found` and `bound_ok` are TRUE by
+    * theorem, which is what makes them hash-stable under any partitioning
+    * (the sketch CONTENT is partition-order-dependent and is therefore
+    * never an output column). Both checks are exact integer comparisons
+    * (freq·k vs N) — no doubles.
+    *
+    * Scale shape: the summary build is the sanctioned per-partition
+    * imperative case (genuine bounded-state streaming algorithm, same
+    * boundary class as Multimodal's decoder batches — k counters per
+    * partition regardless of input size, where a groupBy's map-side
+    * combiner would hold every distinct key); the merge shuffles ≤ P·k
+    * summary rows, not raw items. The exact branch is the calibration
+    * witness — production drops it and keeps the ≤ P·k candidate set.
+    * The min-scan eviction is O(k) per new key; a production build keys
+    * the counters with a heap. */
+  val heavyHitters = QuerySpec(
+    "heavy_hitters",
+    (s, d) => {
+      val k = 64
+      import s.implicits._
+      val items = events(s, d)
+        .select(floor(col("value")).cast("long").as("item"))
+        .localCheckpoint(false) // 3 consumers: partials, exact, total
+      val partials = items.as[Long].mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { v =>
+          counts.get(v) match {
+            case Some(c) => counts.update(v, c + 1)
+            case None if counts.size < k => counts.update(v, 1L)
+            case None =>
+              var minK = 0L
+              var minV = Long.MaxValue
+              counts.foreach { case (ck, cv) =>
+                if (cv < minV || (cv == minV && ck < minK)) {
+                  minK = ck; minV = cv
+                }
+              }
+              counts.remove(minK)
+              counts.update(v, minV + 1)
+          }
+        }
+        counts.iterator
+      }.toDF("item", "est")
+      val merged = partials.groupBy("item").agg(sum(col("est")).as("est"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("exact_n"))
+      val tot = items.agg(count(lit(1)).as("total"))
+      exact.crossJoin(broadcast(tot))
+        .filter(col("exact_n") * k > col("total"))
+        // shuffle_hash: the ≤ P·k candidate set is corpus-derived — the
+        // never-statically-broadcast rule
+        .join(merged.hint("shuffle_hash"), Seq("item"), "left")
+        .select(col("item"), col("exact_n"),
+          col("est").isNotNull.as("found"),
+          (col("est").isNotNull &&
+            abs(col("est") - col("exact_n")) * k <= col("total"))
+            .as("bound_ok"))
+        .orderBy("item")
+    },
+    Some("""WITH it AS (
+              SELECT CAST(FLOOR(value) AS BIGINT) AS item FROM events),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM it),
+            c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_n
+                  FROM it GROUP BY 1)
+            SELECT c.item, c.exact_n, TRUE AS found, TRUE AS bound_ok
+            FROM c CROSS JOIN n
+            WHERE c.exact_n * 64 > n.total ORDER BY item""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(hllMergeable, quantileCalib, windowDistinct, hllIntersect)
+    Seq(hllMergeable, quantileCalib, windowDistinct, hllIntersect,
+      heavyHitters)
 }
