@@ -55,7 +55,8 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
     Seq(langId, qualityScore, qualityBandFilter, tokenCount, docFingerprint,
         vocabTopk, vocabCoverage,
         sampleSplit, piiDetect, piiRedact, textNormalize, repetitionRatio,
-        stratifiedSample, weightedSample, tfidfTopk, sequencePack, docChunk,
+        stratifiedSample, weightedSample, bm25TopK, tfidfTopk, sequencePack,
+        docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
         spanCorruption, bpeMergePairs, pipelineQualityPack, globalShuffle,

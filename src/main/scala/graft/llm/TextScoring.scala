@@ -574,6 +574,86 @@ private[llm] trait TextScoring { self: TextOps.type =>
     }
   )
 
+  /** BM25 retrieval scoring for a fixed query term set, top-20 documents.
+    * Classic Okapi shape — per-term idf × tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl)) with k1=1.2, b=0.75 — made integer-EXACT: the rational
+    * k1/b and avgdl = A/N fold into one fraction, idf is the log-free
+    * (N−df+1)/(df+1) rarity ratio (the tfidf_topk convention; ln would
+    * make the top-k cut an engine-rounding artifact), and each term's
+    * contribution is one DECIMAL(38,0)/HUGEINT floor division:
+    *   (N−df+1)·22·tf·A·10⁶  div  (df+1)·(10·tf·A + 3·A + 9·dl·N).
+    * DECIMAL(38,0) covers the products through the 5× gate with ~20
+    * digits of headroom; an extreme-scale deployment would pre-divide
+    * the idf to keep magnitudes flat.
+    *
+    * Scale shape: dl/tf/df are map-side-combinable aggregates off one
+    * pinned token scan; df and the (A, N) totals are query-sized frames
+    * (df joins shuffle_hash — corpus-derived, never static-broadcast;
+    * the 1-row totals broadcast is sanctioned); the cut is
+    * TakeOrderedAndProject — no global sort. */
+  val bm25TopK = QuerySpec(
+    "bm25_topk",
+    (s, d) => {
+      val terms = Seq("spark", "join", "dup")
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("t"))
+        .localCheckpoint(false) // 2 consumers: doc lengths, term freqs
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint(false) // 3 consumers: totals, score join, output
+      val st = dl.agg(sum(col("dl")).as("a"), count(lit(1)).as("nd"))
+      val tf = toks.filter(col("t").isin(terms: _*))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(df.hint("shuffle_hash"), Seq("t"))
+        .join(dl.hint("shuffle_hash"), Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          expr("""(cast(nd - df + 1 as decimal(38,0)) * 22 * tf * a * 1000000)
+                  div (cast(df + 1 as decimal(38,0))
+                       * (10 * cast(tf as decimal(38,0)) * a + 3 * a
+                          + 9 * cast(dl as decimal(38,0)) * nd))""")
+            .as("s"))
+        .groupBy("doc_id").agg(sum(col("s")).cast("long").as("score_ppm"))
+      scored.join(dl.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("dl"), col("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(20)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(list_filter(string_split(lower(text), ' '),
+                                        w -> w <> '')) AS t
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                   FROM toks GROUP BY 1),
+            st AS (SELECT CAST(SUM(dl) AS HUGEINT) AS a,
+                          CAST(COUNT(*) AS HUGEINT) AS nd
+                   FROM dl),
+            tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks WHERE t IN ('spark', 'join', 'dup')
+                   GROUP BY 1, 2),
+            df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id,
+                          ((st.nd - df.df + 1) * 22 * tf.tf * st.a * 1000000)
+                          // ((df.df + 1)
+                             * (10 * tf.tf * st.a + 3 * st.a
+                                + 9 * dl.dl * st.nd)) AS s
+                   FROM tf
+                   JOIN df USING (t)
+                   JOIN dl USING (doc_id)
+                   CROSS JOIN st),
+            tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm
+                    FROM sc GROUP BY 1)
+            SELECT doc_id, dl, score_ppm FROM (
+              SELECT t.doc_id, dl.dl, t.score_ppm
+              FROM tot t JOIN dl USING (doc_id)
+              ORDER BY t.score_ppm DESC, t.doc_id LIMIT 20)
+            ORDER BY doc_id""")
+  )
+
   /** Per-document top-3 characteristic tokens by tf·idf-style rarity
     * weighting: score = tf × (1/df) in integer micro units (the log-free
     * idf variant, so scoring is exact integer math — monotone in tf/df,

@@ -34,8 +34,15 @@ object Behavior {
   val cohortRetention = QuerySpec(
     "cohort_retention",
     (s, d) => {
-      val om = orders(s, d).select(col("o_custkey"),
-        date_trunc("month", col("o_orderdate")).as("om"))
+      // attributable activity only: a NULL custkey is not a customer and
+      // a NULL date has no month — and the two engines disagree on what
+      // to do with them (Spark's groupBy keeps a NULL key group and
+      // collect_set drops NULL months; DuckDB's USING-join drops the NULL
+      // key and keeps a NULL months_since row) — fuzz-gate-caught
+      val om = orders(s, d)
+        .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("om"))
       om.groupBy("o_custkey")
         .agg(min(col("om")).as("cohort"), collect_set(col("om")).as("ms"))
         .select(col("cohort"), explode(col("ms")).as("om"))
@@ -48,7 +55,8 @@ object Behavior {
     },
     Some("""WITH om AS (
               SELECT o_custkey, date_trunc('month', o_orderdate) AS om
-              FROM orders),
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
             f AS (SELECT o_custkey, MIN(om) AS cohort FROM om GROUP BY 1)
             SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
                    CAST(datediff('month', f.cohort, om.om) AS BIGINT)
@@ -177,6 +185,122 @@ object Behavior {
             FROM tr ORDER BY src, dst""")
   )
 
+  /** Two-level (range-bucket + partitioned ROW_NUMBER) global quartile
+    * rank for one RFM metric — the ntile_deciles oracle shape, GENERATED
+    * per metric so the three stacks cannot drift apart. Requires `rfm`
+    * (o_custkey + the metric) and `nrows` (n) CTEs in scope. */
+  private def quartileCte(m: String): String =
+    s"""${m}_bounds AS (
+          SELECT MIN($m) AS mn, MAX($m) AS mx FROM rfm),
+        ${m}_sb AS (
+          SELECT o_custkey, $m,
+                 CAST((($m - mn) * 32) // (mx - mn + 1) AS BIGINT) AS bkt
+          FROM rfm, ${m}_bounds),
+        ${m}_bcnt AS (
+          SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ${m}_sb GROUP BY bkt),
+        ${m}_boff AS (
+          SELECT a.bkt, CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off
+          FROM ${m}_bcnt a LEFT JOIN ${m}_bcnt b ON b.bkt < a.bkt
+          GROUP BY a.bkt),
+        ${m}_r AS (
+          SELECT sb.o_custkey,
+                 boff.off + CAST(ROW_NUMBER() OVER
+                   (PARTITION BY sb.bkt ORDER BY sb.$m, sb.o_custkey)
+                   AS BIGINT) AS rn
+          FROM ${m}_sb sb JOIN ${m}_boff boff ON sb.bkt = boff.bkt),
+        ${m}_q AS (
+          SELECT r.o_custkey,
+                 CAST(CASE WHEN r.rn <= (nr.n % 4) * (nr.n // 4 + 1)
+                           THEN (r.rn - 1) // (nr.n // 4 + 1) + 1
+                           ELSE (nr.n % 4)
+                                + (r.rn - 1 - (nr.n % 4) * (nr.n // 4 + 1))
+                                  // (nr.n // 4) + 1 END AS BIGINT)
+                   AS ${m}_band
+          FROM ${m}_r r CROSS JOIN nrows nr)"""
+
+  /** RFM customer segmentation: per-customer Recency (days since last
+    * order, against the corpus max order date), Frequency (order count)
+    * and Monetary (lifetime cents), each quartile-banded 1-4 by global
+    * rank with a custkey tie-break, composed into the classic 3-digit
+    * RFM segment code.
+    *
+    * Scale shape: one corpus shuffle (the per-customer aggregate); the
+    * anchor date derives from the pinned per-customer frame (no second
+    * fact scan) and broadcasts as a 1-row total. The three ntile(4)
+    * global windows run over the CUSTOMER frame — same exact-semantics
+    * contract as ntile_deciles (at 100 TB the banding would come from
+    * approx percentile cuts + range partitioning); the oracle mirrors
+    * each rank with the generated two-level prefix-sum stack, never an
+    * unpartitioned window. */
+  val rfmSegmentation = QuerySpec(
+    "rfm_segmentation",
+    (s, d) => {
+      // same attributability scope as cohort_retention (fuzz-gate-caught:
+      // the engines disagree on NULL custkeys/dates); a customer whose
+      // every dated order has a NULL price still ranks, at 0 spend —
+      // a NULL metric would silently fall out of the oracle's range
+      // buckets (the ntile_deciles NULL-bucket lesson)
+      val rfm0 = orders(s, d)
+        .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("cents"))
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("f_orders"),
+          coalesce(sum(col("cents")), lit(0L)).as("m_cents"))
+        .localCheckpoint(false)
+      val anchor = rfm0.agg(max(col("last_order")).as("a"))
+      val base = rfm0.crossJoin(broadcast(anchor))
+        .withColumn("r_days",
+          datediff(col("a"), col("last_order")).cast(LongType))
+      def band(c: String) =
+        ntile(4).over(Window.orderBy(col(c), col("o_custkey"))).cast(LongType)
+      base
+        .withColumn("r_band", band("r_days"))
+        .withColumn("f_band", band("f_orders"))
+        .withColumn("m_band", band("m_cents"))
+        .select(col("o_custkey"), col("r_days"), col("f_orders"),
+          col("m_cents"), col("r_band"), col("f_band"), col("m_band"),
+          (col("r_band") * 100 + col("f_band") * 10 + col("m_band"))
+            .as("segment"))
+        .orderBy("o_custkey")
+    },
+    Some(s"""WITH o AS (
+              SELECT o_custkey, o_orderdate,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            rfm0 AS (
+              SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                     CAST(COUNT(*) AS BIGINT) AS f_orders,
+                     CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS m_cents
+              FROM o GROUP BY 1),
+            anchor AS (SELECT MAX(last_order) AS a FROM rfm0),
+            rfm AS (
+              SELECT o_custkey,
+                     CAST(datediff('day', last_order, a) AS BIGINT)
+                       AS r_days,
+                     f_orders, m_cents
+              FROM rfm0, anchor),
+            nrows AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
+            ${quartileCte("r_days")},
+            ${quartileCte("f_orders")},
+            ${quartileCte("m_cents")}
+            SELECT rfm.o_custkey, rfm.r_days, rfm.f_orders, rfm.m_cents,
+                   r_days_q.r_days_band AS r_band,
+                   f_orders_q.f_orders_band AS f_band,
+                   m_cents_q.m_cents_band AS m_band,
+                   r_days_q.r_days_band * 100 + f_orders_q.f_orders_band * 10
+                     + m_cents_q.m_cents_band AS segment
+            FROM rfm
+            JOIN r_days_q USING (o_custkey)
+            JOIN f_orders_q USING (o_custkey)
+            JOIN m_cents_q USING (o_custkey)
+            ORDER BY o_custkey""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(cohortRetention, basketAffinity, markovTransitions)
+    Seq(cohortRetention, basketAffinity, markovTransitions, rfmSegmentation)
 }

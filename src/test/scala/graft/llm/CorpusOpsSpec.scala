@@ -8,6 +8,45 @@ import org.apache.spark.sql.functions._
   * (independent recounts, group invariants, prune-is-invisible). */
 class CorpusOpsSpec extends SparkSpec {
 
+  test("bm25_topk: scores recompute exactly from raw tf/df/dl, cut is the true top-20") {
+    val rows = SparkEntry.queries("bm25_topk")(spark, sf).collect()
+    assert(rows.length == 20)
+    // independent driver-side recomputation from the raw corpus
+    val terms = Set("spark", "join", "dup")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val dl = docs.view.mapValues(_.length.toLong).toMap
+    val a = BigInt(dl.values.sum)
+    val nd = BigInt(dl.size)
+    val tf = docs.toSeq.flatMap { case (id, ts) =>
+      ts.filter(terms).groupBy(identity).map { case (t, xs) =>
+        (id, t) -> BigInt(xs.length) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(c => BigInt(c.size)).toMap
+    val score = docs.keys.map { id =>
+      id -> terms.toSeq.flatMap { t =>
+        tf.get((id, t)).map { f =>
+          ((nd - df(t) + 1) * 22 * f * a * 1000000) /
+            ((df(t) + 1) * (10 * f * a + 3 * a + 9 * dl(id) * nd))
+        }
+      }.sum
+    }.toMap
+    val universe = tf.keys.map(_._1).toSet // docs with ≥1 query term
+    val want = score.toSeq.filter(p => universe(p._1))
+      .sortBy { case (id, s) => (-s, id) }.take(20).toMap
+    assert(rows.map(_.getLong(0)).toSet == want.keySet)
+    rows.foreach { r =>
+      assert(BigInt(r.getAs[Long]("score_ppm")) == want(r.getLong(0)), r)
+      assert(r.getAs[Long]("dl") == dl(r.getLong(0)), r)
+    }
+    // idf must bite: the rare term's docs outrank a pure
+    // common-term doc of the same length class (sanity of ranking)
+    assert(want.values.max > want.values.min)
+  }
+
   test("collocation_pmi: lift recomputes from raw counts, ordering is total") {
     val rows = SparkEntry.queries("collocation_pmi")(spark, sf).collect()
     assert(rows.length == 40)

@@ -111,6 +111,45 @@ class BehaviorSpec extends SparkSpec {
     assert(exact.count { case (_, c) => c * 64 > n } == rows.length)
   }
 
+  test("rfm_segmentation: bands are balanced quartiles, metrics recompute") {
+    val rows = SparkEntry.queries("rfm_segmentation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // each band partitions the customers 1..4 with ntile balance
+    for (bandCol <- Seq("r_band", "f_band", "m_band")) {
+      val sizes = rows.groupBy(_.getAs[Long](bandCol)).view
+        .mapValues(_.length).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$bandCol: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$bandCol: $sizes")
+    }
+    // band order agrees with metric order: sort by (metric, custkey)
+    // must yield non-decreasing bands
+    def mono(metric: String, band: String): Unit = {
+      val sorted = rows.sortBy(r =>
+        (r.getAs[Long](metric), r.getAs[Long]("o_custkey")))
+      assert(sorted.sliding(2).forall(p =>
+        p(0).getAs[Long](band) <= p(1).getAs[Long](band)), s"$metric/$band")
+    }
+    mono("r_days", "r_band"); mono("f_orders", "f_band")
+    mono("m_cents", "m_band")
+    // segment code composes the three digits; metrics recompute
+    rows.foreach { r =>
+      assert(r.getAs[Long]("segment") ==
+        r.getAs[Long]("r_band") * 100 + r.getAs[Long]("f_band") * 10 +
+          r.getAs[Long]("m_band"), r)
+    }
+    val om = Tables.orders(spark, sf).select(col("o_custkey"),
+      col("o_orderdate"), Tables.cents(col("o_totalprice")).as("c"))
+    assert(om.select(countDistinct(col("o_custkey"))).first().getLong(0)
+      == n)
+    val f = om.groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("f_orders") == f(r.getAs[Long]("o_custkey")), r))
+    // the most recent customer has r_days = 0 (anchor is the corpus max)
+    assert(rows.map(_.getAs[Long]("r_days")).min == 0L)
+  }
+
   test("weighted_sample: fixed size, deterministic, weight-biased") {
     val q = SparkEntry.queries("weighted_sample")
     val a = q(spark, sf).collect()
