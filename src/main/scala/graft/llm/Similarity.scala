@@ -192,6 +192,70 @@ object Similarity {
              ORDER BY id1, id2""")
   )
 
+  /** Mutual k-NN graph over the embedding corpus — the neighbor
+    * structure semantic clustering / graph-based dedup builds on:
+    * within-bucket top-3 neighbors per vector (same LSH candidate
+    * discipline as dedup_embedding — never an all-pairs self-join),
+    * kept as an undirected edge only when BOTH endpoints rank each
+    * other (the mutual filter that prunes hub vectors' one-sided
+    * edges). Output carries the edge's dot and both ranks.
+    *
+    * Scale shape: candidate generation is bucket-equi-join bounded;
+    * per-node state is the k-row window; the mutual check is a
+    * shuffle_hash self-join of the (≤ k·N)-row top-k frame on the
+    * reversed key — pinned once for its two sides. */
+  val knnGraph = QuerySpec(
+    "knn_graph",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("bucket",
+          expr(bucketExpr.replace("EMB", "embedding")).cast("long"))
+      val a = e.select(col("bucket"), col("vec_id").as("id1"),
+        col("embedding").as("e1"))
+      val b = e.select(col("bucket"), col("vec_id").as("id2"),
+        col("embedding").as("e2"))
+      val w = Window.partitionBy("id1").orderBy(col("dot").desc, col("id2"))
+      val topk = a.join(b, Seq("bucket"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"), quantDot("e1", "e2").as("dot"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .localCheckpoint(false) // both sides of the mutual join
+      topk.filter(col("id1") < col("id2"))
+        .join(topk.select(col("id1").as("id2"), col("id2").as("id1"),
+          col("rank").as("rank_rev")).hint("shuffle_hash"),
+          Seq("id1", "id2"))
+        .select(col("id1"), col("id2"), col("dot"),
+          col("rank").as("rank_fwd"), col("rank_rev"))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH b AS (
+               SELECT vec_id, embedding,
+                      ${oracleBucket.replace("EMB", "embedding")} AS bucket
+               FROM embeddings),
+             sc AS (
+               SELECT a.vec_id AS id1, c.vec_id AS id2,
+                      CAST(COALESCE(list_sum(list_transform(
+                        generate_series(1, least(len(a.embedding), len(c.embedding))),
+                        i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                             CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))), 0)
+                        AS BIGINT) AS dot
+               FROM b a JOIN b c
+                 ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+             rk AS (
+               SELECT id1, id2, dot,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY id1
+                                              ORDER BY dot DESC, id2)
+                        AS BIGINT) AS rank
+               FROM sc),
+             k AS (SELECT * FROM rk WHERE rank <= 3)
+             SELECT f.id1, f.id2, f.dot,
+                    f.rank AS rank_fwd, r.rank AS rank_rev
+             FROM k f JOIN k r ON f.id1 = r.id2 AND f.id2 = r.id1
+             WHERE f.id1 < f.id2
+             ORDER BY f.id1, f.id2""")
+  )
+
   /** Floor-quantized (×1000) integer components, position-exploded:
     * (vec_id, dim, q). The single definition of the quantization rule —
     * centroids, IVF assignment, and the oracle SQL all mirror it. */
@@ -599,6 +663,6 @@ object Similarity {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(annBruteForce, annLshBucket, embeddingNearDup, embeddingCentroids,
-        annIvf, kmeansLloyd, annPq)
+    Seq(annBruteForce, annLshBucket, embeddingNearDup, knnGraph,
+        embeddingCentroids, annIvf, kmeansLloyd, annPq)
 }

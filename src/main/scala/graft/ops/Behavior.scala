@@ -301,6 +301,78 @@ object Behavior {
             ORDER BY o_custkey""")
   )
 
+  /** CUSUM mean-shift statistics over the per-type daily value series —
+    * the drift detector a metrics warehouse runs over ingest volumes.
+    * The sequential recurrence S_t = max(0, S_{t−1} + d_t) is not a
+    * window function, but its closed form is: S_t = P_t − min(0,
+    * min_{j≤t} P_j) — the virtual empty prefix P_0 = 0 included — so
+    * both drifts come from partitioned cumulative windows: no
+    * iteration, no UDF. BehaviorSpec replays the recurrence
+    * sequentially and pins the equality.
+    *
+    * Exactness discipline: values quantize to milli units (floor of an
+    * IEEE double product — identical in both engines), and the residual
+    * is SCALED instead of divided: d_t = n_days·daily − total (the
+    * mean-centered daily sum ×n_days), keeping everything in BIGINT with
+    * no floor-vs-truncate division hazard on negative values (fuzz
+    * corpus has negative values). Thresholding the drifts is the
+    * consumer's parameter — the statistics are the operator's contract.
+    *
+    * Scale shape: one raw shuffle to (type, day) — map-side combinable;
+    * the windows and the per-type totals run on the config-bounded
+    * (type × day) frame; totals join shuffle_hash (corpus-derived). */
+  val changepointCusum = QuerySpec(
+    "changepoint_cusum",
+    (s, d) => {
+      val daily = events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1000).cast(LongType).as("milli"))
+        .groupBy("event_type", "day").agg(sum(col("milli")).as("daily_milli"))
+        .localCheckpoint(false) // 2 consumers: per-type totals, the series
+      val totals = daily.groupBy("event_type")
+        .agg(sum(col("daily_milli")).as("tot"), count(lit(1)).as("nd"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(totals.hint("shuffle_hash"), Seq("event_type"))
+        .withColumn("p",
+          sum(col("nd") * col("daily_milli") - col("tot")).over(wCum))
+        .select(col("event_type"), col("day"), col("daily_milli"),
+          // the virtual P_0 = 0 must join the running extremum, or the
+          // closed form diverges from the recurrence whenever the prefix
+          // sum never crosses zero (S_1 = max(0, d_1), not 0)
+          (col("p") - least(lit(0L), min(col("p")).over(wCum)))
+            .as("drift_pos"),
+          (greatest(lit(0L), max(col("p")).over(wCum)) - col("p"))
+            .as("drift_neg"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+                          AS BIGINT) AS daily_milli
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2),
+            t AS (
+              SELECT event_type, CAST(SUM(daily_milli) AS BIGINT) AS tot,
+                     CAST(COUNT(*) AS BIGINT) AS nd
+              FROM daily GROUP BY 1),
+            p AS (
+              SELECT daily.event_type, daily.day, daily.daily_milli,
+                     SUM(t.nd * daily.daily_milli - t.tot) OVER
+                       (PARTITION BY daily.event_type ORDER BY daily.day
+                        ROWS UNBOUNDED PRECEDING) AS p
+              FROM daily JOIN t USING (event_type))
+            SELECT event_type, day, daily_milli,
+                   CAST(p - LEAST(0, MIN(p) OVER
+                     (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS drift_pos,
+                   CAST(GREATEST(0, MAX(p) OVER
+                     (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)) - p AS BIGINT) AS drift_neg
+            FROM p ORDER BY event_type, day""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(cohortRetention, basketAffinity, markovTransitions, rfmSegmentation)
+    Seq(cohortRetention, basketAffinity, markovTransitions, rfmSegmentation,
+      changepointCusum)
 }

@@ -47,6 +47,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(want.values.max > want.values.min)
   }
 
+  test("knn_graph: edges are exactly the mutual same-bucket top-3 pairs") {
+    val rows = SparkEntry.queries("knn_graph")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation: bucket + quantized dot in driver code
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bucket(v: Array[Float]): Int =
+      (0 until 8).map(i =>
+        if (i < v.length && v(i).toDouble > 0) 1 << i else 0).sum
+    def dot(a: Array[Float], b: Array[Float]): Long =
+      (0 until math.min(a.length, b.length)).map(i =>
+        math.floor(a(i).toDouble * 1000).toLong *
+          math.floor(b(i).toDouble * 1000).toLong).sum
+    val byBucket = vecs.toSeq.groupBy { case (_, v) => bucket(v) }
+    val topk: Map[Long, Seq[Long]] = byBucket.values.flatMap { members =>
+      members.map { case (id, v) =>
+        id -> members.filter(_._1 != id)
+          .map { case (oid, ov) => (dot(v, ov), oid) }
+          .sortBy { case (s, oid) => (-s, oid) }.take(3).map(_._2)
+      }
+    }.toMap
+    val wantEdges = (for {
+      (a, ns) <- topk.toSeq; b <- ns
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == wantEdges)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getAs[Long]("dot") == dot(vecs(a), vecs(b)), r)
+      assert(r.getAs[Long]("rank_fwd") == topk(a).indexOf(b) + 1, r)
+      assert(r.getAs[Long]("rank_rev") == topk(b).indexOf(a) + 1, r)
+    }
+  }
+
   test("collocation_pmi: lift recomputes from raw counts, ordering is total") {
     val rows = SparkEntry.queries("collocation_pmi")(spark, sf).collect()
     assert(rows.length == 40)

@@ -150,6 +150,34 @@ class BehaviorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("r_days")).min == 0L)
   }
 
+  test("changepoint_cusum: window closed-form equals the sequential CUSUM recurrence") {
+    val rows = SparkEntry.queries("changepoint_cusum")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val series = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      val daily = series.map(_.getAs[Long]("daily_milli"))
+      val nd = daily.length.toLong
+      val tot = daily.sum
+      // sequential CUSUM: S_t = max(0, S_{t-1} + d_t), both directions
+      var sPos = 0L
+      var sNeg = 0L
+      series.zip(daily).foreach { case (r, x) =>
+        val d = nd * x - tot
+        sPos = math.max(0L, sPos + d)
+        sNeg = math.max(0L, sNeg - d)
+        assert(r.getAs[Long]("drift_pos") == sPos, s"$tpe $r")
+        assert(r.getAs[Long]("drift_neg") == sNeg, s"$tpe $r")
+      }
+      // mean-centering makes both drifts close at zero over the series
+      assert(series.last.getAs[Long]("drift_pos") >= 0)
+      // residuals sum to zero exactly: P_n == 0, so the last drifts are
+      // -min(P) and max(P) — each hits 0 for a monotone-free series only;
+      // at minimum one of the two statistics must have moved off zero
+      assert(series.map(r => r.getAs[Long]("drift_pos")
+        + r.getAs[Long]("drift_neg")).max > 0 || daily.distinct.length == 1)
+    }
+  }
+
   test("weighted_sample: fixed size, deterministic, weight-biased") {
     val q = SparkEntry.queries("weighted_sample")
     val a = q(spark, sf).collect()
