@@ -187,6 +187,34 @@ object Sketches {
             GROUP BY 1, 2 ORDER BY t1, t2""")
   )
 
+  /** One bounded Space-Saving pass (Metwally et al.): at most k counters;
+    * a full table evicts the minimum (smallest count, then smallest key —
+    * deterministic) and inherits its count + 1, so every kept estimate
+    * overestimates by at most the partition's N_p/k. Shared by the
+    * heavy_hitters partials and SketchLawsSpec's property tests, so the
+    * law that the key's flags rely on is exactly the code being tested. */
+  private[graft] def spaceSavingSummary(
+      it: Iterator[Long], k: Int): Iterator[(Long, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+    it.foreach { v =>
+      counts.get(v) match {
+        case Some(c) => counts.update(v, c + 1)
+        case None if counts.size < k => counts.update(v, 1L)
+        case None =>
+          var minK = 0L
+          var minV = Long.MaxValue
+          counts.foreach { case (ck, cv) =>
+            if (cv < minV || (cv == minV && ck < minK)) {
+              minK = ck; minV = cv
+            }
+          }
+          counts.remove(minK)
+          counts.update(v, minV + 1)
+      }
+    }
+    counts.iterator
+  }
+
   /** Bounded-memory heavy hitters: per-partition Space-Saving summaries
     * (k=64 counters each) merged by pointwise sum, calibrated against the
     * exact counts. The item domain here is the integer value bucket of
@@ -220,26 +248,8 @@ object Sketches {
       val items = events(s, d)
         .select(floor(col("value")).cast("long").as("item"))
         .localCheckpoint(false) // 3 consumers: partials, exact, total
-      val partials = items.as[Long].mapPartitions { it =>
-        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
-        it.foreach { v =>
-          counts.get(v) match {
-            case Some(c) => counts.update(v, c + 1)
-            case None if counts.size < k => counts.update(v, 1L)
-            case None =>
-              var minK = 0L
-              var minV = Long.MaxValue
-              counts.foreach { case (ck, cv) =>
-                if (cv < minV || (cv == minV && ck < minK)) {
-                  minK = ck; minV = cv
-                }
-              }
-              counts.remove(minK)
-              counts.update(v, minV + 1)
-          }
-        }
-        counts.iterator
-      }.toDF("item", "est")
+      val partials = items.as[Long]
+        .mapPartitions(it => spaceSavingSummary(it, k)).toDF("item", "est")
       val merged = partials.groupBy("item").agg(sum(col("est")).as("est"))
       val exact = items.groupBy("item").agg(count(lit(1)).as("exact_n"))
       val tot = items.agg(count(lit(1)).as("total"))

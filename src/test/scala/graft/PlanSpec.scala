@@ -230,6 +230,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-10 keys: bounded fan-out stages present, corpus-derived joins stay shuffle-hash") {
+    // heavy_hitters: the Space-Saving partials are a MapPartitions stage
+    // (bounded per-partition state), the candidate merge joins
+    // shuffle-hash, and nothing corpus-derived broadcasts as a hash join
+    val hh = SparkEntry.queries("heavy_hitters")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(hh.contains("MapPartitions"), s"no bounded-summary stage:\n$hh")
+    assert(!hh.contains("BroadcastHashJoin"), hh)
+    assert(hh.contains("ShuffledHashJoin"), hh)
+    // basket_affinity: pairs come from Generate off the per-basket
+    // aggregate (never a corpus self-join / cartesian), support joins
+    // are shuffle-hash
+    val ba = SparkEntry.queries("basket_affinity")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(ba.contains("Generate"), s"no per-basket explode:\n$ba")
+    assert(!ba.contains("CartesianProduct"), ba)
+    assert(!ba.contains("BroadcastHashJoin"), ba)
+    assert(ba.contains("ShuffledHashJoin"), ba)
+    // knn_graph + bm25_topk: same never-statically-broadcast rule
+    for (key <- Seq("knn_graph", "bm25_topk")) {
+      val p = SparkEntry.queries(key)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"[$key] corpus-derived broadcast in static plan:\n$p")
+      assert(p.contains("ShuffledHashJoin"), s"[$key] no shuffle-hash:\n$p")
+    }
+    // weighted_sample + bm25_topk: the top-k cut is TakeOrdered, never a
+    // global sort of the corpus
+    for (key <- Seq("weighted_sample", "bm25_topk")) {
+      val p = plan(key)
+      assert(p.contains("TakeOrderedAndProject"), s"[$key] no TakeOrdered:\n$p")
+    }
+  }
+
   test("quality_band_filter: thresholds come from the collapsed histogram, bands join back as a broadcast") {
     val df = SparkEntry.queries("quality_band_filter")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
