@@ -335,90 +335,183 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * remainder rank are free. Products ride DECIMAL(38,0) / HUGEINT:
     * budget·corpus_docs·weight ≈ 10²⁷ at a 10¹²-doc corpus — inside
     * both engines, outside BIGINT: overflow-safe BY TYPE, not by luck. */
+  /** The largest-remainder apportionment frame (source, corpus_docs,
+    * weight_milli, budget, uncapped, alloc_docs, spill_docs) with the
+    * budget = Σcorpus_docs / budgetDiv — ONE definition of the quota
+    * algebra, shared by mixture_allocate (half-budget selection) and
+    * repeat_upsample (full-budget epoch repetition), with
+    * [[allocCtesSql]] as its DuckDB twin. */
+  private[llm] def mixtureAllocFrameOf(
+      s: SparkSession, d: String, budgetDiv: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // eager localCheckpoint: the totals, the quota sum, and the final
+    // frame all derive from this config-bounded per-source table, and
+    // Catalyst cannot CSE across the cross-joins — without the pin the
+    // plan re-scans the whole corpus once per branch (3 scans at
+    // 100 TB for one map-side count)
+    val src = documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("corpus_docs"))
+      .withColumn("weight_milli",
+        lit(500L) +
+          expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
+            * 250L)
+      .withColumn("cw", dec(col("corpus_docs") * col("weight_milli")))
+      .localCheckpoint()
+    val tot = src.agg(dec(sum(col("cw"))).as("tot_cw"),
+      expr(s"sum(corpus_docs) div $budgetDiv").as("budget"))
+    val q = src.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        expr("(cast(budget as decimal(38,0)) * cw) div tot_cw"))
+      .withColumn("rem",
+        expr("(cast(budget as decimal(38,0)) * cw) % tot_cw"))
+    val sq = q.agg(sum(col("quota")).as("sum_quota"))
+    // remainder rank over the config-bounded source frame — the
+    // unpartitioned window is fine HERE (|sources| rows), same rule
+    // as the chunk-offset tables
+    val rk = q.crossJoin(broadcast(sq))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("uncapped",
+        col("quota") + when(col("rr") <= col("budget") - col("sum_quota"),
+          1L).otherwise(0L))
+    rk.select(col("source"), col("corpus_docs"), col("weight_milli"),
+      col("budget"), col("uncapped"),
+      least(col("uncapped"), col("corpus_docs")).as("alloc_docs"),
+      (col("uncapped") - least(col("uncapped"), col("corpus_docs")))
+        .as("spill_docs"))
+  }
+
+  /** DuckDB twin of [[mixtureAllocFrameOf]]: the CTE chain ending in
+    * `u` (source, corpus_docs, weight_milli, budget, uncapped). */
+  private[llm] def allocCtesSql(budgetDiv: Int): String = {
+    val w = s"500 + (${md5Hex32Sql("'w-v1:' || source")}) % 3 * 250"
+    s"""src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS corpus_docs,
+                 CAST($w AS BIGINT) AS weight_milli
+          FROM documents GROUP BY source),
+        cw AS (
+          SELECT *, CAST(corpus_docs AS HUGEINT) * weight_milli AS cw
+          FROM src),
+        tot AS (
+          SELECT SUM(cw) AS tot_cw,
+                 CAST(CAST(SUM(corpus_docs) AS HUGEINT) // $budgetDiv
+                      AS BIGINT) AS budget
+          FROM cw),
+        q AS (
+          SELECT cw.*, tot.budget, tot.tot_cw,
+                 CAST((CAST(tot.budget AS HUGEINT) * cw.cw)
+                      // tot.tot_cw AS BIGINT) AS quota,
+                 (CAST(tot.budget AS HUGEINT) * cw.cw) % tot.tot_cw
+                   AS rem
+          FROM cw, tot),
+        x AS (SELECT CAST(SUM(quota) AS BIGINT) AS sum_quota FROM q),
+        rk AS (
+          SELECT a.source, a.corpus_docs, a.weight_milli, a.budget,
+                 a.quota,
+                 CAST(1 + COUNT(CASE WHEN b.rem > a.rem
+                                       OR (b.rem = a.rem
+                                           AND b.source < a.source)
+                                     THEN 1 END) AS BIGINT) AS rr
+          FROM q a JOIN q b ON true
+          GROUP BY a.source, a.corpus_docs, a.weight_milli, a.budget,
+                   a.quota, a.rem),
+        u AS (
+          SELECT rk.*,
+                 rk.quota + CASE WHEN rk.rr <= rk.budget - x.sum_quota
+                                 THEN 1 ELSE 0 END AS uncapped
+          FROM rk, x)"""
+  }
+
   val mixtureAllocate = QuerySpec(
     "mixture_allocate",
-    (s, d) => {
-      val dec = (c: Column) => c.cast("decimal(38,0)")
-      // eager localCheckpoint: the totals, the quota sum, and the final
-      // frame all derive from this config-bounded per-source table, and
-      // Catalyst cannot CSE across the cross-joins — without the pin the
-      // plan re-scans the whole corpus once per branch (3 scans at
-      // 100 TB for one map-side count)
-      val src = documents(s, d).groupBy("source")
-        .agg(count(lit(1)).as("corpus_docs"))
-        .withColumn("weight_milli",
-          lit(500L) +
-            expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
-              * 250L)
-        .withColumn("cw", dec(col("corpus_docs") * col("weight_milli")))
-        .localCheckpoint()
-      val tot = src.agg(dec(sum(col("cw"))).as("tot_cw"),
-        expr("sum(corpus_docs) div 2").as("budget"))
-      val q = src.crossJoin(broadcast(tot))
-        .withColumn("quota",
-          expr("(cast(budget as decimal(38,0)) * cw) div tot_cw"))
-        .withColumn("rem",
-          expr("(cast(budget as decimal(38,0)) * cw) % tot_cw"))
-      val sq = q.agg(sum(col("quota")).as("sum_quota"))
-      // remainder rank over the config-bounded source frame — the
-      // unpartitioned window is fine HERE (|sources| rows), same rule
-      // as the chunk-offset tables
-      val rk = q.crossJoin(broadcast(sq))
-        .withColumn("rr", row_number().over(
-          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
-        .withColumn("uncapped",
-          col("quota") + when(col("rr") <= col("budget") - col("sum_quota"),
-            1L).otherwise(0L))
-      rk.select(col("source"), col("corpus_docs"), col("weight_milli"),
-          col("budget"),
-          least(col("uncapped"), col("corpus_docs")).as("alloc_docs"),
-          (col("uncapped") - least(col("uncapped"), col("corpus_docs")))
-            .as("spill_docs"))
-        .orderBy("source")
-    },
-    Some {
-      val w = s"500 + (${md5Hex32Sql("'w-v1:' || source")}) % 3 * 250"
-      s"""WITH src AS (
-            SELECT source, CAST(COUNT(*) AS BIGINT) AS corpus_docs,
-                   CAST($w AS BIGINT) AS weight_milli
-            FROM documents GROUP BY source),
-          cw AS (
-            SELECT *, CAST(corpus_docs AS HUGEINT) * weight_milli AS cw
-            FROM src),
-          tot AS (
-            SELECT SUM(cw) AS tot_cw,
-                   CAST(CAST(SUM(corpus_docs) AS HUGEINT) // 2 AS BIGINT)
-                     AS budget
-            FROM cw),
-          q AS (
-            SELECT cw.*, tot.budget, tot.tot_cw,
-                   CAST((CAST(tot.budget AS HUGEINT) * cw.cw)
-                        // tot.tot_cw AS BIGINT) AS quota,
-                   (CAST(tot.budget AS HUGEINT) * cw.cw) % tot.tot_cw
-                     AS rem
-            FROM cw, tot),
-          x AS (SELECT CAST(SUM(quota) AS BIGINT) AS sum_quota FROM q),
-          rk AS (
-            SELECT a.source, a.corpus_docs, a.weight_milli, a.budget,
-                   a.quota,
-                   CAST(1 + COUNT(CASE WHEN b.rem > a.rem
-                                         OR (b.rem = a.rem
-                                             AND b.source < a.source)
-                                       THEN 1 END) AS BIGINT) AS rr
-            FROM q a JOIN q b ON true
-            GROUP BY a.source, a.corpus_docs, a.weight_milli, a.budget,
-                     a.quota, a.rem),
-          u AS (
-            SELECT rk.*,
-                   rk.quota + CASE WHEN rk.rr <= rk.budget - x.sum_quota
-                                   THEN 1 ELSE 0 END AS uncapped
-            FROM rk, x)
+    (s, d) => mixtureAllocFrameOf(s, d, 2).drop("uncapped").orderBy("source"),
+    Some(s"""WITH ${allocCtesSql(2)}
           SELECT source, corpus_docs, weight_milli, budget,
                  CAST(LEAST(uncapped, corpus_docs) AS BIGINT) AS alloc_docs,
                  CAST(uncapped - LEAST(uncapped, corpus_docs) AS BIGINT)
                    AS spill_docs
-          FROM u ORDER BY source"""
-    }
+          FROM u ORDER BY source""")
+  )
+
+  /** Source-weighted epoch repetition (the Pile/LLaMA data recipe):
+    * materialize a FULL-corpus-size training list (budget =
+    * Σcorpus_docs, budgetDiv = 1) reapportioned by the mixture weights —
+    * a source whose weighted demand exceeds its corpus REPEATS documents
+    * across epoch copies; a light source is downsampled. Per source with
+    * uncapped demand U over C docs: every doc gets U div C copies and
+    * the U mod C lowest-md5-ranked docs get one more, so Σcopies == U
+    * and the grand total is EXACTLY the budget. The extra-copy pick is
+    * a two-level rank WITHIN source (per-(source, md5-prefix-bucket)
+    * row_number + bucket offsets off a per-source ≤256-row window) — a
+    * hot source never becomes one giant window partition.
+    *
+    * Scale shape: one per-source count (shared apportionment stage),
+    * one corpus projection + bucket rank, shuffle_hash joins for the
+    * corpus-derived offset/alloc tables, and the explode is
+    * budget-bounded by construction. */
+  val repeatUpsample = QuerySpec(
+    "repeat_upsample",
+    (s, d) => {
+      val alloc = mixtureAllocFrameOf(s, d, 1)
+        .select(col("source"), col("corpus_docs"), col("uncapped"))
+      val db = documents(s, d).select(col("doc_id"), col("source"),
+          md5(concat(lit("up-v1:"), col("doc_id").cast("string"))).as("k1"))
+        .withColumn("bkt", substring(col("k1"), 1, 2))
+      val bcnt = db.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      val wB = Window.partitionBy("source").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boff = bcnt
+        .withColumn("off", coalesce(sum(col("c")).over(wB), lit(0L)))
+        .select("source", "bkt", "off")
+      val wIn = Window.partitionBy("source", "bkt").orderBy("k1", "doc_id")
+      val rnk = db.join(boff.hint("shuffle_hash"), Seq("source", "bkt"))
+        .withColumn("rnk",
+          col("off") + row_number().over(wIn).cast("long") - 1L)
+      rnk.join(alloc.hint("shuffle_hash"), Seq("source"))
+        .withColumn("copies",
+          expr("uncapped div corpus_docs") +
+            when(col("rnk") < expr("uncapped % corpus_docs"), 1L)
+              .otherwise(0L))
+        .filter(col("copies") > 0)
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+        .orderBy("source", "doc_id", "copy_idx")
+    },
+    Some(s"""WITH ${allocCtesSql(1)},
+          db AS (
+            SELECT doc_id, source,
+                   md5('up-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
+                   substr(md5('up-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     AS bkt
+            FROM documents),
+          bcnt AS (
+            SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM db GROUP BY 1, 2),
+          boff AS (
+            SELECT a.source, a.bkt,
+                   CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off
+            FROM bcnt a LEFT JOIN bcnt b
+              ON a.source = b.source AND b.bkt < a.bkt
+            GROUP BY a.source, a.bkt),
+          rnk AS (
+            SELECT db.doc_id, db.source,
+                   boff.off + CAST(ROW_NUMBER() OVER
+                     (PARTITION BY db.source, db.bkt
+                      ORDER BY db.k1, db.doc_id) AS BIGINT) - 1 AS rnk
+            FROM db JOIN boff
+              ON db.source = boff.source AND db.bkt = boff.bkt),
+          cp AS (
+            SELECT r.source, r.doc_id,
+                   CAST(u.uncapped // u.corpus_docs
+                        + CASE WHEN r.rnk < u.uncapped % u.corpus_docs
+                               THEN 1 ELSE 0 END AS BIGINT) AS copies
+            FROM rnk r JOIN u ON r.source = u.source)
+          SELECT source, doc_id, copy_idx FROM (
+            SELECT source, doc_id,
+                   CAST(UNNEST(generate_series(1, copies)) AS BIGINT)
+                     AS copy_idx
+            FROM cp WHERE copies > 0)
+          ORDER BY source, doc_id, copy_idx""")
   )
 
   /** Span-corruption pair construction (the T5/UL2 denoising objective

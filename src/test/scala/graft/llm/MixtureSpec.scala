@@ -7,6 +7,45 @@ import graft.{SparkEntry, SparkSpec}
   * apportionment: exact budget, caps honored, proportionality direction. */
 class MixtureSpec extends SparkSpec {
 
+  test("repeat_upsample: emits exactly one epoch budget, per-source demand honored") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("repeat_upsample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.values.sum
+    // budget conservation: the materialized list is EXACTLY one corpus
+    // worth of rows, reapportioned across sources
+    assert(rows.length.toLong == total, s"${rows.length} != $total")
+    // per (source, doc): copy indices are dense 1..c
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
+      case ((src, id), copies) =>
+        val idx = copies.map(_.getAs[Long]("copy_idx")).sorted
+        assert(idx.toSeq == (1L to idx.length).toSeq, s"$src/$id: $idx")
+    }
+    // per source: total copies within corpus_docs of any doc's count ±1
+    // epoch (the U div C / U mod C split), and repetition really occurs
+    // for at least one over-weighted source in the fixture
+    val bySource = rows.groupBy(_.getString(0)).view
+      .mapValues(_.length.toLong).toMap
+    val maxCopies = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+      .values.map(_.length).max
+    assert(maxCopies >= 2, "no source actually upsampled — weights inert")
+    bySource.foreach { case (src, emitted) =>
+      val c = docs(src)
+      val perDoc = rows.filter(_.getString(0) == src)
+        .groupBy(_.getLong(1)).values.map(_.length.toLong)
+      assert(perDoc.max - perDoc.min <= 1, s"$src uneven beyond the mod split")
+      assert(emitted == perDoc.sum)
+      // a downsampled source (U < C) emits U distinct docs once; an
+      // upsampled one (U >= C) covers every doc U div C times + extras
+      assert(perDoc.size <= c)
+      if (emitted >= c) assert(perDoc.size.toLong == c, s"$src misses docs")
+      else assert(perDoc.forall(_ == 1L), s"$src: downsampled yet repeated")
+    }
+  }
+
   test("mixture_allocate: exact budget, caps, and remainder discipline") {
     val rows = SparkEntry.queries("mixture_allocate")(spark, sf).collect()
     assert(rows.nonEmpty)
