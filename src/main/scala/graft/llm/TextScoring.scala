@@ -574,6 +574,66 @@ private[llm] trait TextScoring { self: TextOps.type =>
     }
   )
 
+  /** Curriculum training order: every document gets a global position
+    * where ALL band-1 (easiest/cleanest, per qualityBandOf's CCNet
+    * terciles — ONE shared definition) docs come first, then band 2,
+    * then band 3, and WITHIN a band the order is a deterministic md5
+    * shuffle (a sorted-by-quality curriculum inside a band would
+    * correlate adjacent batches; the shuffle decorrelates them). The
+    * position is a two-level rank over (band, md5-prefix-bucket) cells:
+    * cell counts + a ≤3·256-row offset window (config-bounded, the
+    * sanctioned unpartitioned-window class) + per-cell row_number — no
+    * corpus-wide sort anywhere.
+    *
+    * Scale shape: banding is the shared histogram stage; ranking is one
+    * shuffle to the (band, bucket) cells; offsets join back
+    * shuffle_hash (corpus-derived, never static-broadcast). */
+  val curriculumSchedule = QuerySpec(
+    "curriculum_schedule",
+    (s, d) => {
+      val b = qualityBandOf(documents(s, d))
+        .select(col("doc_id"), col("band"),
+          md5(concat(lit("cur-v1:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("bkt", substring(col("k"), 1, 2))
+      val cells = b.groupBy("band", "bkt").agg(count(lit(1)).as("n"))
+      val wCells = Window.orderBy("band", "bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = cells
+        .withColumn("off", coalesce(sum(col("n")).over(wCells), lit(0L)))
+        .select("band", "bkt", "off")
+      val wIn = Window.partitionBy("band", "bkt").orderBy("k", "doc_id")
+      b.join(offsets.hint("shuffle_hash"), Seq("band", "bkt"))
+        .withColumn("pos",
+          col("off") + row_number().over(wIn).cast("long") - 1L)
+        .select(col("doc_id"), col("band"), col("pos"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $qualityBandCteSql,
+            qb AS (
+              SELECT s.doc_id, CAST(COALESCE(b.band, 3) AS BIGINT) AS band,
+                     md5('cur-v1:' || CAST(s.doc_id AS VARCHAR)) AS k,
+                     substr(md5('cur-v1:' || CAST(s.doc_id AS VARCHAR)), 1, 2)
+                       AS bkt
+              FROM scored s LEFT JOIN bands b
+                ON b.lang = s.lang AND b.v = s.q),
+            cells AS (
+              SELECT band, bkt, CAST(COUNT(*) AS BIGINT) AS n
+              FROM qb GROUP BY 1, 2),
+            offs AS (
+              SELECT a.band, a.bkt,
+                     CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS off
+              FROM cells a LEFT JOIN cells b
+                ON b.band < a.band OR (b.band = a.band AND b.bkt < a.bkt)
+              GROUP BY a.band, a.bkt)
+            SELECT qb.doc_id, qb.band,
+                   offs.off + CAST(ROW_NUMBER() OVER
+                     (PARTITION BY qb.band, qb.bkt
+                      ORDER BY qb.k, qb.doc_id) AS BIGINT) - 1 AS pos
+            FROM qb JOIN offs
+              ON qb.band = offs.band AND qb.bkt = offs.bkt
+            ORDER BY doc_id""")
+  )
+
   /** BM25 retrieval scoring for a fixed query term set, top-20 documents.
     * Classic Okapi shape — per-term idf × tf·(k1+1) / (tf + k1·(1−b +
     * b·dl/avgdl)) with k1=1.2, b=0.75 — made integer-EXACT: the rational

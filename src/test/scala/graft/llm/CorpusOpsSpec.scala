@@ -8,6 +8,36 @@ import org.apache.spark.sql.functions._
   * (independent recounts, group invariants, prune-is-invisible). */
 class CorpusOpsSpec extends SparkSpec {
 
+  test("curriculum_schedule: pos is a permutation, bands are contiguous, intra-band order is the md5 shuffle") {
+    val rows = SparkEntry.queries("curriculum_schedule")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until n).toSeq)
+    // band blocks are contiguous and ordered: every band-b position is
+    // below every band-(b+1) position
+    val byBand = rows.groupBy(_.getAs[Long]("band")).view
+      .mapValues(_.map(_.getAs[Long]("pos"))).toMap
+    val bandsAsc = byBand.keys.toSeq.sorted
+    bandsAsc.zip(bandsAsc.tail).foreach { case (lo, hi) =>
+      assert(byBand(lo).max < byBand(hi).min, s"bands $lo/$hi interleave")
+    }
+    // every quality band is populated (the curriculum is non-degenerate)
+    assert(bandsAsc.size >= 2, s"only bands $bandsAsc present")
+    // intra-band order = (md5 bucket, md5 key, doc_id) — recompute
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def k(id: Long): String = {
+      val h = md.digest(s"cur-v1:$id".getBytes("UTF-8"))
+      h.map("%02x".format(_)).mkString
+    }
+    byBand.foreach { case (band, _) =>
+      val inBand = rows.filter(_.getAs[Long]("band") == band)
+      val byPos = inBand.sortBy(_.getAs[Long]("pos")).map(_.getLong(0))
+      val byKey = inBand.map(_.getLong(0))
+        .sortBy(id => (k(id), id))
+      assert(byPos.toSeq == byKey.toSeq, s"band $band order != md5 shuffle")
+    }
+  }
+
   test("bm25_topk: scores recompute exactly from raw tf/df/dl, cut is the true top-20") {
     val rows = SparkEntry.queries("bm25_topk")(spark, sf).collect()
     assert(rows.length == 20)
