@@ -215,7 +215,10 @@ object Similarity {
       val b = e.select(col("bucket"), col("vec_id").as("id2"),
         col("embedding").as("e2"))
       val w = Window.partitionBy("id1").orderBy(col("dot").desc, col("id2"))
-      val topk = a.join(b, Seq("bucket"))
+      // shuffle_hash at the source: the bucket join plans BELOW the
+      // localCheckpoint pin, where PlanSpec cannot see it — the
+      // never-statically-broadcast rule must be carried by the hint
+      val topk = a.join(b.hint("shuffle_hash"), Seq("bucket"))
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"), quantDot("e1", "e2").as("dot"))
         .withColumn("rank", row_number().over(w).cast("long"))

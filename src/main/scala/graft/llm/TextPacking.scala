@@ -316,18 +316,79 @@ private[llm] trait TextPacking { self: TextOps.type =>
       .orderBy("pos")
   }
 
-  /** Exact-budget data-mixing allocation (the apportionment half of the
-    * mixing problem — [[sourceInterleave]] schedules the emit ORDER,
-    * this decides each source's exact doc COUNT): a training budget of
-    * total/2 documents is split across sources proportional to
-    * weighted mass (corpus_docs × the same hashed weight_milli the
-    * interleave uses), made EXACT by largest-remainder apportionment —
-    * floor quotas, then the leftover +1s go to the largest fractional
-    * remainders (source-name tie-break), so Σ(alloc+spill) == budget
-    * identically, never off-by-rounding. A source whose quota exceeds
-    * its corpus caps at corpus_docs and the excess is reported as
-    * spill_docs (the honest single-pass contract: redistribution is
-    * the next epoch's run over the spill, not a hidden iterative loop).
+  /** Two-level md5-bucket rank: for a frame carrying `k` (an md5 hex
+    * key) and `idCol`, assigns 0-based `rnk` ordered by (orderCols...,
+    * bkt, k, idCol), restarting at 0 per distinct resetCols value. Rank
+    * = per-cell ROW_NUMBER + prefix-summed cell offsets, where a cell
+    * is (resetCols ++ orderCols ++ bkt) — the offset window runs over
+    * the ≤ |order-values|·256-row cell table (config-bounded), never
+    * the corpus, and the offsets join back shuffle_hash. ONE definition
+    * (with [[bucketRankSql]]) shared by repeat_upsample (reset per
+    * source) and curriculum_schedule (global, band-major) — the
+    * global_shuffle rank shape, generalized. */
+  private[llm] def bucketRankOf(df: DataFrame, resetCols: Seq[String],
+      orderCols: Seq[String], idCol: String): DataFrame = {
+    val keyed = df.withColumn("bkt", substring(col("k"), 1, 2))
+    val cellCols = resetCols ++ orderCols :+ "bkt"
+    val cells = keyed.groupBy(cellCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val cellOrder = (orderCols :+ "bkt").map(col)
+    val wCells = (if (resetCols.isEmpty) Window.orderBy(cellOrder: _*)
+                  else Window.partitionBy(resetCols.map(col): _*)
+                    .orderBy(cellOrder: _*))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn("off", coalesce(sum(col("n")).over(wCells), lit(0L)))
+      .select(cellCols.map(col) :+ col("off"): _*)
+    val wIn = Window.partitionBy(cellCols.map(col): _*)
+      .orderBy(col("k"), col(idCol))
+    keyed.join(offsets.hint("shuffle_hash"), cellCols)
+      .withColumn("rnk",
+        col("off") + row_number().over(wIn).cast("long") - 1L)
+  }
+
+  /** DuckDB twin of [[bucketRankOf]]: the bcnt/boff/brnk CTE chain over
+    * a preceding CTE named `rsrc` that carries (idCol, k1, bkt and the
+    * reset/order columns). */
+  private[llm] def bucketRankSql(resetCols: Seq[String],
+      orderCols: Seq[String], idCol: String): String = {
+    val cell = resetCols ++ orderCols :+ "bkt"
+    val cellList = cell.mkString(", ")
+    val aCell = cell.map(c => s"a.$c").mkString(", ")
+    val joinCells = cell.map(c => s"s.$c = boff.$c").mkString(" AND ")
+    val ord = orderCols :+ "bkt"
+    val strictLess = (1 to ord.length).map { i =>
+      (ord.take(i - 1).map(c => s"b.$c = a.$c") :+
+        s"b.${ord(i - 1)} < a.${ord(i - 1)}").mkString(" AND ")
+    }.map(c => s"($c)").mkString(" OR ")
+    val lessPairs =
+      (resetCols.map(c => s"a.$c = b.$c") :+ s"($strictLess)")
+        .mkString(" AND ")
+    s"""bcnt AS (
+          SELECT $cellList, CAST(COUNT(*) AS BIGINT) AS n
+          FROM rsrc GROUP BY $cellList),
+        boff AS (
+          SELECT $aCell, CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS off
+          FROM bcnt a LEFT JOIN bcnt b ON $lessPairs
+          GROUP BY $aCell),
+        brnk AS (
+          SELECT s.*, boff.off + CAST(ROW_NUMBER() OVER
+            (PARTITION BY ${cell.map(c => s"s.$c").mkString(", ")}
+             ORDER BY s.k1, s.$idCol) AS BIGINT) - 1 AS rnk
+          FROM rsrc s JOIN boff ON $joinCells)"""
+  }
+
+  /** The largest-remainder apportionment frame (source, corpus_docs,
+    * weight_milli, budget, uncapped, alloc_docs, spill_docs) with the
+    * budget = Σcorpus_docs / budgetDiv — ONE definition of the quota
+    * algebra, shared by mixture_allocate (half-budget selection) and
+    * repeat_upsample (full-budget epoch repetition), with
+    * [[allocCtesSql]] as its DuckDB twin. Weighted mass = corpus_docs ×
+    * the same hashed weight_milli sourceInterleave uses; floor quotas,
+    * then the leftover +1s go to the largest fractional remainders
+    * (source-name tie-break), so Σuncapped == budget identically, never
+    * off-by-rounding. A source whose quota exceeds its corpus caps at
+    * corpus_docs with the excess reported as spill_docs.
     *
     * Scale shape: the only corpus-sized work is one map-side-combinable
     * per-source count; everything after runs on the |sources|-row frame
@@ -335,12 +396,6 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * remainder rank are free. Products ride DECIMAL(38,0) / HUGEINT:
     * budget·corpus_docs·weight ≈ 10²⁷ at a 10¹²-doc corpus — inside
     * both engines, outside BIGINT: overflow-safe BY TYPE, not by luck. */
-  /** The largest-remainder apportionment frame (source, corpus_docs,
-    * weight_milli, budget, uncapped, alloc_docs, spill_docs) with the
-    * budget = Σcorpus_docs / budgetDiv — ONE definition of the quota
-    * algebra, shared by mixture_allocate (half-budget selection) and
-    * repeat_upsample (full-budget epoch repetition), with
-    * [[allocCtesSql]] as its DuckDB twin. */
   private[llm] def mixtureAllocFrameOf(
       s: SparkSession, d: String, budgetDiv: Int): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -422,6 +477,13 @@ private[llm] trait TextPacking { self: TextOps.type =>
           FROM rk, x)"""
   }
 
+  /** Exact-budget data-mixing allocation (the apportionment half of the
+    * mixing problem — [[sourceInterleave]] schedules the emit ORDER,
+    * this decides each source's exact doc COUNT): the shared
+    * [[mixtureAllocFrameOf]] algebra at a training budget of total/2
+    * documents, with caps honored and spill reported (the honest
+    * single-pass contract: redistribution is the next epoch's run over
+    * the spill, not a hidden iterative loop). */
   val mixtureAllocate = QuerySpec(
     "mixture_allocate",
     (s, d) => mixtureAllocFrameOf(s, d, 2).drop("uncapped").orderBy("source"),
@@ -455,18 +517,8 @@ private[llm] trait TextPacking { self: TextOps.type =>
       val alloc = mixtureAllocFrameOf(s, d, 1)
         .select(col("source"), col("corpus_docs"), col("uncapped"))
       val db = documents(s, d).select(col("doc_id"), col("source"),
-          md5(concat(lit("up-v1:"), col("doc_id").cast("string"))).as("k1"))
-        .withColumn("bkt", substring(col("k1"), 1, 2))
-      val bcnt = db.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
-      val wB = Window.partitionBy("source").orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val boff = bcnt
-        .withColumn("off", coalesce(sum(col("c")).over(wB), lit(0L)))
-        .select("source", "bkt", "off")
-      val wIn = Window.partitionBy("source", "bkt").orderBy("k1", "doc_id")
-      val rnk = db.join(boff.hint("shuffle_hash"), Seq("source", "bkt"))
-        .withColumn("rnk",
-          col("off") + row_number().over(wIn).cast("long") - 1L)
+        md5(concat(lit("up-v1:"), col("doc_id").cast("string"))).as("k"))
+      val rnk = bucketRankOf(db, Seq("source"), Seq(), "doc_id")
       rnk.join(alloc.hint("shuffle_hash"), Seq("source"))
         .withColumn("copies",
           expr("uncapped div corpus_docs") +
@@ -478,34 +530,19 @@ private[llm] trait TextPacking { self: TextOps.type =>
         .orderBy("source", "doc_id", "copy_idx")
     },
     Some(s"""WITH ${allocCtesSql(1)},
-          db AS (
+          rsrc AS (
             SELECT doc_id, source,
                    md5('up-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
                    substr(md5('up-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
                      AS bkt
             FROM documents),
-          bcnt AS (
-            SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS c
-            FROM db GROUP BY 1, 2),
-          boff AS (
-            SELECT a.source, a.bkt,
-                   CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off
-            FROM bcnt a LEFT JOIN bcnt b
-              ON a.source = b.source AND b.bkt < a.bkt
-            GROUP BY a.source, a.bkt),
-          rnk AS (
-            SELECT db.doc_id, db.source,
-                   boff.off + CAST(ROW_NUMBER() OVER
-                     (PARTITION BY db.source, db.bkt
-                      ORDER BY db.k1, db.doc_id) AS BIGINT) - 1 AS rnk
-            FROM db JOIN boff
-              ON db.source = boff.source AND db.bkt = boff.bkt),
+          ${bucketRankSql(Seq("source"), Seq(), "doc_id")},
           cp AS (
             SELECT r.source, r.doc_id,
                    CAST(u.uncapped // u.corpus_docs
                         + CASE WHEN r.rnk < u.uncapped % u.corpus_docs
                                THEN 1 ELSE 0 END AS BIGINT) AS copies
-            FROM rnk r JOIN u ON r.source = u.source)
+            FROM brnk r JOIN u ON r.source = u.source)
           SELECT source, doc_id, copy_idx FROM (
             SELECT source, doc_id,
                    CAST(UNNEST(generate_series(1, copies)) AS BIGINT)

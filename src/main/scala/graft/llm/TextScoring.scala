@@ -594,44 +594,21 @@ private[llm] trait TextScoring { self: TextOps.type =>
       val b = qualityBandOf(documents(s, d))
         .select(col("doc_id"), col("band"),
           md5(concat(lit("cur-v1:"), col("doc_id").cast("string"))).as("k"))
-        .withColumn("bkt", substring(col("k"), 1, 2))
-      val cells = b.groupBy("band", "bkt").agg(count(lit(1)).as("n"))
-      val wCells = Window.orderBy("band", "bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = cells
-        .withColumn("off", coalesce(sum(col("n")).over(wCells), lit(0L)))
-        .select("band", "bkt", "off")
-      val wIn = Window.partitionBy("band", "bkt").orderBy("k", "doc_id")
-      b.join(offsets.hint("shuffle_hash"), Seq("band", "bkt"))
-        .withColumn("pos",
-          col("off") + row_number().over(wIn).cast("long") - 1L)
-        .select(col("doc_id"), col("band"), col("pos"))
+      bucketRankOf(b, Seq(), Seq("band"), "doc_id")
+        .select(col("doc_id"), col("band"), col("rnk").as("pos"))
         .orderBy("doc_id")
     },
     Some(s"""WITH $qualityBandCteSql,
-            qb AS (
+            rsrc AS (
               SELECT s.doc_id, CAST(COALESCE(b.band, 3) AS BIGINT) AS band,
-                     md5('cur-v1:' || CAST(s.doc_id AS VARCHAR)) AS k,
+                     md5('cur-v1:' || CAST(s.doc_id AS VARCHAR)) AS k1,
                      substr(md5('cur-v1:' || CAST(s.doc_id AS VARCHAR)), 1, 2)
                        AS bkt
               FROM scored s LEFT JOIN bands b
                 ON b.lang = s.lang AND b.v = s.q),
-            cells AS (
-              SELECT band, bkt, CAST(COUNT(*) AS BIGINT) AS n
-              FROM qb GROUP BY 1, 2),
-            offs AS (
-              SELECT a.band, a.bkt,
-                     CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS off
-              FROM cells a LEFT JOIN cells b
-                ON b.band < a.band OR (b.band = a.band AND b.bkt < a.bkt)
-              GROUP BY a.band, a.bkt)
-            SELECT qb.doc_id, qb.band,
-                   offs.off + CAST(ROW_NUMBER() OVER
-                     (PARTITION BY qb.band, qb.bkt
-                      ORDER BY qb.k, qb.doc_id) AS BIGINT) - 1 AS pos
-            FROM qb JOIN offs
-              ON qb.band = offs.band AND qb.bkt = offs.bkt
-            ORDER BY doc_id""")
+            ${bucketRankSql(Seq(), Seq("band"), "doc_id")}
+            SELECT doc_id, band, rnk AS pos
+            FROM brnk ORDER BY doc_id""")
   )
 
   /** BM25 retrieval scoring for a fixed query term set, top-20 documents.
@@ -659,23 +636,25 @@ private[llm] trait TextScoring { self: TextOps.type =>
         .select(col("doc_id"), explode(tokens).as("t"))
         .localCheckpoint(false) // 2 consumers: doc lengths, term freqs
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        .localCheckpoint(false) // 3 consumers: totals, score join, output
+        .localCheckpoint(false) // 2 consumers: totals, score join
       val st = dl.agg(sum(col("dl")).as("a"), count(lit(1)).as("nd"))
       val tf = toks.filter(col("t").isin(terms: _*))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(df.hint("shuffle_hash"), Seq("t"))
+      tf.join(df.hint("shuffle_hash"), Seq("t"))
         .join(dl.hint("shuffle_hash"), Seq("doc_id"))
         .crossJoin(broadcast(st))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("dl"),
           expr("""(cast(nd - df + 1 as decimal(38,0)) * 22 * tf * a * 1000000)
                   div (cast(df + 1 as decimal(38,0))
                        * (10 * cast(tf as decimal(38,0)) * a + 3 * a
                           + 9 * cast(dl as decimal(38,0)) * nd))""")
             .as("s"))
-        .groupBy("doc_id").agg(sum(col("s")).cast("long").as("score_ppm"))
-      scored.join(dl.hint("shuffle_hash"), Seq("doc_id"))
+        // dl rides the aggregate (constant per doc_id) — a third dl join
+        // just to re-emit the length would shuffle the corpus-sized
+        // length frame once more
+        .groupBy("doc_id").agg(max(col("dl")).as("dl"),
+          sum(col("s")).cast("long").as("score_ppm"))
         .select(col("doc_id"), col("dl"), col("score_ppm"))
         .orderBy(col("score_ppm").desc, col("doc_id"))
         .limit(20)

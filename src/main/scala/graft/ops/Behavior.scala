@@ -157,7 +157,13 @@ object Behavior {
     "markov_transitions",
     (s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // attributable sequence rows only — same NULL scope discipline as
+      // cohort_retention: a NULL user has no sequence, a NULL ts has no
+      // position, a NULL type is no state, and the engines disagree on
+      // NULL ordering (Spark sorts NULLS FIRST ascending, DuckDB LAST)
       val tr = events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
         .withColumn("dst", lead(col("event_type"), 1).over(w))
         .filter(col("dst").isNotNull)
@@ -174,7 +180,9 @@ object Behavior {
               SELECT user_id, event_type,
                      LEAD(event_type) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id) AS dst
-              FROM events),
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL),
             tr AS (SELECT event_type AS src, dst,
                           CAST(COUNT(*) AS BIGINT) AS transitions
                    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
@@ -324,7 +332,10 @@ object Behavior {
   val changepointCusum = QuerySpec(
     "changepoint_cusum",
     (s, d) => {
-      val daily = events(s, d).filter(col("value").isNotNull)
+      // NULL ts has no day and a NULL type is no series — and NULL groups
+      // sort differently per engine (markov_transitions' scope discipline)
+      val daily = events(s, d).filter(col("value").isNotNull &&
+          col("ts").isNotNull && col("event_type").isNotNull)
         .select(col("event_type"), to_date(col("ts")).as("day"),
           floor(col("value") * 1000).cast(LongType).as("milli"))
         .groupBy("event_type", "day").agg(sum(col("milli")).as("daily_milli"))
@@ -351,6 +362,7 @@ object Behavior {
                      CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
                           AS BIGINT) AS daily_milli
               FROM events WHERE value IS NOT NULL
+                AND ts IS NOT NULL AND event_type IS NOT NULL
               GROUP BY 1, 2),
             t AS (
               SELECT event_type, CAST(SUM(daily_milli) AS BIGINT) AS tot,

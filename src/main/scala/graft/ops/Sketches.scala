@@ -245,7 +245,10 @@ object Sketches {
     (s, d) => {
       val k = 64
       import s.implicits._
-      val items = events(s, d)
+      // NULL values carry no item: without the filter Spark's Dataset[Long]
+      // NPEs on the null while DuckDB's WHERE silently drops it — the
+      // explicit scope keeps both engines on one definition
+      val items = events(s, d).filter(col("value").isNotNull)
         .select(floor(col("value")).cast("long").as("item"))
         .localCheckpoint(false) // 3 consumers: partials, exact, total
       val partials = items.as[Long]
@@ -266,7 +269,8 @@ object Sketches {
         .orderBy("item")
     },
     Some("""WITH it AS (
-              SELECT CAST(FLOOR(value) AS BIGINT) AS item FROM events),
+              SELECT CAST(FLOOR(value) AS BIGINT) AS item FROM events
+              WHERE value IS NOT NULL),
             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM it),
             c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_n
                   FROM it GROUP BY 1)

@@ -248,7 +248,12 @@ class PlanSpec extends SparkSpec {
     assert(!ba.contains("CartesianProduct"), ba)
     assert(!ba.contains("BroadcastHashJoin"), ba)
     assert(ba.contains("ShuffledHashJoin"), ba)
-    // knn_graph + bm25_topk: same never-statically-broadcast rule
+    // knn_graph + bm25_topk: same never-statically-broadcast rule.
+    // CAVEAT: a lazily-localCheckpointed subtree physically plans when
+    // the frame is BUILT, so assertions on the final plan see only the
+    // operators above the pin — which is why knn_graph's bucket join
+    // carries its shuffle_hash hint at the source (Similarity.scala),
+    // not just here.
     for (key <- Seq("knn_graph", "bm25_topk")) {
       val p = SparkEntry.queries(key)(spark, sf)
         .queryExecution.sparkPlan.toString
