@@ -81,13 +81,19 @@ object Behavior {
     * hints (corpus-derived — the never-statically-broadcast rule); the
     * 1-row total is the sanctioned broadcast. Lift rides DECIMAL(38,0) /
     * HUGEINT: pair·total·10⁶ overflows BIGINT at warehouse row counts. */
-  /** Per-basket pair fan-out with the loud cap — factored out so the cap
-    * path is spec-testable on a synthetic oversized basket. */
-  private[graft] def basketPairsOf(
-      op: org.apache.spark.sql.DataFrame, cap: Int = 256)
-      : org.apache.spark.sql.DataFrame =
+  /** Per-order sorted distinct-part arrays — ONE corpus shuffle; the
+    * collect_set subsumes a separate (order, part) distinct pass. */
+  private[graft] def basketsOf(
+      op: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     op.groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Pair fan-out over the basket arrays with the loud cap — factored so
+    * the cap path is spec-testable on a synthetic oversized basket. */
+  private[graft] def pairsOfBaskets(
+      baskets: org.apache.spark.sql.DataFrame, cap: Int = 256)
+      : org.apache.spark.sql.DataFrame =
+    baskets
       .withColumn("ps",
         when(size(col("ps")) <= lit(cap), col("ps"))
           .otherwise(raise_error(concat(
@@ -100,15 +106,25 @@ object Behavior {
       .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("pair_orders"))
 
+  private[graft] def basketPairsOf(
+      op: org.apache.spark.sql.DataFrame, cap: Int = 256)
+      : org.apache.spark.sql.DataFrame =
+    pairsOfBaskets(basketsOf(op), cap)
+
   val basketAffinity = QuerySpec(
     "basket_affinity",
     (s, d) => {
-      val op = lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint(false)
-      val support = op.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-      val tot = op.agg(count_distinct(col("l_orderkey")).as("t"))
-      val pairs = basketPairsOf(op).filter(col("pair_orders") >= 2)
+      // ONE corpus shuffle (by l_orderkey): support and the order total
+      // both derive from the pinned basket arrays — the former
+      // formulation paid a second full shuffle for a standalone
+      // (order, part) distinct the collect_set already implies
+      val baskets = basketsOf(
+        lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .localCheckpoint(false) // 3 consumers: pairs, support, total
+      val support = baskets.select(explode(col("ps")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val tot = baskets.agg(count(lit(1)).as("t"))
+      val pairs = pairsOfBaskets(baskets).filter(col("pair_orders") >= 2)
       pairs
         .join(support.select(col("l_partkey").as("p1"), col("n").as("n1"))
           .hint("shuffle_hash"), Seq("p1"))
