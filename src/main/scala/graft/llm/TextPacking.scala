@@ -328,7 +328,12 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * global_shuffle rank shape, generalized. */
   private[llm] def bucketRankOf(df: DataFrame, resetCols: Seq[String],
       orderCols: Seq[String], idCol: String): DataFrame = {
+    // pin: the keyed frame feeds TWO plan branches (cell counts + the
+    // offset join-back) and Catalyst cannot CSE across them — without
+    // the pin every caller re-runs its whole upstream (a corpus scan,
+    // or curriculum's entire banding subplan) once per branch
     val keyed = df.withColumn("bkt", substring(col("k"), 1, 2))
+      .localCheckpoint(false)
     val cellCols = resetCols ++ orderCols :+ "bkt"
     val cells = keyed.groupBy(cellCols.map(col): _*)
       .agg(count(lit(1)).as("n"))

@@ -73,7 +73,12 @@ class BehaviorSpec extends SparkSpec {
   test("markov_transitions: per-user bigram conservation and ppm closure") {
     val rows = SparkEntry.queries("markov_transitions")(spark, sf).collect()
     assert(rows.nonEmpty)
+    // same attributability scope as the query (NULL user/ts/type rows
+    // carry no bigram) — recomputing over the raw table would make the
+    // conservation identity fixture-dependent
     val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
     val totalTransitions = rows.map(_.getLong(2)).sum
     val nEvents = ev.count()
     val nUsers = ev.select(countDistinct(col("user_id"))).first().getLong(0)
@@ -93,7 +98,10 @@ class BehaviorSpec extends SparkSpec {
       assert(r.getAs[Boolean]("found"), r)
       assert(r.getAs[Boolean]("bound_ok"), r)
     }
+    // mirror the query's NULL-value scope, or n and the witness counts
+    // drift from the query's domain on a NULL-bearing corpus
     val items = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
       .select(floor(col("value")).cast("long").as("item"))
     val distinctItems =
       items.select(countDistinct(col("item"))).first().getLong(0)
