@@ -25,6 +25,28 @@ package graft
   * structural first-pass cost (round 6's dedup_clusters spread was 32.7×
   * purely because pass 1 absorbed the cc_labels stage build).
   */
+/** Accumulates shuffle read/write and spill bytes across all tasks.
+  * Thread-safe (task-end events may arrive from the bus dispatcher while
+  * Bench snapshots); attribution to a key is done by the caller via
+  * drain-then-snapshot deltas around each serial query. */
+private[graft] class TaskByteListener
+    extends org.apache.spark.scheduler.SparkListener {
+  private val rd = new java.util.concurrent.atomic.AtomicLong
+  private val wr = new java.util.concurrent.atomic.AtomicLong
+  private val sp = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      rd.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      wr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+  }
+  /** (shuffle read, shuffle write, spill) bytes since listener start. */
+  def snap: (Long, Long, Long) = (rd.get, wr.get, sp.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,6 +59,18 @@ object Bench {
     // sample BEFORE the session starts: co-tenant load, not our workers
     val loadBefore = loadAvg
     val spark = Harness.session()
+    // per-key shuffle/spill byte accounting: at cluster scale the cost
+    // model is shuffle bytes moved, not local seconds — a key whose
+    // bytes grow superlinearly in data volume is a 100 TB bottleneck
+    // even if its local time happens to hide it. Counters accumulate on
+    // the (async) listener bus; each measured key drains the bus and
+    // snapshots before/after, so the delta is that key's tasks alone.
+    val metricsL = new TaskByteListener
+    spark.sparkContext.addSparkListener(metricsL)
+    def byteSnap(): (Long, Long, Long) = {
+      org.apache.spark.sql.graft.bridge.waitListenerBusEmpty(spark.sparkContext)
+      metricsL.snap
+    }
     // warm the JVM/codegen/parquet-reader paths so the first measured
     // query isn't charged for session init (it was absorbing ~5s)
     spark.range(100000).selectExpr("sum(id)").collect()
@@ -77,21 +111,24 @@ object Bench {
     // fixed (sorted) order within each pass: per-key timings comparable
     // across rounds; one-time pipeline materializations already landed in
     // the warmup pass, so every measured pass sees steady state
-    val passRuns: Seq[(Double, Seq[(String, Double)])] = (1 to passes).map { _ =>
-      val passLoad = loadAvg
-      val res = names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // -1 marks a failed query; a success records its elapsed seconds
-        val secs =
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-          }
-        Harness.sweepBlocks(spark)
-        name -> secs
+    val passRuns: Seq[(Double, Seq[(String, Double, (Long, Long, Long))])] =
+      (1 to passes).map { _ =>
+        val passLoad = loadAvg
+        val res = names.map { case (name, fn) =>
+          val (r0, w0, s0) = byteSnap()
+          val t0 = System.nanoTime()
+          // -1 marks a failed query; a success records its elapsed seconds
+          val secs =
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+            }
+          val (r1, w1, s1) = byteSnap()
+          Harness.sweepBlocks(spark)
+          (name, secs, (r1 - r0, w1 - w0, s1 - s0))
+        }
+        (passLoad, res)
       }
-      (passLoad, res)
-    }
     // per-key median over the passes that succeeded; a key with NO
     // successful pass keeps the -1 sentinel (and must not make the run
     // look faster: only successes contribute to totals)
@@ -112,6 +149,17 @@ object Bench {
     val results: Seq[(String, Double)] = okByKey.map { case (name, ok) =>
       name -> (if (ok.isEmpty) -1.0 else medianOf(ok))
     }
+    // per-key shuffle bytes: upper median over that key's SUCCESSFUL
+    // passes, per component — same estimator as the timings, so a
+    // single AQE replan or retry in one pass can't swing the artifact.
+    // A key with no successful pass keeps the -1 sentinel.
+    val bytesByKey: Seq[(String, (Long, Long, Long))] =
+      names.map(_._1).zipWithIndex.map { case (name, i) =>
+        val ok = passRuns.map(_._2(i)).filter(_._2 >= 0).map(_._3)
+        def med(f: ((Long, Long, Long)) => Long): Long =
+          if (ok.isEmpty) -1L else { val s = ok.map(f).sorted; s(s.length / 2) }
+        name -> ((med(_._1), med(_._2), med(_._3)))
+      }
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val passTotals = passRuns.map(_._2.map(_._2).filter(_ >= 0).sum)
@@ -183,9 +231,16 @@ object Bench {
     val cg = org.apache.spark.metrics.source.CodegenMetrics
     val cgCount = cg.METRIC_COMPILATION_TIME.getCount
     val cgSec = cgCount * cg.METRIC_COMPILATION_TIME.getSnapshot.getMean / 1000.0
+    // exact bytes (longs, no rounding): the scale gate divides two runs'
+    // values, so precision loss here would manufacture false ratios
+    val bytesJs = bytesByKey.map { case (name, (r, w, sp)) =>
+      "\"" + name + "\":{\"read\":" + r + ",\"write\":" + w +
+        ",\"spill\":" + sp + "}"
+    }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,""" +
         s""""stages":$stages,"pass_spread":$spreadJs,""" +
+        s""""shuffle_bytes":$bytesJs,""" +
         s""""codegen_compile_sec":${fmt(cgSec, 1)},"codegen_compiled_classes":$cgCount,""" +
         s""""sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,""" +
         s""""passes":$passes,"pass_totals":${arr(passTotals, 3)},""" +

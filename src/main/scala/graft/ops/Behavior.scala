@@ -118,8 +118,15 @@ object Behavior {
       // both derive from the pinned basket arrays — the former
       // formulation paid a second full shuffle for a standalone
       // (order, part) distinct the collect_set already implies
+      // attributable rows only — the cohort_retention NULL-scope
+      // discipline: Spark's groupBy would keep a NULL-orderkey basket
+      // (counted in `tot`) while the oracle's COUNT(DISTINCT l_orderkey)
+      // drops it, shifting every lift_ppm; a NULL partkey is no part
+      // (collect_set drops it silently — pin one definition explicitly)
       val baskets = basketsOf(
-        lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        lineitem(s, d)
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey"), col("l_partkey")))
         .localCheckpoint(false) // 3 consumers: pairs, support, total
       val support = baskets.select(explode(col("ps")).as("l_partkey"))
         .groupBy("l_partkey").agg(count(lit(1)).as("n"))
@@ -138,7 +145,8 @@ object Behavior {
         .orderBy("p1", "p2")
     },
     Some("""WITH op AS (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
             pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
                    FROM op GROUP BY 1),
             tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS t
@@ -175,11 +183,12 @@ object Behavior {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       // attributable sequence rows only — same NULL scope discipline as
       // cohort_retention: a NULL user has no sequence, a NULL ts has no
-      // position, a NULL type is no state, and the engines disagree on
+      // position, a NULL type is no state, and a NULL event_id breaks the
+      // (ts, event_id) total-order tie-break — the engines disagree on
       // NULL ordering (Spark sorts NULLS FIRST ascending, DuckDB LAST)
       val tr = events(s, d)
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("event_type").isNotNull)
+          col("event_type").isNotNull && col("event_id").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
         .withColumn("dst", lead(col("event_type"), 1).over(w))
         .filter(col("dst").isNotNull)
@@ -198,7 +207,7 @@ object Behavior {
                                             ORDER BY ts, event_id) AS dst
               FROM events
               WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                AND event_type IS NOT NULL),
+                AND event_type IS NOT NULL AND event_id IS NOT NULL),
             tr AS (SELECT event_type AS src, dst,
                           CAST(COUNT(*) AS BIGINT) AS transitions
                    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)

@@ -240,10 +240,15 @@ object Sketches {
     * witness — production drops it and keeps the ≤ P·k candidate set.
     * The min-scan eviction is O(k) per new key; a production build keys
     * the counters with a heap. */
+  /** Space-Saving capacity — ONE constant feeding both the Spark
+    * summary/threshold and the oracle SQL below (interpolated), so the
+    * two engines' `freq·k > N` cuts cannot desynchronize. */
+  private[graft] val heavyHittersK = 64
+
   val heavyHitters = QuerySpec(
     "heavy_hitters",
     (s, d) => {
-      val k = 64
+      val k = heavyHittersK
       import s.implicits._
       // NULL values carry no item: without the filter Spark's Dataset[Long]
       // NPEs on the null while DuckDB's WHERE silently drops it — the
@@ -268,7 +273,7 @@ object Sketches {
             .as("bound_ok"))
         .orderBy("item")
     },
-    Some("""WITH it AS (
+    Some(s"""WITH it AS (
               SELECT CAST(FLOOR(value) AS BIGINT) AS item FROM events
               WHERE value IS NOT NULL),
             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM it),
@@ -276,7 +281,7 @@ object Sketches {
                   FROM it GROUP BY 1)
             SELECT c.item, c.exact_n, TRUE AS found, TRUE AS bound_ok
             FROM c CROSS JOIN n
-            WHERE c.exact_n * 64 > n.total ORDER BY item""")
+            WHERE c.exact_n * $heavyHittersK > n.total ORDER BY item""")
   )
 
   val all: Seq[QuerySpec] =

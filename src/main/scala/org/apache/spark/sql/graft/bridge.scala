@@ -54,6 +54,15 @@ object bridge {
         case _ => ()
       }
 
+  /** Block until the listener bus has delivered every queued event —
+    * `LiveListenerBus.waitUntilEmpty` is private[spark]. Bench snapshots
+    * its per-key shuffle-byte counters around each query; without the
+    * drain, async task-end events from key N would bleed into key N+1's
+    * delta and the per-key byte attribution would be off by whole
+    * stages. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(60000L)
+
   /** Reliable-checkpoint file path(s) behind a frame — empty for
     * localCheckpoint frames. Spec evidence for the durability switch. */
   def checkpointFiles(df: org.apache.spark.sql.Dataset[_]): Seq[String] =

@@ -1,80 +1,148 @@
 #!/usr/bin/env python3
-"""Assemble BENCH_SCALE.json from two committed Bench artifacts.
+"""Assemble BENCH_SCALE.json from committed Bench artifacts at one or
+more data multiples — the scale CURVE, not a single point.
 
-Usage: python3 tools/scale_bench.py <base_full.json> <scaled_full.json> \
-           <k> <out.json> [notes.json]
+Usage: python3 tools/scale_bench.py <base_full.json> <out.json> \
+           <notes.json> <k1>=<scaled1.json> [<k2>=<scaled2.json> ...]
 
-<base_full.json>   BENCH_FULL.json from a quiet 1x run (per-key medians).
-<scaled_full.json> BENCH_FULL.json from the kx replicated corpus run.
-<notes.json>       optional {key: analysis} map (tools/scale_notes.json);
-                   every superlinear key MUST have a note or the script
-                   exits 1 — a ratio above k is only acceptable in the
-                   artifact alongside its measured explanation.
+<base_full.json>  BENCH_FULL.json from a quiet 1x run (per-key medians).
+<kN>=<scaledN>    BENCH_FULL.json from the kNx replicated corpus run.
+<notes.json>      {key: analysis} map (tools/scale_notes.json); every
+                  time- or byte-superlinear key MUST have a note or the
+                  script exits 1 — a ratio above k is only acceptable in
+                  the artifact alongside its measured explanation.
 
-This replaces the round-9 one-off merge: the artifact is now derived
-from its inputs by a committed script, so doc numbers (total_ratio,
+Two gates per multiple:
+- TIME: per-key ratio sec_kx/sec_1x > k (1x times under FLOOR_SEC skip —
+  scheduling noise).
+- BYTES (round 11+): per-key shuffle-write ratio
+  write_kx / max(write_1x, FLOOR_BYTES) > k. At cluster scale the cost
+  model is shuffle bytes moved, not local seconds; the max() keeps a
+  near-zero 1x base from inflating AQE/broadcast flips into violations
+  while still catching a shuffle that GROWS into something real at kx.
+
+With two or more multiples, each key also gets an empirical scaling
+EXPONENT fit between the two largest multiples
+(log(t_b/t_a)/log(b/a)): ~1 is linear, ~2 quadratic. One 5x ratio
+cannot distinguish linear from quadratic-with-small-constant; two
+points can. Exponents are only reported where both times clear
+FLOOR_EXP_SEC, below which the fit is noise.
+
+This replaces the round-9 one-off merge: the artifact is derived from
+its inputs by a committed script, so doc numbers (total_ratio,
 superlinear key list) can be regenerated instead of hand-copied —
 the drift class ADVICE r9 flagged twice (SURVEY 1.73 vs artifact 1.79).
 """
 import json
+import math
 import sys
 
-FLOOR_SEC = 0.05  # below this the 1x time is scheduling noise, skip ratio
+FLOOR_SEC = 0.05      # below this the 1x time is scheduling noise
+FLOOR_EXP_SEC = 0.2   # exponent fit needs both points above noise
+FLOOR_BYTES = 4 * 1024 * 1024
 
 
-def main(base_p, scaled_p, k, out_p, notes_p=None):
+def main(base_p, out_p, notes_p, *points):
     base = json.load(open(base_p))
-    scaled = json.load(open(scaled_p))
-    k = float(k)
-    notes = json.load(open(notes_p)) if notes_p else {}
+    notes = json.load(open(notes_p))
+    if not points:
+        sys.exit("need at least one <k>=<scaled_full.json> point")
+    scaled = []
+    for pt in points:
+        kstr, _, path = pt.partition("=")
+        scaled.append((float(kstr), json.load(open(path))))
+    scaled.sort(key=lambda t: t[0])
 
-    bq, sq = base["queries"], scaled["queries"]
-    missing = sorted(set(bq) ^ set(sq))
-    if missing:
-        sys.exit(f"key sets differ between base and scaled runs: {missing}")
+    bq, bb = base["queries"], base.get("shuffle_bytes", {})
+    for k, s in scaled:
+        missing = sorted(set(bq) ^ set(s["queries"]))
+        if missing:
+            sys.exit(f"key sets differ between base and {k}x: {missing}")
 
-    queries, superlinear = {}, []
+    def ktag(k):
+        return str(int(k)) if k == int(k) else str(k)
+
+    queries, superlinear, byte_superlinear = {}, {}, {}
     for key in sorted(bq):
-        b, s = bq[key], sq[key]
-        entry = {"sec_1x": round(b, 3), "sec_5x": round(s, 3)}
-        if b >= FLOOR_SEC:
-            entry["ratio"] = round(s / b, 2)
-            if entry["ratio"] > k:
-                superlinear.append(key)
+        b = bq[key]
+        entry = {"sec_1x": round(b, 3)}
+        w1 = bb.get(key, {}).get("write", -1)
+        if w1 >= 0:
+            entry["write_mb_1x"] = round(w1 / 2**20, 1)
+        for k, art in scaled:
+            t = ktag(k)
+            s = art["queries"][key]
+            entry[f"sec_{t}x"] = round(s, 3)
+            if b >= FLOOR_SEC:
+                r = round(s / b, 2)
+                entry[f"ratio_{t}x"] = r
+                if r > k:
+                    superlinear.setdefault(t, []).append(key)
+            wk = art.get("shuffle_bytes", {}).get(key, {}).get("write", -1)
+            if w1 >= 0 and wk >= 0:
+                entry[f"write_mb_{t}x"] = round(wk / 2**20, 1)
+                br = round(wk / max(w1, FLOOR_BYTES), 2)
+                entry[f"byte_ratio_{t}x"] = br
+                if br > k:
+                    byte_superlinear.setdefault(t, []).append(key)
+        if len(scaled) >= 2:
+            (ka, aa), (kb, ab) = scaled[-2], scaled[-1]
+            ta, tb = aa["queries"][key], ab["queries"][key]
+            if ta >= FLOOR_EXP_SEC and tb >= FLOOR_EXP_SEC:
+                entry["exponent"] = round(
+                    math.log(tb / ta) / math.log(kb / ka), 2)
         queries[key] = entry
 
-    unexplained = [q for q in superlinear if q not in notes]
+    flagged = sorted({q for ks in superlinear.values() for q in ks} |
+                     {q for ks in byte_superlinear.values() for q in ks})
+    unexplained = [q for q in flagged if q not in notes]
     if unexplained:
         sys.exit(
             f"superlinear keys lack an analysis note in {notes_p}: "
             f"{unexplained} — measure the cause and record it before "
             "committing the artifact")
 
+    # headline continuity: total_ratio / superlinear_keys keep their
+    # round-10 meaning (the FIRST multiple, 5x) for docs_check; the
+    # full curve lives in `points` and the per-key map
+    k0, s0 = scaled[0]
     art = {
         "artifact": "BENCH_SCALE",
-        "k": k,
+        "k": k0,
         "base_sf": base.get("sf"),
-        "scaled_sf": scaled.get("sf"),
         "base_total": base.get("value"),
-        "scaled_total": scaled.get("value"),
-        "total_ratio": round(scaled["value"] / base["value"], 2),
         "base_passes": base.get("passes"),
-        "scaled_passes": scaled.get("passes"),
         "base_failed": base.get("failed"),
-        "scaled_failed": scaled.get("failed"),
         "base_load_avg_before": base.get("load_avg_before"),
-        "scaled_load_avg_before": scaled.get("load_avg_before"),
-        "superlinear_keys": superlinear,
+        "total_ratio": round(s0["value"] / base["value"], 2),
+        "superlinear_keys": superlinear.get(ktag(k0), []),
+        "points": [{
+            "k": k,
+            "sf": a.get("sf"),
+            "total": a.get("value"),
+            "total_ratio": round(a["value"] / base["value"], 2),
+            "passes": a.get("passes"),
+            "failed": a.get("failed"),
+            "load_avg_before": a.get("load_avg_before"),
+            "superlinear_keys": superlinear.get(ktag(k), []),
+            "byte_superlinear_keys": byte_superlinear.get(ktag(k), []),
+        } for k, a in scaled],
         "note": ("per-key median(1x, quiet multi-pass) vs kx replicated "
-                 "corpus; ratio > k means superlinear growth in data "
-                 "volume; ratios omitted for keys whose 1x time is under "
-                 f"the {int(FLOOR_SEC*1000)}ms scheduling floor"),
+                 "corpus at each point; ratio > k means superlinear "
+                 "growth in data volume (time) or shuffle-write bytes; "
+                 "`exponent` is the empirical scaling exponent fit "
+                 "between the two largest multiples (~1 linear, ~2 "
+                 "quadratic); ratios omitted for keys whose 1x time is "
+                 f"under the {int(FLOOR_SEC*1000)}ms scheduling floor"),
         "queries": queries,
-        "superlinear_analysis": {q: notes[q] for q in superlinear},
+        "superlinear_analysis": {q: notes[q] for q in flagged},
     }
     with open(out_p, "w") as f:
         json.dump(art, f, indent=None)
-    print(f"total_ratio={art['total_ratio']} superlinear={superlinear}")
+    for p in art["points"]:
+        print(f"k={p['k']} total_ratio={p['total_ratio']} "
+              f"superlinear={p['superlinear_keys']} "
+              f"byte_superlinear={p['byte_superlinear_keys']}")
 
 
 if __name__ == "__main__":
