@@ -59,12 +59,43 @@ object Iterate {
     * state, not the loop's history. */
   def checkpoint(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    val d = withInjectedFault(df)
     s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
       case Some(dir) =>
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
+        d.checkpoint()
+      case None => d.localCheckpoint()
+    }
+  }
+
+  /** Fault injection for the recovery demonstration (graft.RecoveryProbe):
+    * with `spark.graft.failInject.atCheckpoint` = N set, the Nth
+    * [[checkpoint]] materialization in this JVM kills the FIRST attempt
+    * of its partition-0 task — the canonical mid-iteration executor-loss
+    * shape. Requires a task-retrying master (`local[n,2]` locally;
+    * any real cluster) to complete; under the default `local[n]` the
+    * induced failure fails the job, which is itself the documented
+    * localCheckpoint-mode behavior the reliable-checkpoint conf exists
+    * to fix. Unset (production), the only cost is one conf lookup. */
+  private val ckptCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def resetFaultInjection(): Unit = ckptCalls.set(0)
+  private def withInjectedFault(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.failInject.atCheckpoint")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption) match {
+      case Some(n) if ckptCalls.incrementAndGet() == n =>
+        // RDD detour (plan-breaking, injection path only): the throw must
+        // live INSIDE the materialization job's tasks, where a retry
+        // reruns it with attemptNumber > 0
+        s.createDataFrame(df.rdd.mapPartitions { it =>
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+            throw new RuntimeException(
+              "graft.Iterate fault injection: first attempt of partition 0")
+          it
+        }, df.schema)
+      case _ => df
     }
   }
 
