@@ -24,6 +24,23 @@ for doc in ("SURVEY.md", "README.md"):
                   f"artifact says {ratio}")
             ok = False
 
+# fuzz gate freshness: the committed adversarial-corpus verdicts must be
+# all-green and cover the same key surface as the scale artifact — a key
+# added without a fuzz run, or a fuzz regression committed unnoticed,
+# fails here
+fz = json.load(open("FUZZ_CORRECTNESS.json"))
+if fz["passed"] != fz["total"]:
+    bad = sorted(k for k, v in fz["queries"].items()
+                 if not (v.get("hash_match") and not v.get("err")))
+    print(f"DRIFT FUZZ_CORRECTNESS.json: {fz['passed']}/{fz['total']} — "
+          f"failing keys: {bad}")
+    ok = False
+if set(fz["queries"]) != set(art["queries"]):
+    diff = sorted(set(fz["queries"]) ^ set(art["queries"]))
+    print(f"DRIFT: FUZZ_CORRECTNESS vs BENCH_SCALE key sets differ: {diff} "
+          "— re-run tools/fuzz_check.py after changing the key surface")
+    ok = False
+
 readme = open("README.md").read()
 # every artifact superlinear key must be named in README's scale-bench
 # narrative, and no key may be *claimed* superlinear that the artifact

@@ -9,6 +9,7 @@ Divergences the fixed corpus masks (e.g. a regex that Spark and DuckDB
 parse differently) fail HERE even though the driver's gate can't see
 them. Usage: python3 tools/fuzz_check.py [seed]
 """
+import json
 import os
 import shutil
 import subprocess
@@ -258,8 +259,34 @@ def main():
         print(l)
     if r.returncode != 0 and not Path(f"{out}/oracle_sql.json").exists():
         print("[fuzz] Verify crashed"); sys.exit(2)
+    verdicts_p = f"{out}/verdicts.json"
     rc = subprocess.run(
-        [sys.executable, "/root/repo/tools/oracle_check.py", str(WORK), out]).returncode
+        [sys.executable, "/root/repo/tools/oracle_check.py", str(WORK), out,
+         verdicts_p]).returncode
+    # standing artifact (VERDICT r10 task 2): the per-key verdicts on the
+    # adversarial corpus, committed and drift-gated by tools/docs_check.py
+    # — a regression in any regex/NULL path is visible at HEAD instead of
+    # only between manual runs. Written red or green (a red artifact is
+    # honest evidence); the exit code still gates.
+    verdicts = json.loads(Path(verdicts_p).read_text())
+    art = {
+        "artifact": "FUZZ_CORRECTNESS",
+        "base_sf": str(BASE),
+        "protocol": ("tools/fuzz_check.py — adversarial documents/"
+                     "embeddings/events tables (NULLs, unicode, empty/"
+                     "1-char strings, exact+near dups, malformed JSON, "
+                     "boundary timestamps, zero/antipodal/ragged vectors) "
+                     "plus NULL/negative/unicode/dangling-FK rows spliced "
+                     "into every relational table; full graft.Verify + "
+                     "DuckDB oracle compare on the spliced corpus"),
+        "total": len(verdicts),
+        "passed": sum(1 for v in verdicts.values()
+                      if v.get("hash_match") and not v.get("err")),
+        "queries": verdicts,
+    }
+    Path("/root/repo/FUZZ_CORRECTNESS.json").write_text(
+        json.dumps(art, indent=None) + "\n")
+    print(f"[fuzz] FUZZ_CORRECTNESS.json: {art['passed']}/{art['total']}")
     sys.exit(1 if (rc or fails) else 0)
 
 
