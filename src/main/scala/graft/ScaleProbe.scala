@@ -575,8 +575,78 @@ object ScaleProbe {
       s""""shard_rows":$shardN,"runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe simhash <dir1> [dir2 ...]`: hamming-pair
+    * candidate-volume curve over PRE-BUILT corpora (the ScaleData 5×/25×
+    * replicas), comparing the shipped 4×8-bit byte blocking against the
+    * former 8×4-bit nibble blocking. Uniform signatures collide per
+    * block with probability 2^-bits, so expected RANDOM cross-group
+    * candidates are blocks·N²/2^(bits+1): nibbles N²/8, bytes N²/128
+    * from half the block rows. Emitted pairs (hamming ≤ 3) are
+    * identical under both blockings (pigeonhole: 3 differing bits
+    * cannot touch all 4 bytes); replicas are hamming-0 partners, so
+    * TRUE pairs grow k²-per-group — the intrinsic output-bound floor
+    * the time ratio must be read against. Output lands in
+    * SIMHASH_CANDIDATES.json. */
+  private def simhashProbe(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): Unit = {
+    val runs = dirs.map { dir =>
+      val sig = llm.Dedup
+        .simhashSignatures(Tables.documents(spark, dir))
+        .localCheckpoint(false)
+      val n = sig.count()
+      // RAW join-output count (pre-distinct): the join WORK each
+      // blocking buys, streamed through a count with no dedup state —
+      // measurable even where the nibble blocking's distinct would
+      // thrash (265M+ candidate rows at 5×, 25× that at 25×). The
+      // shipped pipeline's distinct+verify cost additionally gets the
+      // real measure below, byte blocking only.
+      def rawOf(blocks: org.apache.spark.sql.DataFrame) =
+        blocks.as("a")
+          .join(blocks.as("b"),
+            col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+              col("a.doc_id") < col("b.doc_id"))
+      val nibbleBlocks = (0 until 8).map(i =>
+          sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("blk"),
+            expr(s"(simhash div ${1 << (4 * i)}) % 16").as("nib")))
+        .reduce(_ unionByName _)
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val byteBlocks = llm.Dedup.hammingBlocksOf(sig)
+      val (rawByte, secByte) = timed(rawOf(byteBlocks).count())
+      val (rawNib, secNib) = timed(rawOf(nibbleBlocks).count())
+      // the shipped path end-to-end: distinct candidates then exact
+      // hamming verify — byte blocking only (this is what runs in prod)
+      val (pairs, secPipe) = timed(
+        rawOf(byteBlocks)
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+          .distinct()
+          .filter(expr("bit_count(s1 ^ s2)") <= 3).count())
+      Harness.sweepBlocks(spark)
+      println(f"[probe] $dir docs=$n%-7d raw_byte=$rawByte%-11d " +
+        f"raw_nibble=$rawNib%-11d pairs=$pairs%-9d " +
+        f"byte=${secByte}%.1f s nibble=${secNib}%.1f s pipe=${secPipe}%.1f s")
+      (dir, n, rawByte, rawNib, pairs, secByte, secNib, secPipe)
+    }
+    val qs = runs.map { case (d, n, cb, cn, p, sb, sn, sp) =>
+      f"""{"dir":"$d","docs":$n,"raw_byte":$cb,"raw_nibble":$cn,""" +
+        f""""pairs":$p,"sec_byte":$sb%.3f,"sec_nibble":$sn%.3f,""" +
+        f""""sec_pipeline_byte":$sp%.3f}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"simhash_hamming_candidates","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("simhash")) {
+      val spark = Harness.session()
+      simhashProbe(spark, args.drop(1).toSeq)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skewab")) {
       val spark = Harness.session()
       val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)

@@ -221,29 +221,43 @@ object Dedup {
     sig.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** Nibble-block projection of a (doc_id, simhash) signature table:
-    * 8 rows per doc, one per 4-bit block. ONE definition shared by the
+  /** Byte-block projection of a (doc_id, simhash) signature table:
+    * 4 rows per doc, one per 8-bit block. ONE definition shared by the
     * full-corpus hamming pair search and the incremental delta path —
     * the bandsOf rule: a drift between the two would silently make the
-    * corpus index and a new shard's blocks incomparable. */
-  def nibbleBlocksOf(sig: DataFrame): DataFrame =
-    (0 until 8).map(i =>
+    * corpus index and a new shard's blocks incomparable.
+    *
+    * Block WIDTH is the scale lever: pigeonhole for hamming ≤ 3 needs
+    * only 4 blocks (3 differing bits cannot touch all 4), and each
+    * extra block bit halves the random-collision candidate rate —
+    * uniform signatures collide per block with probability 2^-bits, so
+    * expected RANDOM cross-group candidates are blocks·N²/2^(bits+1):
+    * 8×4-bit nibbles gave N²/8, 4×8-bit bytes give N²/128 with HALF
+    * the block rows. Measured at 1×/5×/25× corpus
+    * (SIMHASH_CANDIDATES.json): identical output set, 7.9× less raw
+    * join work at every point (true-near-dup candidates, which both
+    * blockings must emit, dominate the testdata corpus — candidate
+    * volume stays a constant ~33× the emitted pairs, i.e.
+    * output-proportional, while the nibble blocking's extra 7.9× was
+    * pure random-collision waste). */
+  def hammingBlocksOf(sig: DataFrame): DataFrame =
+    (0 until 4).map(i =>
         sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("blk"),
-          expr(s"(simhash div ${1 << (4 * i)}) % 16").as("nib")))
+          expr(s"(simhash div ${1L << (8 * i)}L) % 256").as("nib")))
       .reduce(_ unionByName _)
 
   /** SimHash near-dup search: pairs within hamming distance 3, found by
-    * nibble-block candidate generation — ≤7 differing bits cannot touch
-    * all 8 nibbles (pigeonhole), so every qualifying pair shares at
-    * least one (position, nibble) block. The multi-index trick that
-    * turns all-pairs hamming search into 8 equi-joins. */
+    * byte-block candidate generation — ≤3 differing bits cannot touch
+    * all 4 bytes (pigeonhole), so every qualifying pair shares at
+    * least one (position, byte) block. The multi-index trick that
+    * turns all-pairs hamming search into 4 equi-joins. */
   val simhashHammingPairs = QuerySpec(
     "simhash_hamming_pairs",
     (s, d) => {
-      // materialized parquet: the 8 block-projections re-scan a tiny
+      // materialized parquet: the 4 block-projections re-scan a tiny
       // file with real stats instead of a stats-less checkpoint subtree
       val sig = simhashStage(s, d)
-      val blocks = nibbleBlocksOf(sig)
+      val blocks = hammingBlocksOf(sig)
       val cand = blocks.as("a")
         .join(blocks.as("b"),
           col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
@@ -260,8 +274,8 @@ object Dedup {
     Some {
       s"""WITH $simhashSigCtes,
           blocks AS (
-            SELECT doc_id, simhash, blk, (simhash // (16 ** blk)::BIGINT) % 16 AS nib
-            FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(blk)),
+            SELECT doc_id, simhash, blk, (simhash // (256 ** blk)::BIGINT) % 256 AS nib
+            FROM sig, UNNEST([0, 1, 2, 3]) AS u(blk)),
           cand AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                    a.simhash AS s1, b.simhash AS s2
@@ -990,7 +1004,7 @@ object Dedup {
   /** Incremental SimHash dedup: a new shard against the existing
     * corpus's materialized signature index. Per-job signature work is
     * SHARD-sized; the corpus contributes only its (doc_id, simhash)
-    * index, probed by the nibble-block equi-join with the shard side as
+    * index, probed by the byte-block equi-join with the shard side as
     * the shuffle_hash build (the corpus index is never broadcast nor
     * hash-built). No separate verify tier needed here: hamming distance
     * is computed EXACTLY on the signatures themselves, so the ≤3 cut is
@@ -1004,8 +1018,8 @@ object Dedup {
 
   private[llm] def deltaSimhashFromSigs(corpusSig: DataFrame,
       shardSig: DataFrame, shardIds: DataFrame): DataFrame = {
-    val sb = nibbleBlocksOf(shardSig)
-    val vsCorpus = nibbleBlocksOf(corpusSig).as("c")
+    val sb = hammingBlocksOf(shardSig)
+    val vsCorpus = hammingBlocksOf(corpusSig).as("c")
       .join(sb.as("s").hint("shuffle_hash"),
         col("c.blk") === col("s.blk") && col("c.nib") === col("s.nib"))
       .select(col("c.doc_id").as("id1"), col("c.simhash").as("s1"),
@@ -1038,8 +1052,8 @@ object Dedup {
     },
     Some(s"""WITH $simhashSigCtes,
             blocks AS (
-              SELECT doc_id, simhash, blk, (simhash // (16 ** blk)::BIGINT) % 16 AS nib
-              FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(blk)),
+              SELECT doc_id, simhash, blk, (simhash // (256 ** blk)::BIGINT) % 256 AS nib
+              FROM sig, UNNEST([0, 1, 2, 3]) AS u(blk)),
             cand AS (
               SELECT DISTINCT a.doc_id AS id1, a.simhash AS s1,
                      b.doc_id AS id2, b.simhash AS s2

@@ -127,11 +127,11 @@ class DeltaDedupSpec extends SparkSpec {
   test("delta_simhash equals the full hamming pipeline restricted to the shard (sf0.001)") {
     val docs = graft.Tables.documents(spark, sf)
     val split = Dedup.deltaSplitOf(spark, sf)
-    // ground truth: the shipped FULL nibble-block hamming search over
+    // ground truth: the shipped FULL byte-block hamming search over
     // corpus ∪ shard (simhash_hamming_pairs' plan, sans its stage
     // indirection), restricted to shard-side rows
     val sig = Dedup.simhashSignatures(docs).localCheckpoint(false)
-    val blocks = Dedup.nibbleBlocksOf(sig)
+    val blocks = Dedup.hammingBlocksOf(sig)
     val full = blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
