@@ -639,8 +639,39 @@ object ScaleProbe {
     println(s"""{"probe":"simhash_hamming_candidates","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe minhashpairs <dir1> [dir2 ...]`: LSH
+    * candidate-pair count curve for the minhash family over pre-built
+    * replica corpora. minhash_sim_est emits one row (and one shingle
+    * intersection) per candidate pair; replicas share identical
+    * signatures, so pairs grow k² per near-dup group — if shuffle bytes
+    * track the pair count across scales, the byte growth is
+    * output-bound, not an unguarded block blowup. */
+  private def minhashPairsProbe(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): Unit = {
+    val runs = dirs.map { dir =>
+      val docs = Tables.documents(spark, dir)
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      val pairs = llm.Dedup.candidatePairsOf(docs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] $dir docs=$n%-7d cand_pairs=$pairs%-10d ${secs}%.1f s")
+      (dir, n, pairs, secs)
+    }
+    val qs = runs.map { case (d, n, p, s) =>
+      f"""{"dir":"$d","docs":$n,"cand_pairs":$p,"sec":$s%.3f}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"minhash_candidate_pairs","runs":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("minhashpairs")) {
+      val spark = Harness.session()
+      minhashPairsProbe(spark, args.drop(1).toSeq)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("simhash")) {
       val spark = Harness.session()
       simhashProbe(spark, args.drop(1).toSeq)

@@ -272,19 +272,23 @@ object Dedup {
         .orderBy("id1", "id2")
     },
     Some {
+      // hamming filter INSIDE the candidate CTE, before the DISTINCT:
+      // the two commute (hamming is a function of the pair), but
+      // filter-first keeps DuckDB's dedup hash at emitted-pair size
+      // instead of raw-join size — at the 25× corpus the raw join is
+      // 1.76B rows and the distinct-first form spilled past the disk
       s"""WITH $simhashSigCtes,
           blocks AS (
             SELECT doc_id, simhash, blk, (simhash // (256 ** blk)::BIGINT) % 256 AS nib
             FROM sig, UNNEST([0, 1, 2, 3]) AS u(blk)),
           cand AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-                   a.simhash AS s1, b.simhash AS s2
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM blocks a JOIN blocks b
-              ON a.blk = b.blk AND a.nib = b.nib AND a.doc_id < b.doc_id)
-          SELECT id1, id2,
-                 bit_count(xor(s1, s2)) AS hamming
+              ON a.blk = b.blk AND a.nib = b.nib AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+          SELECT id1, id2, hamming
           FROM cand
-          WHERE bit_count(xor(s1, s2)) <= 3
           ORDER BY id1, id2"""
     }
   )
@@ -1054,16 +1058,19 @@ object Dedup {
             blocks AS (
               SELECT doc_id, simhash, blk, (simhash // (256 ** blk)::BIGINT) % 256 AS nib
               FROM sig, UNNEST([0, 1, 2, 3]) AS u(blk)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id1, a.simhash AS s1,
-                     b.doc_id AS id2, b.simhash AS s2
-              FROM blocks a JOIN blocks b
-                ON a.blk = b.blk AND a.nib = b.nib AND a.doc_id < b.doc_id),
             split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS t FROM documents),
+            -- hamming + shard filters pushed into the join, and no
+            -- DISTINCT at all: min(id1) is multiplicity-insensitive, so
+            -- the dedup hash (raw-join-sized at a k× corpus) is pure
+            -- waste here
+            cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk AND a.nib = b.nib AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+                AND b.doc_id >= (SELECT t FROM split)),
             partners AS (
               SELECT id2 AS doc_id, min(id1) AS dup_of FROM cand
-              WHERE bit_count(xor(s1, s2)) <= 3
-                AND id2 >= (SELECT t FROM split)
               GROUP BY id2)
             SELECT s.doc_id, p.dup_of,
                    CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup

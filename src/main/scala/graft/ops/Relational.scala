@@ -353,35 +353,51 @@ object Relational {
         .select(col("pk").as("p_partkey"), col("n_matches"), col("recovered"))
         .orderBy("p_partkey")
     },
+    // The oracle mirrors the Spark side's exact-name collapse: variant
+    // explode over DISTINCT names with multiplicity carried as name_cnt,
+    // NOT per-row. Semantically identical to the per-row formulation
+    // (each clean row has a unique pk, so distinct (cpk, name) matches
+    // per name == name_cnt; recovered == "own_name is among the matched
+    // names"), but the per-row version is quadratic in replica count on
+    // a k× corpus — at 25× its DuckDB DISTINCT spilled past the disk —
+    // while this one scales with the DISTINCT-name domain, like the
+    // engine under test.
     Some("""WITH clean AS (
               SELECT p_partkey AS pk, p_name AS name
               FROM part WHERE p_name IS NOT NULL AND length(p_name) > 0),
             dirty AS (
-              SELECT pk,
+              SELECT pk, name AS own_name,
                      substr(name, 1, CAST(pk % length(name) AS INTEGER))
                      || substr(name, CAST(pk % length(name) AS INTEGER) + 2, 100000)
                        AS dname
               FROM clean),
+            clean_names AS (
+              SELECT name, count(*) AS name_cnt FROM clean GROUP BY 1),
+            dirty_names AS (SELECT DISTINCT dname FROM dirty),
             dv AS (
-              SELECT DISTINCT pk, dname,
+              SELECT DISTINCT dname,
                      CASE WHEN i = 0 THEN dname
                           ELSE substr(dname, 1, i - 1) || substr(dname, i + 1, 100000)
                      END AS v
-              FROM dirty,
+              FROM dirty_names,
                    UNNEST(generate_series(0, CAST(length(dname) AS INTEGER))) AS t(i)),
             cv AS (
-              SELECT DISTINCT pk AS cpk, name,
+              SELECT DISTINCT name,
                      CASE WHEN i = 0 THEN name
                           ELSE substr(name, 1, i - 1) || substr(name, i + 1, 100000)
                      END AS v
-              FROM clean,
+              FROM clean_names,
                    UNNEST(generate_series(0, CAST(length(name) AS INTEGER))) AS t(i)),
             cand AS (
-              SELECT DISTINCT d.pk, d.dname, c.cpk, c.name
-              FROM dv d JOIN cv c ON d.v = c.v)
-            SELECT pk AS p_partkey, count(*) AS n_matches,
-                   CAST(max(CASE WHEN cpk = pk THEN 1 ELSE 0 END) AS BIGINT) AS recovered
-            FROM cand WHERE levenshtein(dname, name) <= 1
+              SELECT DISTINCT d.dname, c.name
+              FROM dv d JOIN cv c ON d.v = c.v),
+            matched AS (
+              SELECT cand.dname, cand.name, cn.name_cnt
+              FROM cand JOIN clean_names cn ON cn.name = cand.name
+              WHERE levenshtein(cand.dname, cand.name) <= 1)
+            SELECT pk AS p_partkey, SUM(name_cnt) AS n_matches,
+                   CAST(MAX(CASE WHEN m.name = dirty.own_name THEN 1 ELSE 0 END) AS BIGINT) AS recovered
+            FROM dirty JOIN matched m ON m.dname = dirty.dname
             GROUP BY 1 ORDER BY 1""")
   )
 
