@@ -585,10 +585,28 @@ object Dedup {
         .withColumn("err_milli", abs(col("est_milli") - col("true_milli")))
         .orderBy("id1", "id2")
     },
+    // Oracle collapses to DISTINCT-TEXT representatives for the per-pair
+    // est/true computation (the fuzzy_link discipline): both values are
+    // pure functions of the two texts — signatures and shingle sets are
+    // text-determined — so computing them once per representative pair
+    // and mapping doc-level candidate pairs onto them is semantically
+    // identical to the per-doc form, while the shingle-intersection join
+    // stays at DISTINCT-TEXT volume. The per-doc form fanned that join
+    // out ~500M rows on the 25× replica corpus and spilled DuckDB past
+    // the disk. Same-text pairs collapse to (t, t), where est = true =
+    // 1000 falls out of the same expressions.
     Some(s"""WITH $minhashSigCtes,
             ${minhashPairCte("cand")},
-            est AS (
-              SELECT id1, id2,
+            treps AS (SELECT min(doc_id) AS tid, text FROM documents GROUP BY text),
+            tmap AS (
+              SELECT d.doc_id, t.tid FROM documents d
+              JOIN treps t ON d.text IS NOT DISTINCT FROM t.text),
+            candt AS (
+              SELECT DISTINCT m1.tid AS t1, m2.tid AS t2
+              FROM cand JOIN tmap m1 ON cand.id1 = m1.doc_id
+                        JOIN tmap m2 ON cand.id2 = m2.doc_id),
+            estt AS (
+              SELECT t1, t2,
                      (1000 * ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
                               (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
                               (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
@@ -598,25 +616,32 @@ object Dedup {
                               (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
                               (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END))) // 8
                        AS est_milli
-              FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
-                        JOIN sig sb ON cand.id2 = sb.doc_id),
-            ds AS (SELECT DISTINCT doc_id, s FROM sh),
-            sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
-            inter AS (
-              SELECT id1, id2, count(*) AS i
-              FROM cand JOIN ds a ON a.doc_id = id1
-                        JOIN ds b ON b.doc_id = id2 AND a.s = b.s
-              GROUP BY id1, id2)
-            SELECT e.id1, e.id2, CAST(est_milli AS BIGINT) AS est_milli,
-                   CAST((1000 * COALESCE(i, 0)) // (n1.n + n2.n - COALESCE(i, 0))
-                        AS BIGINT) AS true_milli,
-                   CAST(ABS(est_milli - (1000 * COALESCE(i, 0)) //
-                        (n1.n + n2.n - COALESCE(i, 0))) AS BIGINT) AS err_milli
-            FROM est e
-            JOIN sizes n1 ON e.id1 = n1.doc_id
-            JOIN sizes n2 ON e.id2 = n2.doc_id
-            LEFT JOIN inter ON e.id1 = inter.id1 AND e.id2 = inter.id2
-            ORDER BY e.id1, e.id2""")
+              FROM candt JOIN sig sa ON candt.t1 = sa.doc_id
+                         JOIN sig sb ON candt.t2 = sb.doc_id),
+            dsr AS (
+              SELECT DISTINCT doc_id, s FROM sh
+              WHERE doc_id IN (SELECT tid FROM treps)),
+            sizest AS (SELECT doc_id, count(*) AS n FROM dsr GROUP BY doc_id),
+            intert AS (
+              SELECT t1, t2, count(*) AS i
+              FROM candt JOIN dsr a ON a.doc_id = t1
+                         JOIN dsr b ON b.doc_id = t2 AND a.s = b.s
+              GROUP BY t1, t2),
+            pert AS (
+              SELECT e.t1, e.t2, e.est_milli,
+                     (1000 * COALESCE(i, 0)) // (n1.n + n2.n - COALESCE(i, 0))
+                       AS true_milli
+              FROM estt e
+              JOIN sizest n1 ON e.t1 = n1.doc_id
+              JOIN sizest n2 ON e.t2 = n2.doc_id
+              LEFT JOIN intert ON e.t1 = intert.t1 AND e.t2 = intert.t2)
+            SELECT cand.id1, cand.id2, CAST(p.est_milli AS BIGINT) AS est_milli,
+                   CAST(p.true_milli AS BIGINT) AS true_milli,
+                   CAST(ABS(p.est_milli - p.true_milli) AS BIGINT) AS err_milli
+            FROM cand JOIN tmap m1 ON cand.id1 = m1.doc_id
+                      JOIN tmap m2 ON cand.id2 = m2.doc_id
+                      JOIN pert p ON p.t1 = m1.tid AND p.t2 = m2.tid
+            ORDER BY cand.id1, cand.id2""")
   )
 
   /** Bloom-pruned overlap join — decontaminate's constant-memory scale

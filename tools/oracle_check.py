@@ -63,6 +63,18 @@ def main(sf_dir, out_dir):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    # replica-corpus scale: keep the big intermediate joins in RAM
+    # instead of spilling (the default limit spilled >60 GB to disk on
+    # the 25x corpus); harmless at the sf0.01 driver gate
+    con.execute("SET memory_limit='90GB'")
+    # Every oracle either ends in an explicit total-order ORDER BY or is
+    # a single-row aggregate (asserted by scanning oracle_sql.json), so
+    # implicit insertion-order preservation buys nothing on the oracle
+    # side and doubles the materialization footprint of the heavy
+    # pipelines. The ONLY order-sensitive read is the Spark result
+    # parquet (file order = the engine's emitted order) — the Python
+    # compare path re-enables preservation around that fetch.
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # Spark-written table (ScaleData's kx corpus)
@@ -159,8 +171,19 @@ def main(sf_dir, out_dir):
             print(f"OK   {name}: {n_spark} rows (multiset compare)")
             record(name, True, True, True, n_spark, n_duck)
             continue
-        srows = spark_rel.fetchall()
-        drows = duck_rel.fetchall()
+        # BOTH fetches run with order preservation ON: the Spark parquet's
+        # file order IS the engine's emitted order, and a DuckDB oracle
+        # with materialized CTEs was observed emitting rows out of its
+        # final ORDER BY under preserve_insertion_order=false (the
+        # triangle_count 25x false-FAIL — multiset-identical, order
+        # scrambled). Only the explicitly order-insensitive multiset
+        # branch above keeps the setting off.
+        con.execute("SET preserve_insertion_order=true")
+        try:
+            srows = spark_rel.fetchall()
+            drows = duck_rel.fetchall()
+        finally:
+            con.execute("SET preserve_insertion_order=false")
         if len(srows) != len(drows):
             failures.append((name, f"ROWS spark={len(srows)} duck={len(drows)}"))
             record(name, False, True, False, len(srows), len(drows),
