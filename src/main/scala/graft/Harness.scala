@@ -15,6 +15,17 @@ object Harness {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // whole-stage-codegen class cache (STATIC conf — must land at
+      // session build). Default 100 entries guarantees LRU thrash on a
+      // 150-key suite (~2,200 generated classes per full pass measured
+      // in round 11: 8,898 janino compiles / 97.3 s across 4 passes —
+      // ~20% of the run recompiling classes the cache had just evicted).
+      // 5000 ≥ 2× the per-pass unique-class count, so repeat passes hit
+      // the cache; entries are source-keyed generated classes, small
+      // relative to the 8g driver heap. Env-overridable so the bench
+      // A/B can measure the thrash (set 100 to reproduce the default).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
     extra.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -580,7 +580,9 @@ object ScaleProbe {
     * replicas), comparing the shipped 4×8-bit byte blocking against the
     * former 8×4-bit nibble blocking. Uniform signatures collide per
     * block with probability 2^-bits, so expected RANDOM cross-group
-    * candidates are blocks·N²/2^(bits+1): nibbles N²/8, bytes N²/128
+    * candidates are blocks·N²/2^(bits+1): nibbles 8·N²/2⁵ = N²/4,
+    * bytes N²/128 (theoretical 32× on uniform data; the measured 7.9×
+    * is smaller because true near-dup candidates dominate the corpus)
     * from half the block rows. Emitted pairs (hamming ≤ 3) are
     * identical under both blockings (pigeonhole: 3 differing bits
     * cannot touch all 4 bytes); replicas are hamming-0 partners, so

@@ -232,8 +232,9 @@ object Dedup {
     * extra block bit halves the random-collision candidate rate —
     * uniform signatures collide per block with probability 2^-bits, so
     * expected RANDOM cross-group candidates are blocks·N²/2^(bits+1):
-    * 8×4-bit nibbles gave N²/8, 4×8-bit bytes give N²/128 with HALF
-    * the block rows. Measured at 1×/5×/25× corpus
+    * 8×4-bit nibbles gave 8·N²/2⁵ = N²/4, 4×8-bit bytes give N²/128
+    * (theoretical 32× fewer on uniform data) with HALF the block rows.
+    * Measured at 1×/5×/25× corpus
     * (SIMHASH_CANDIDATES.json): identical output set, 7.9× less raw
     * join work at every point (true-near-dup candidates, which both
     * blockings must emit, dominate the testdata corpus — candidate

@@ -395,7 +395,7 @@ object Relational {
               SELECT cand.dname, cand.name, cn.name_cnt
               FROM cand JOIN clean_names cn ON cn.name = cand.name
               WHERE levenshtein(cand.dname, cand.name) <= 1)
-            SELECT pk AS p_partkey, SUM(name_cnt) AS n_matches,
+            SELECT pk AS p_partkey, CAST(SUM(name_cnt) AS BIGINT) AS n_matches,
                    CAST(MAX(CASE WHEN m.name = dirty.own_name THEN 1 ELSE 0 END) AS BIGINT) AS recovered
             FROM dirty JOIN matched m ON m.dname = dirty.dname
             GROUP BY 1 ORDER BY 1""")

@@ -61,6 +61,117 @@ class OracleRulesSpec extends AnyFunSuite {
     assert(globalWindows("SELECT a FROM t ORDER BY a").isEmpty)
   }
 
+  /** Bare (un-CAST) `SUM(` in a query's FINAL projection — the round-11
+    * integer-widening hash-fail class: DuckDB types SUM(BIGINT) as
+    * HUGEINT, and the driver's dataframe-fetch renders HUGEINT as
+    * float64 (`57.0` vs Spark's `57`), so the hash diverges even when
+    * every value matches. SUM over decimals is rendering-safe today, but
+    * distinguishing operand types statically is impossible — so the rule
+    * is uniform: in a final projection, every SUM must sit inside an
+    * explicit CAST that pins the DuckDB output type (BIGINT for integer
+    * sums; the matching DECIMAL for decimal sums, where it is a no-op).
+    * CTE-interior SUMs are exempt (their type is consumed, not emitted);
+    * a CTE HUGEINT *flowing* to the final projection is caught by the
+    * runtime type gate in tools/oracle_check.py (widened_int_cols). */
+  def finalProjectionBareSums(sql: String): Seq[String] = {
+    val s = sql.replaceAll("\\s+", " ").trim
+    val up = s.toUpperCase
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    // last top-level SELECT
+    var depth = 0; var lastSel = -1; var i = 0
+    while (i < up.length) {
+      up(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith("SELECT", i) &&
+              (i == 0 || !isWord(up(i - 1)))) lastSel = i
+      }
+      i += 1
+    }
+    if (lastSel < 0) return Seq.empty
+    // first top-level FROM after it bounds the projection
+    depth = 0; i = lastSel + 6; var fromAt = up.length
+    while (i < up.length && fromAt == up.length) {
+      up(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith("FROM", i) && !isWord(up(i - 1)) &&
+              (i + 4 >= up.length || !isWord(up(i + 4)))) fromAt = i
+      }
+      i += 1
+    }
+    val proj = s.substring(lastSel + 6, fromAt)
+    val pup = proj.toUpperCase
+    // CAST(...) spans within the projection (balanced-paren)
+    val castSpans = Seq.newBuilder[(Int, Int)]
+    var c = pup.indexOf("CAST")
+    while (c >= 0) {
+      val wordOk = c == 0 || !isWord(pup(c - 1))
+      var j = c + 4
+      while (j < pup.length && pup(j).isWhitespace) j += 1
+      if (wordOk && j < pup.length && pup(j) == '(') {
+        var d = 1; var k = j + 1
+        while (k < pup.length && d > 0) {
+          if (pup(k) == '(') d += 1 else if (pup(k) == ')') d -= 1
+          k += 1
+        }
+        castSpans += ((c, k))
+      }
+      c = pup.indexOf("CAST", c + 4)
+    }
+    val spans = castSpans.result()
+    val out = Seq.newBuilder[String]
+    var m = pup.indexOf("SUM")
+    while (m >= 0) {
+      val wordOk = (m == 0 || !isWord(pup(m - 1))) &&
+        (m + 3 >= pup.length || !isWord(pup(m + 3)))
+      var j = m + 3
+      while (j < pup.length && pup(j).isWhitespace) j += 1
+      val isCall = wordOk && j < pup.length && pup(j) == '('
+      if (isCall && !spans.exists { case (a, b) => a <= m && m < b })
+        out += proj.substring(m, math.min(proj.length, m + 60))
+      m = pup.indexOf("SUM", m + 3)
+    }
+    out.result()
+  }
+
+  test("the bare-SUM checker catches a synthetic violation (and passes compliant shapes)") {
+    // bare SUM in a final projection: the violation
+    assert(finalProjectionBareSums(
+      "SELECT k, SUM(v) AS s FROM t GROUP BY 1 ORDER BY 1").nonEmpty)
+    // CTE-interior SUM with a cast-free final projection: exempt
+    assert(finalProjectionBareSums(
+      "WITH a AS (SELECT k, SUM(v) AS s FROM t GROUP BY 1) " +
+        "SELECT k, s FROM a ORDER BY 1").isEmpty)
+    // CAST-wrapped SUM: compliant
+    assert(finalProjectionBareSums(
+      "SELECT k, CAST(SUM(v) AS BIGINT) AS s FROM t GROUP BY 1 ORDER BY 1").isEmpty)
+    // CAST wrapping an expression OVER the sum still counts as pinned
+    assert(finalProjectionBareSums(
+      "SELECT CAST(SUM(a) * 2 AS BIGINT) AS s FROM t").isEmpty)
+    // a second, unwrapped SUM next to a wrapped one is still caught
+    assert(finalProjectionBareSums(
+      "SELECT CAST(SUM(a) AS BIGINT) AS s, SUM(b) AS u FROM t").nonEmpty)
+    // multi-line whitespace + lowercase
+    assert(finalProjectionBareSums(
+      "select k,\n   sum(v) as s\nfrom t group by 1 order by 1").nonEmpty)
+    // identifiers containing 'sum' are not calls
+    assert(finalProjectionBareSums(
+      "SELECT checksum, summary FROM t ORDER BY 1").isEmpty)
+  }
+
+  test("no oracle SQL carries a bare SUM in its final projection") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (key, sql) => finalProjectionBareSums(sql).map(v => s"$key: $v")
+    }
+    assert(bad.isEmpty,
+      "bare SUM in a final projection (the round-11 HUGEINT driver-" +
+        "rendering hash-fail class — wrap in CAST(... AS BIGINT) or the " +
+        s"matching DECIMAL):\n${bad.mkString("\n")}")
+  }
+
   test("no oracle SQL contains an unpartitioned ordered window") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (key, sql) => globalWindows(sql).map(w => s"$key: $w")

@@ -41,7 +41,80 @@ if set(fz["queries"]) != set(art["queries"]):
           "— re-run tools/fuzz_check.py after changing the key surface")
     ok = False
 
+# quiet-bench drift gate (VERDICT r11 task 5: the round-11 +23% drift was
+# only visible because the judge diffed artifacts by hand — PLANS.md and
+# the scale headline have freshness gates, the quiet record had none).
+# Compares the two newest committed BENCH_QUIET_r*.json common-key totals;
+# >15% drift in either direction fails unless README.md carries an
+# attribution line naming the rounds (the honest-record discipline: drift
+# is allowed, silent drift is not).
+DRIFT_TOL = 0.15
+
+
+def quiet_drift(prev_name, prev, cur_name, cur, readme_text):
+    """Returns a list of gate failures (empty = pass) for a prev->cur
+    quiet-record pair. Pure function so the self-test can perturb it."""
+    common = [k for k, v in cur["queries"].items()
+              if v >= 0 and prev["queries"].get(k, -1) >= 0]
+    if not common:
+        return [f"no common keys between {prev_name} and {cur_name}"]
+    pt = sum(prev["queries"][k] for k in common)
+    ct = sum(cur["queries"][k] for k in common)
+    if pt <= 0:
+        return [f"{prev_name} common-key total is {pt}"]
+    drift = ct / pt - 1.0
+    if abs(drift) <= DRIFT_TOL:
+        return []
+    pr = re.search(r"r(\d+)", prev_name).group(1)
+    cr = re.search(r"r(\d+)", cur_name).group(1)
+    attr = re.search(
+        rf"quiet[- ]bench drift r0?{int(pr)}\s*(?:->|→)\s*r0?{int(cr)}\s+attributed:",
+        readme_text)
+    if attr:
+        return []
+    return [
+        f"quiet-bench common-key total drifted {drift:+.1%} "
+        f"({prev_name} {pt:.1f}s -> {cur_name} {ct:.1f}s, {len(common)} keys, "
+        f"tolerance ±{DRIFT_TOL:.0%}) with NO attribution — diagnose "
+        f"(contention? harness? plan regression?) and add a line "
+        f"'quiet-bench drift r{int(pr)}->r{int(cr)} attributed: <cause>' "
+        f"to README.md"]
+
+
+def _latest_quiet_pair():
+    import glob
+    files = sorted(glob.glob("BENCH_QUIET_r*.json"),
+                   key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
+    return files[-2:] if len(files) >= 2 else None
+
+
 readme = open("README.md").read()
+
+if "--selftest-drift" in sys.argv:
+    # synthetic perturbation: gate must FIRE on +16% and stay quiet on +14%
+    base = {"queries": {"a": 10.0, "b": 20.0}}
+    hot = {"queries": {"a": 11.6, "b": 23.2}}   # +16%
+    warm = {"queries": {"a": 11.4, "b": 22.8}}  # +14%
+    fired = quiet_drift("BENCH_QUIET_r97.json", base,
+                        "BENCH_QUIET_r98.json", hot, "")
+    quietok = quiet_drift("BENCH_QUIET_r97.json", base,
+                          "BENCH_QUIET_r98.json", warm, "")
+    attributed = quiet_drift(
+        "BENCH_QUIET_r97.json", base, "BENCH_QUIET_r98.json", hot,
+        "quiet-bench drift r97->r98 attributed: synthetic self-test")
+    assert fired and not quietok and not attributed, (fired, quietok, attributed)
+    print("selftest-drift: gate fires on +16%, passes +14%, "
+          "passes attributed +16%")
+    sys.exit(0)
+
+pair = _latest_quiet_pair()
+if pair:
+    prev_f, cur_f = pair
+    msgs = quiet_drift(prev_f, json.load(open(prev_f)),
+                       cur_f, json.load(open(cur_f)), readme)
+    for m in msgs:
+        print(f"DRIFT {m}")
+        ok = False
 # every artifact superlinear key must be named in README's scale-bench
 # narrative, and no key may be *claimed* superlinear that the artifact
 # doesn't list (checked only within the BENCH_SCALE paragraph)

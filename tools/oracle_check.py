@@ -47,6 +47,20 @@ def norm(v):
     return v
 
 
+# DuckDB types the driver's dataframe-fetch path renders as float64 even
+# when Python's fetchall yields exact ints (the round-11 fuzzy_link class:
+# SUM(BIGINT) -> HUGEINT -> driver renders 57.0 vs Spark's 57, hash
+# diverges with values identical). Any of these in a FINAL projection is a
+# guaranteed driver hash-fail regardless of values -> fail here first.
+WIDENED_INT_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
+def widened_int_cols(rel):
+    """Final-projection columns whose DuckDB type widens past BIGINT."""
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in WIDENED_INT_TYPES]
+
+
 def driver_hazards(row):
     """Values the DRIVER would canonicalize two ways even when both engines
     agree: decimals whose exact-scale string differs from their float repr
@@ -59,14 +73,75 @@ def driver_hazards(row):
     return out
 
 
+def final_order_cols(sql, proj_cols):
+    """Sort-key expressions of the query's FINAL (top-level) ORDER BY,
+    positional references resolved against the projection columns.
+    Returns None if the query has no top-level ORDER BY — the multiset
+    branch's ordered-equality inference is then INVALID and the caller
+    must fail loudly (the premise it used to assert only in a comment)."""
+    import re
+    s = re.sub(r"\s+", " ", sql).strip().rstrip(";")
+    up = s.upper()
+    depth = 0
+    last = -1
+    i = 0
+    while i < len(up):
+        c = up[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("ORDER BY", i) and (
+                i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_")):
+            last = i
+        i += 1
+    if last < 0:
+        return None
+    tail = s[last + len("ORDER BY"):]
+    # split on top-level commas; stop at a top-level LIMIT/OFFSET
+    parts, depth, cur = [], 0, []
+    j = 0
+    while j < len(tail):
+        c = tail[j]
+        u = tail.upper()
+        if depth == 0 and (u.startswith(" LIMIT ", j) or u.startswith(" OFFSET ", j)):
+            break
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        j += 1
+    parts.append("".join(cur))
+    out = []
+    for p in parts:
+        e = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p.strip())
+        e = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", e)
+        e = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", e).strip()
+        if re.fullmatch(r"\d+", e):  # positional: ORDER BY 1, 2
+            e = '"' + proj_cols[int(e) - 1] + '"'
+        out.append(e)
+    return out
+
+
 def main(sf_dir, out_dir):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
     # replica-corpus scale: keep the big intermediate joins in RAM
     # instead of spilling (the default limit spilled >60 GB to disk on
-    # the 25x corpus); harmless at the sf0.01 driver gate
-    con.execute("SET memory_limit='90GB'")
+    # the 25x corpus). Env-gated (set ORACLE_MEM=90GB for those runs):
+    # applied unconditionally, a box with less physical RAM would
+    # allocate toward the limit and OOM-kill the gate instead of
+    # spilling slowly — ordinary boxes keep DuckDB's default (80% RAM).
+    import os
+    mem = os.environ.get("ORACLE_MEM", "")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     # Every oracle either ends in an explicit total-order ORDER BY or is
     # a single-row aggregate (asserted by scanning oracle_sql.json), so
     # implicit insertion-order preservation buys nothing on the oracle
@@ -86,11 +161,16 @@ def main(sf_dir, out_dir):
     verdicts = {}  # name -> CORRECTNESS-style record (optional 3rd arg)
 
     def record(name, rows_match, schema_match, hash_match, srows, drows,
-               err=None):
+               err=None, compare=None):
         verdicts[name] = {
             "rows_match": rows_match, "schema_match": schema_match,
             "hash_match": hash_match, "spark_rows": srows,
-            "oracle_rows": drows, "err": err}
+            "oracle_rows": drows, "err": err,
+            # which evidence path produced the verdict: 'ordered-python'
+            # (driver-shaped row loop) vs 'multiset-duckdb' (EXCEPT ALL +
+            # verified-unique sort key + full-result hazard predicate) —
+            # the artifact must distinguish the two strengths
+            "compare": compare}
 
     # ORACLE_ONLY / ORACLE_SKIP: comma-separated key filters for targeted
     # re-runs (e.g. resuming a disk-exhausted pass at scale). The driver
@@ -116,6 +196,22 @@ def main(sf_dir, out_dir):
                    f"ORACLE SQL ERROR: {e}")
             continue
         scols, dcols = list(spark_rel.columns), list(duck_rel.columns)
+        # integer-widening hazard (type-level, value-independent): a
+        # HUGEINT-class column in the final projection is a guaranteed
+        # driver hash-fail even when every value matches — Python's
+        # fetchall yields exact ints for HUGEINT (so the row compare
+        # below would pass) but the driver's dataframe fetch renders it
+        # float64. Same closure style as the decimal hazard: fail HERE
+        # first, before the driver does.
+        wide = widened_int_cols(duck_rel)
+        if wide:
+            failures.append(
+                (name, f"DRIVER-HAZARD widened integer type(s) in final "
+                       f"projection: {wide} — CAST to BIGINT (the driver "
+                       f"renders HUGEINT as float64)"))
+            record(name, None, None, False, None, None,
+                   f"driver-hazard widened int types {wide}")
+            continue
         if sorted(map(str.lower, scols)) != sorted(map(str.lower, dcols)):
             failures.append((name, f"COLUMNS spark={sorted(scols)} duck={sorted(dcols)}"))
             record(name, None, False, False, None, None, "COLUMNS differ")
@@ -131,13 +227,15 @@ def main(sf_dir, out_dir):
             # millions of tuples; compare inside DuckDB instead. Both
             # engines emit a deterministic total order (repo discipline:
             # every key ends in an ORDER BY over a unique key), so
-            # multiset equality + equal counts == ordered equality.
+            # multiset equality + equal counts == ordered equality —
+            # and that premise is VERIFIED below (max group size over the
+            # declared sort key == 1), not asserted in prose.
             n_duck = con.execute(
                 f"SELECT count(*) FROM ({oracle[name]}) q").fetchone()[0]
             if n_spark != n_duck:
                 failures.append((name, f"ROWS spark={n_spark} duck={n_duck}"))
                 record(name, False, True, False, n_spark, n_duck,
-                       "row count mismatch")
+                       "row count mismatch", compare="multiset-duckdb")
                 continue
             sel_s = ", ".join(f'"{scols[i]}"' for i in order)
             sel_d = ", ".join(f'"{dcols[i]}"' for i in dorder)
@@ -153,23 +251,83 @@ def main(sf_dir, out_dir):
                 failures.append(
                     (name, f"{d1}+{d2} multiset-diff rows of {n_spark}"))
                 record(name, True, True, False, n_spark, n_duck,
-                       f"{d1}+{d2} multiset-diff rows")
+                       f"{d1}+{d2} multiset-diff rows",
+                       compare="multiset-duckdb")
                 continue
-            # driver-hazard decimal scan on a bounded sample (the scan
-            # exists for decimal-rendering hazards; the big keys are
-            # integer-typed, this is belt-and-braces)
-            hz = 0
-            for r in con.execute(f"{sq} LIMIT 100000").fetchall():
-                if driver_hazards(r):
-                    hz += 1
+            # ordered-equality premise, verified in code: the declared
+            # final sort key must be UNIQUE on this result (multiset
+            # equality + equal counts + unique sort key -> ordered
+            # equality; both sides share the multiset so one side's
+            # uniqueness check covers both)
+            ocols = final_order_cols(oracle[name], dcols)
+            if ocols is None:
+                failures.append(
+                    (name, "multiset branch needs a top-level ORDER BY — "
+                           "none found; ordered equality cannot be inferred"))
+                record(name, True, True, False, n_spark, n_duck,
+                       "no final ORDER BY (multiset branch premise)",
+                       compare="multiset-duckdb")
+                continue
+            try:
+                mx = con.execute(
+                    f"SELECT max(c) FROM (SELECT count(*) AS c FROM "
+                    f"({oracle[name]}) q GROUP BY {', '.join(ocols)}) t"
+                ).fetchone()[0]
+            except Exception as e:
+                failures.append(
+                    (name, f"sort-key uniqueness probe failed ({e}) — "
+                           f"ORDER BY exprs {ocols} must be projection "
+                           f"columns for the multiset branch"))
+                record(name, True, True, False, n_spark, n_duck,
+                       "sort-key uniqueness probe failed",
+                       compare="multiset-duckdb")
+                continue
+            if mx != 1:
+                failures.append(
+                    (name, f"final sort key {ocols} is NOT unique (max "
+                           f"group size {mx}) — multiset equality does "
+                           f"not imply ordered equality; tighten the "
+                           f"ORDER BY to a unique key"))
+                record(name, True, True, False, n_spark, n_duck,
+                       f"non-unique sort key (max group {mx})",
+                       compare="multiset-duckdb")
+                continue
+            # driver-hazard decimal scan over the FULL result, in DuckDB
+            # (the sampled Python loop covered an unordered LIMIT 100000
+            # slice — weaker evidence recorded on equal footing). Flags,
+            # per decimal column, the renderings the driver canonicalizes
+            # two ways: trailing zero at scale, or magnitude/precision
+            # past exact-double range (strictly harsher than the driver,
+            # consistent with norm()).
+            def dec_hazard_count(rel_sql, cols_types):
+                preds = []
+                for c, t in cols_types:
+                    if not str(t).upper().startswith("DECIMAL"):
+                        continue
+                    v = f'CAST("{c}" AS VARCHAR)'
+                    preds.append(
+                        f"regexp_matches({v}, '\\.[0-9]*0$')"
+                        f" OR abs(\"{c}\") >= 1e15"
+                        f" OR length(regexp_replace({v}, '[^0-9]', '', 'g')) > 15")
+                if not preds:
+                    return 0
+                return con.execute(
+                    f"SELECT count(*) FROM ({rel_sql}) t WHERE "
+                    + " OR ".join(f"({p})" for p in preds)).fetchone()[0]
+            hz = (dec_hazard_count(sq, list(zip(
+                      spark_rel.columns, spark_rel.types)))
+                  + dec_hazard_count(dq, list(zip(dcols, duck_rel.types))))
             if hz:
                 failures.append(
-                    (name, f"{hz} sampled rows carry driver-hazard decimals"))
+                    (name, f"{hz} rows (full scan) carry driver-hazard decimals"))
                 record(name, True, True, False, n_spark, n_duck,
-                       "driver-hazard decimals (sampled)")
+                       "driver-hazard decimals (full scan)",
+                       compare="multiset-duckdb")
                 continue
-            print(f"OK   {name}: {n_spark} rows (multiset compare)")
-            record(name, True, True, True, n_spark, n_duck)
+            print(f"OK   {name}: {n_spark} rows (multiset compare, "
+                  f"unique-sort-key verified)")
+            record(name, True, True, True, n_spark, n_duck,
+                   compare="multiset-duckdb")
             continue
         # BOTH fetches run with order preservation ON: the Spark parquet's
         # file order IS the engine's emitted order, and a DuckDB oracle
@@ -187,7 +345,7 @@ def main(sf_dir, out_dir):
         if len(srows) != len(drows):
             failures.append((name, f"ROWS spark={len(srows)} duck={len(drows)}"))
             record(name, False, True, False, len(srows), len(drows),
-                   "row count mismatch")
+                   "row count mismatch", compare="ordered-python")
             continue
         bad = 0
         hazards = 0
@@ -206,14 +364,15 @@ def main(sf_dir, out_dir):
         if bad:
             failures.append((name, f"{bad}/{len(srows)} rows differ"))
             record(name, True, True, False, len(srows), len(drows),
-                   f"{bad} rows differ")
+                   f"{bad} rows differ", compare="ordered-python")
         elif hazards:
             failures.append((name, f"{hazards}/{len(srows)} rows carry trailing-zero decimals the driver hash-fails"))
             record(name, True, True, False, len(srows), len(drows),
-                   "driver-hazard decimals")
+                   "driver-hazard decimals", compare="ordered-python")
         else:
             print(f"OK   {name}: {len(srows)} rows")
-            record(name, True, True, True, len(srows), len(drows))
+            record(name, True, True, True, len(srows), len(drows),
+                   compare="ordered-python")
     if len(sys.argv) > 3:
         Path(sys.argv[3]).write_text(json.dumps(verdicts, indent=1))
     if failures:
