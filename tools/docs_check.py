@@ -67,9 +67,11 @@ def quiet_drift(prev_name, prev, cur_name, cur, readme_text):
         return []
     pr = re.search(r"r(\d+)", prev_name).group(1)
     cr = re.search(r"r(\d+)", cur_name).group(1)
+    # whitespace-normalized: markdown hard-wraps lines, so the phrase may
+    # break across a line boundary anywhere
     attr = re.search(
         rf"quiet[- ]bench drift r0?{int(pr)}\s*(?:->|→)\s*r0?{int(cr)}\s+attributed:",
-        readme_text)
+        re.sub(r"\s+", " ", readme_text))
     if attr:
         return []
     return [

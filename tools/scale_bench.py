@@ -12,7 +12,7 @@ Usage: python3 tools/scale_bench.py <base_full.json> <out.json> \
                   script exits 1 — a ratio above k is only acceptable in
                   the artifact alongside its measured explanation.
 
-Two gates per multiple:
+Three gates per multiple:
 - TIME: per-key ratio sec_kx/sec_1x > k (1x times under FLOOR_SEC skip —
   scheduling noise).
 - BYTES (round 11+): per-key shuffle-write ratio
@@ -20,6 +20,9 @@ Two gates per multiple:
   model is shuffle bytes moved, not local seconds; the max() keeps a
   near-zero 1x base from inflating AQE/broadcast flips into violations
   while still catching a shuffle that GROWS into something real at kx.
+- SPILL (round 12+): a key spilling >4MB at kx while spill-free at 1x is
+  flagged spill-emergent — the memory-pressure signal that predicts
+  100 TB OOMs even when local disk hides it from the timing.
 
 With two or more multiples, each key also gets an empirical scaling
 EXPONENT fit between the two largest multiples
@@ -63,12 +66,16 @@ def main(base_p, out_p, notes_p, *points):
         return str(int(k)) if k == int(k) else str(k)
 
     queries, superlinear, byte_superlinear = {}, {}, {}
+    spill_emergent = {}
     for key in sorted(bq):
         b = bq[key]
         entry = {"sec_1x": round(b, 3)}
         w1 = bb.get(key, {}).get("write", -1)
         if w1 >= 0:
             entry["write_mb_1x"] = round(w1 / 2**20, 1)
+        p1 = bb.get(key, {}).get("spill", -1)
+        if p1 >= 0:
+            entry["spill_mb_1x"] = round(p1 / 2**20, 1)
         for k, art in scaled:
             t = ktag(k)
             s = art["queries"][key]
@@ -85,6 +92,15 @@ def main(base_p, out_p, notes_p, *points):
                 entry[f"byte_ratio_{t}x"] = br
                 if br > k:
                     byte_superlinear.setdefault(t, []).append(key)
+            # spill gate (round 12+): spill is the memory-pressure signal
+            # that predicts 100 TB OOMs — a key that runs spill-free at 1x
+            # but spills at kx has outgrown its partition sizing, and the
+            # local timing may hide it (disk is fast here, OOM is not).
+            pk = art.get("shuffle_bytes", {}).get(key, {}).get("spill", -1)
+            if pk >= 0:
+                entry[f"spill_mb_{t}x"] = round(pk / 2**20, 1)
+                if pk > FLOOR_BYTES and p1 <= FLOOR_BYTES:
+                    spill_emergent.setdefault(t, []).append(key)
         if len(scaled) >= 2:
             (ka, aa), (kb, ab) = scaled[-2], scaled[-1]
             ta, tb = aa["queries"][key], ab["queries"][key]
@@ -94,7 +110,8 @@ def main(base_p, out_p, notes_p, *points):
         queries[key] = entry
 
     flagged = sorted({q for ks in superlinear.values() for q in ks} |
-                     {q for ks in byte_superlinear.values() for q in ks})
+                     {q for ks in byte_superlinear.values() for q in ks} |
+                     {q for ks in spill_emergent.values() for q in ks})
     unexplained = [q for q in flagged if q not in notes]
     if unexplained:
         sys.exit(
@@ -126,6 +143,7 @@ def main(base_p, out_p, notes_p, *points):
             "load_avg_before": a.get("load_avg_before"),
             "superlinear_keys": superlinear.get(ktag(k), []),
             "byte_superlinear_keys": byte_superlinear.get(ktag(k), []),
+            "spill_emergent_keys": spill_emergent.get(ktag(k), []),
         } for k, a in scaled],
         "note": ("per-key median(1x, quiet multi-pass) vs kx replicated "
                  "corpus at each point; ratio > k means superlinear "
@@ -133,7 +151,10 @@ def main(base_p, out_p, notes_p, *points):
                  "`exponent` is the empirical scaling exponent fit "
                  "between the two largest multiples (~1 linear, ~2 "
                  "quadratic); ratios omitted for keys whose 1x time is "
-                 f"under the {int(FLOOR_SEC*1000)}ms scheduling floor"),
+                 f"under the {int(FLOOR_SEC*1000)}ms scheduling floor; "
+                 "spill_emergent_keys spill >4MB at kx while spill-free "
+                 "at 1x (the memory-pressure signal that predicts OOMs "
+                 "at cluster scale)"),
         "queries": queries,
         "superlinear_analysis": {q: notes[q] for q in flagged},
     }
@@ -142,7 +163,8 @@ def main(base_p, out_p, notes_p, *points):
     for p in art["points"]:
         print(f"k={p['k']} total_ratio={p['total_ratio']} "
               f"superlinear={p['superlinear_keys']} "
-              f"byte_superlinear={p['byte_superlinear_keys']}")
+              f"byte_superlinear={p['byte_superlinear_keys']} "
+              f"spill_emergent={p['spill_emergent_keys']}")
 
 
 if __name__ == "__main__":
