@@ -259,6 +259,7 @@ def main(sf_dir, out_dir):
             # equality + equal counts + unique sort key -> ordered
             # equality; both sides share the multiset so one side's
             # uniqueness check covers both)
+            order_evidence = "unique-sort-key verified"
             ocols = final_order_cols(oracle[name], dcols)
             if ocols is None:
                 failures.append(
@@ -283,15 +284,36 @@ def main(sf_dir, out_dir):
                        compare="multiset-duckdb")
                 continue
             if mx != 1:
-                failures.append(
-                    (name, f"final sort key {ocols} is NOT unique (max "
-                           f"group size {mx}) — multiset equality does "
-                           f"not imply ordered equality; tighten the "
-                           f"ORDER BY to a unique key"))
-                record(name, True, True, False, n_spark, n_duck,
-                       f"non-unique sort key (max group {mx})",
-                       compare="multiset-duckdb")
-                continue
+                # weaker-but-still-sound premise: if every sort-key group
+                # contains exactly ONE distinct full row (ties are exact
+                # duplicate rows — e.g. a projection sorted on all its
+                # columns over a replica corpus), positions within a group
+                # are interchangeable and multiset equality + equal counts
+                # still implies ordered equality. Check: #distinct full
+                # rows == #distinct sort keys.
+                all_cols = ", ".join(f'"{c}"' for c in dcols)
+                n_full = con.execute(
+                    f"SELECT count(*) FROM (SELECT DISTINCT {all_cols} "
+                    f"FROM ({oracle[name]}) q) t").fetchone()[0]
+                n_key = con.execute(
+                    f"SELECT count(*) FROM (SELECT DISTINCT "
+                    f"{', '.join(ocols)} FROM ({oracle[name]}) q) t"
+                ).fetchone()[0]
+                if n_full != n_key:
+                    failures.append(
+                        (name, f"final sort key {ocols} is NOT unique (max "
+                               f"group size {mx}) and groups are not "
+                               f"single-valued ({n_full} distinct rows vs "
+                               f"{n_key} distinct keys) — multiset equality "
+                               f"does not imply ordered equality; tighten "
+                               f"the ORDER BY to a unique key"))
+                    record(name, True, True, False, n_spark, n_duck,
+                           f"non-unique sort key (max group {mx}), "
+                           f"groups not single-valued",
+                           compare="multiset-duckdb")
+                    continue
+                order_evidence = (
+                    f"sort-key groups single-valued (max group {mx})")
             # driver-hazard decimal scan over the FULL result, in DuckDB
             # (the sampled Python loop covered an unordered LIMIT 100000
             # slice — weaker evidence recorded on equal footing). Flags,
@@ -325,7 +347,7 @@ def main(sf_dir, out_dir):
                        compare="multiset-duckdb")
                 continue
             print(f"OK   {name}: {n_spark} rows (multiset compare, "
-                  f"unique-sort-key verified)")
+                  f"{order_evidence})")
             record(name, True, True, True, n_spark, n_duck,
                    compare="multiset-duckdb")
             continue
