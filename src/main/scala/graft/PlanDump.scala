@@ -66,7 +66,22 @@ object PlanDump {
           "groupBy (bounded by the loud basket cap), never a " +
           "corpus-level self-join; both support joins are " +
           "ShuffledHashJoin (corpus-derived, never broadcast); the " +
-          "only BroadcastExchange is the 1-row order total."))
+          "only BroadcastExchange is the 1-row order total."),
+      "dsir_weights" ->
+        ("DSIR importance weighting: above the checkpoint boundary the " +
+          "only join is the 1-row selection-totals cross " +
+          "(BroadcastNestedLoopJoin over a two-phase aggregate); the " +
+          "weight subtree under the Scan ExistingRDD — gram explode, " +
+          "256-row domain-bounded profile broadcast, per-doc partial " +
+          "agg — is audited directly in PlanSpec via dsirWeightOf."),
+      "semdedup_keep" ->
+        ("SemDeDup: the candidate self-join on (cell, bucket) is " +
+          "ShuffledHashJoin and the keep anti-join is shuffle-hash — " +
+          "the corpus-derived member table is never broadcast, never " +
+          "sorted, and there is no all-pairs shape; the cell-assignment " +
+          "subtree under the Scan ExistingRDD (labels×dims centroid " +
+          "broadcast + ONE max_by hash aggregate) is audited directly " +
+          "in PlanSpec via semdedupCellsOf."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -665,7 +665,129 @@ object Similarity {
             FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")
   )
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication inside
+    * CLUSTER cells rather than random-projection buckets — cluster the
+    * embedding space, call same-cell high-cosine pairs semantic
+    * duplicates, and keep, per duplicate group, the member FARTHEST from
+    * its cell centroid (the paper's keep rule: the most boundary-typical
+    * exemplar survives; centroid-adjacent copies are the redundant
+    * ones). Here the cells are the per-label centroids (the ann_ivf
+    * coarse-quantizer convention — production derives them with the
+    * kmeans_lloyd loop; every mechanic downstream of the centroid table
+    * is identical), assignment is argmax quantized dot with ties to the
+    * smallest label, centroid-similarity is the vector's own winning
+    * score, and near-dup candidates are bounded to same-cell AND
+    * same-sign-bucket pairs with quantized dot > 250000 (the
+    * dedup_embedding threshold — one corpus-wide definition of
+    * "near-duplicate"). A vector is dropped iff SOME candidate partner
+    * beats it under (centroid-similarity ASC, vec_id ASC) — the
+    * pairwise-dominance form of the paper's per-group keep-one (equal
+    * outcome on clean duplicate groups, deterministic on chains).
+    * Empty/degenerate vectors carry no components, win no cell, and stay
+    * out of scope on both engines (the ann_ivf rule).
+    *
+    * Scale shape: the centroid table is labels×dims rows — config-sized,
+    * sanctioned broadcast; assignment + centroid-similarity is ONE
+    * hash-aggregate pass (max_by); candidates are a (cell, bucket)
+    * equi-self-join — never all-pairs, shuffle_hash-pinned so the
+    * corpus-derived side is never broadcast; the keep rule is a
+    * projection + anti-join. At 100 TB the cell count scales with the
+    * corpus (SemDeDup's own regime) so cell×bucket occupancy stays
+    * bounded. */
+  /** The (vec_id, cell, d2c) cell-assignment frame — argmax-dot label
+    * cell with the winning score, the subtree below semdedup_keep's
+    * checkpoint boundary, exposed so PlanSpec can audit its shape
+    * (centroid broadcast + ONE max_by hash aggregate) where the key's
+    * own plan shows only a checkpoint scan. */
+  private[graft] def semdedupCellsOf(e: DataFrame): DataFrame = {
+    val comp = quantComponents(e).select("vec_id", "dim", "q")
+    val cent = centroidComponents(e).select("label", "dim", "c")
+    // argmax-dot cell + the winning score in ONE aggregate: max_by
+    // picks the cell (ties → smallest label via -label), max(score)
+    // IS that cell's score — no join-back, no per-vector sort
+    comp.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q") * col("c")).as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("label"), struct(col("score"), -col("label")))
+        .as("cell"),
+        max(col("score")).as("d2c"))
+  }
+
+  val semdedupKeep = QuerySpec(
+    "semdedup_keep",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val m = e.join(semdedupCellsOf(e), Seq("vec_id"))
+        .withColumn("bucket",
+          expr(bucketExpr.replace("EMB", "embedding")).cast("long"))
+        .localCheckpoint(false) // 3 consumers: both pair sides + output
+      val a = m.select(col("cell").as("pc"), col("bucket").as("pb"),
+        col("vec_id").as("id1"), col("embedding").as("e1"), col("d2c").as("d1"))
+      val b = m.select(col("cell").as("pc"), col("bucket").as("pb"),
+        col("vec_id").as("id2"), col("embedding").as("e2"), col("d2c").as("d2"))
+      val pairs = a.join(b.hint("shuffle_hash"), Seq("pc", "pb"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("d1"), col("d2"),
+          quantDot("e1", "e2").as("dot"))
+        .filter(col("dot") > lit(250000L))
+      // keep-farthest-from-centroid: the pair member with the SMALLER
+      // (d2c, vec_id) survives, the other is dropped
+      val dropped = pairs
+        .select(when(col("d1") <= col("d2"), col("id2")).otherwise(col("id1"))
+          .as("vec_id"))
+        .distinct()
+      // anti-join build side is corpus-derived — shuffle_hash, so the
+      // member table is neither sorted (SMJ) nor broadcast
+      m.join(dropped.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("d2c"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH comp AS (
+              SELECT vec_id, i AS dim,
+                     CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+            cent AS (
+              SELECT label, i AS dim,
+                     CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+                       // count(*) AS c
+              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+              GROUP BY label, i),
+            scored AS (
+              SELECT comp.vec_id, cent.label,
+                     CAST(SUM(comp.q * cent.c) AS BIGINT) AS score
+              FROM comp JOIN cent ON comp.dim = cent.dim
+              GROUP BY comp.vec_id, cent.label),
+            cells AS (
+              SELECT vec_id, label AS cell, score AS d2c FROM (
+                SELECT vec_id, label, score,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, label) AS rn
+                FROM scored) WHERE rn = 1),
+            m AS (
+              SELECT e.vec_id, e.embedding, c.cell, c.d2c,
+                     ${oracleBucket.replace("EMB", "e.embedding")} AS bucket
+              FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id),
+            pairs AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2, a.d2c AS d1, b.d2c AS d2
+              FROM m a JOIN m b
+                ON a.cell = b.cell AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+              WHERE CAST(COALESCE(list_sum(list_transform(
+                      generate_series(1, least(len(a.embedding), len(b.embedding))),
+                      i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                           CAST(FLOOR(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))), 0)
+                      AS BIGINT) > 250000),
+            dropped AS (
+              SELECT DISTINCT CASE WHEN d1 <= d2 THEN id2 ELSE id1 END AS vec_id
+              FROM pairs)
+            SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell, m.d2c
+            FROM m LEFT JOIN dropped dr ON m.vec_id = dr.vec_id
+            WHERE dr.vec_id IS NULL
+            ORDER BY m.vec_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, knnGraph,
-        embeddingCentroids, annIvf, kmeansLloyd, annPq)
+        embeddingCentroids, annIvf, kmeansLloyd, annPq, semdedupKeep)
 }

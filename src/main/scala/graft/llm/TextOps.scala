@@ -60,5 +60,5 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
         spanCorruption, bpeMergePairs, pipelineQualityPack, globalShuffle,
-        mixtureAllocate, repeatUpsample, curriculumSchedule)
+        mixtureAllocate, repeatUpsample, curriculumSchedule, dsirWeights)
 }

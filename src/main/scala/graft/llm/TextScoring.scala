@@ -1004,4 +1004,112 @@ private[llm] trait TextScoring { self: TextOps.type =>
             SELECT doc_id, n_tokens, stop_milli, alpha_milli
             FROM cleaned ORDER BY doc_id""")
   )
+
+  /** DSIR-style data selection via hashed n-gram importance weights
+    * (Xie et al. 2023, "Data Selection via Importance Resampling"): score
+    * every raw document by how target-like its hashed n-gram profile is,
+    * then select the documents whose importance clears a corpus-level
+    * bar. Features are word unigrams + bigrams hashed into 256 buckets
+    * (bucket id = the first 2 hex chars of md5 — pure string equality,
+    * engine-agnostic); the bucket importance is the LOG-FREE integer
+    * likelihood ratio s(b) = 10⁶·(target(b)+1) div (raw(b)+1) (the
+    * bm25/tfidf convention — ln would make the selection boundary an
+    * engine-rounding artifact; +1 is add-one smoothing), and a document's
+    * weight is the sum of s(bucket) over its gram OCCURRENCES. The
+    * target distribution here is the English slice (lang = 'en'); raw is
+    * the whole corpus — target ⊆ raw, so s(b) ≤ 10⁶ and the weight is
+    * bounded by 10⁶ × grams-per-doc. `selected` marks docs whose weight
+    * clears the corpus mean strictly, cross-multiplied in DECIMAL(38,0)
+    * so the cut is exact at any corpus size (on a well-mixed corpus the
+    * above-mean slice is the target-like half — a harder multiple of the
+    * mean degenerates to an empty selection when weights concentrate);
+    * sampling ∝ weight WITHOUT
+    * replacement composes with weighted_sample's A-ES priority instead
+    * of re-deriving it here.
+    *
+    * Scale shape (DSIR's own selling point): the gram explode is
+    * map-side; the two-distribution profile is ONE conditional aggregate
+    * to a 256-row table — domain-bounded by construction (the
+    * qualityBandOf histogram class), so its broadcast is the sanctioned
+    * config-sized kind, NOT a corpus-proportional broadcast; the weight
+    * is one (doc_id) partial agg; the selection bar is a 1-row totals
+    * broadcast (the bm25 `st` class). No global sort anywhere. */
+  /** The (doc_id, weight_micro) DSIR weight frame over any (doc_id,
+    * lang, text) frame — the pipeline below dsir_weights' checkpoint
+    * boundary, exposed so PlanSpec can audit its shape (profile
+    * broadcast + partial agg) where the key's own plan shows only a
+    * checkpoint scan. */
+  private[graft] def dsirWeightOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), tokens.as("arr"))
+    // unigrams ++ bigrams in one explode; the size<2 guard pins Spark's
+    // DESCENDING sequence(1, 0) to DuckDB's empty generate_series(1, 0)
+    val grams = toks
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("arr"), expr(
+          """CASE WHEN size(arr) < 2 THEN CAST(array() AS ARRAY<STRING>)
+             ELSE transform(sequence(1, size(arr) - 1),
+                            i -> concat(element_at(arr, i), ' ',
+                                        element_at(arr, i + 1)))
+             END"""))).as("g"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("g")), 1, 2).as("b"))
+      .localCheckpoint(false) // 2 consumers: profile + weight join
+    val prof = grams.groupBy("b")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      .select(col("b"), expr("(1000000 * (t + 1)) div (r + 1)").as("s_micro"))
+    val w = grams.join(broadcast(prof), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("s_micro")).as("wm"))
+    // gram-less docs (empty text) weigh 0 — present, not lost
+    docs.select("doc_id").join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("wm"), lit(0L)).as("weight_micro"))
+  }
+
+  val dsirWeights = QuerySpec(
+    "dsir_weights",
+    (s, d) => {
+      val wfull = dsirWeightOf(documents(s, d))
+        .localCheckpoint(false) // 2 consumers: totals + final projection
+      val tot = wfull.agg(sum(col("weight_micro")).as("tot_w"),
+        count(lit(1)).as("nw"))
+      wfull.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("weight_micro"),
+          expr("""CAST(CAST(nw AS DECIMAL(38,0)) * weight_micro >
+                       CAST(tot_w AS DECIMAL(38,0)) AS LONG)""")
+            .as("selected"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 w -> w <> '') AS arr
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lang, substr(md5(arr[i]), 1, 2) AS b
+              FROM toks, UNNEST(generate_series(1, len(arr))) AS t(i)
+              UNION ALL
+              SELECT doc_id, lang,
+                     substr(md5(arr[i] || ' ' || arr[i + 1]), 1, 2) AS b
+              FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS t(i)),
+            prof AS (
+              SELECT b,
+                     (1000000 * (CAST(SUM(CASE WHEN lang = 'en' THEN 1
+                                              ELSE 0 END) AS BIGINT) + 1))
+                       // (count(*) + 1) AS s_micro
+              FROM grams GROUP BY b),
+            w AS (
+              SELECT g.doc_id, CAST(SUM(p.s_micro) AS BIGINT) AS weight_micro
+              FROM grams g JOIN prof p USING (b) GROUP BY g.doc_id),
+            wfull AS (
+              SELECT d.doc_id, COALESCE(w.weight_micro, 0) AS weight_micro
+              FROM documents d LEFT JOIN w USING (doc_id)),
+            tot AS (
+              SELECT CAST(SUM(weight_micro) AS HUGEINT) AS tot_w,
+                     CAST(COUNT(*) AS HUGEINT) AS nw
+              FROM wfull)
+            SELECT doc_id, weight_micro,
+                   CAST(nw * weight_micro > tot_w AS BIGINT) AS selected
+            FROM wfull CROSS JOIN tot
+            ORDER BY doc_id""")
+  )
 }

@@ -386,4 +386,29 @@ class PlanSpec extends SparkSpec {
     assert(globalSubtree.contains("HashAggregate"),
       s"single-partition window not over the aggregated chunk totals:\n$p")
   }
+
+  test("dsir_weights: profile joins as broadcast (domain-bounded 256 rows), weight agg is partial; totals cross is the only join above the checkpoint") {
+    // the weight subtree sits below the key's checkpoint boundary —
+    // audit it directly
+    val sub = llm.TextOps.dsirWeightOf(Tables.documents(spark, sf))
+    val sp = sub.queryExecution.sparkPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), s"profile join not broadcast:\n$sp")
+    assert("HashAggregate".r.findAllIn(sp).size >= 2, s"no partial agg:\n$sp")
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("semdedup_keep: centroid join broadcasts (config-sized); pair + anti joins stay shuffle-hash, member table never broadcast/sorted") {
+    val cells = llm.Similarity.semdedupCellsOf(Tables.embeddings(spark, sf))
+    val cp = cells.queryExecution.sparkPlan.toString
+    assert(cp.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$cp")
+    assert(cp.contains("max_by") || cp.contains("maxby"), cp)
+    val p = plan("semdedup_keep")
+    assert(p.contains("ShuffledHashJoin"), s"pair join not shuffle-hash:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"member table sorted (anti-join degraded to SMJ):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived broadcast above the checkpoint:\n$p")
+  }
 }
