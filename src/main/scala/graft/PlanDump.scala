@@ -81,7 +81,14 @@ object PlanDump {
           "sorted, and there is no all-pairs shape; the cell-assignment " +
           "subtree under the Scan ExistingRDD (labels×dims centroid " +
           "broadcast + ONE max_by hash aggregate) is audited directly " +
-          "in PlanSpec via semdedupCellsOf."))
+          "in PlanSpec via semdedupCellsOf."),
+      "cdc_chunk_dedup" ->
+        ("Content-defined chunking: boundary detection is map-side " +
+          "explode work; chunk extents come from a doc_id-PARTITIONED " +
+          "lag window over boundary rows only (no SinglePartition " +
+          "exchange anywhere); the text joins back ONCE as " +
+          "ShuffledHashJoin (positions frame is corpus-derived, never " +
+          "broadcast); the chunk store is one partial hash aggregate."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -3,6 +3,7 @@ package graft.llm
 import graft.Tables._
 import graft.QuerySpec
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -267,5 +268,95 @@ object Multimodal {
             GROUP BY 1 ORDER BY keep_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(meta, frames, features, resize, mediaDedup)
+  /** Content-defined-chunking (CDC) blob dedup — the storage-layer
+    * dedup classic (LBFS/venti/restic): chunk boundaries are a pure
+    * function of local CONTENT (here: position i ends a chunk iff the
+    * first hex digit of md5 over the 8-char window ending at i is '0' —
+    * P=1/16, expected chunk ≈ a few window lengths), so inserting or
+    * deleting bytes only reshapes the chunks AROUND the edit while every
+    * chunk downstream realigns — the property fixed-size blocks lack and
+    * the reason production blob stores dedup at CDC chunk granularity.
+    * `multimodal_dedup` is the whole-blob tier; this is the sub-blob
+    * tier that catches shared content across DIFFERENT blobs.
+    *
+    * Character-level here (the synthetic payload is encode(text); Spark
+    * substring and DuckDB substr share character semantics, so the
+    * pipeline is engine-exact incl. multi-byte UTF-8) — on a real media
+    * corpus the identical pipeline runs over the binary column.
+    *
+    * Output is the CHUNK-STORE view: one row per distinct chunk with
+    * occurrence/document counts, the chunk length, and `keep_code` — the
+    * canonical occurrence encoded as doc_id·2³² + start (an integer
+    * composite both engines order identically; decoding is two divs).
+    *
+    * Scale shape: boundary detection is per-document map work (the
+    * shingleRows explode discipline); extents come from a doc-PARTITIONED
+    * lag window over boundary rows only (≈ len/16 rows per doc, never the
+    * text); the text joins back ONCE, shuffle_hash on doc_id (positions
+    * frame is corpus-derived — never broadcast); the chunk store is one
+    * hash aggregate on the chunk hash. */
+  val cdcChunkDedup = QuerySpec(
+    "cdc_chunk_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .select("doc_id", "text")
+      // content-defined boundaries (docs shorter than the window have
+      // none); sequence(8, len<8) would be DESCENDING — filter first
+      val wins = docs.filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          explode(sequence(lit(8), length(col("text")))).as("i"), col("text"))
+        .filter(substring(md5(expr("substring(text, i - 7, 8)")), 1, 1) === "0")
+        .select(col("doc_id"), col("i").cast("long").as("i"))
+      // every doc ends its last chunk at len, boundary hit or not
+      val ends = wins
+        .unionByName(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("i")))
+        .distinct()
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val spans = ends
+        .withColumn("s", coalesce(lag(col("i"), 1).over(w), lit(0L)) + 1L)
+        .select(col("doc_id"), col("s"), col("i").as("e"))
+      spans.join(docs.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("s"), col("e"),
+          expr("substring(text, CAST(s AS INT), CAST(e - s + 1 AS INT))").as("c"))
+        .groupBy(md5(col("c")).as("chunk_hash"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("e") - col("s") + 1L).as("chunk_len"),
+          min(col("doc_id") * 4294967296L + col("s")).as("keep_code"))
+        .orderBy("chunk_hash")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+            wins AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i
+              FROM docs, UNNEST(generate_series(8, length(text))) AS t(i)
+              WHERE substr(md5(substr(text, CAST(i AS INTEGER) - 7, 8)), 1, 1) = '0'),
+            ends AS (
+              SELECT DISTINCT doc_id, i FROM (
+                SELECT doc_id, i FROM wins
+                UNION ALL
+                SELECT doc_id, CAST(length(text) AS BIGINT) FROM docs)),
+            spans AS (
+              SELECT doc_id,
+                     COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+                     i AS e
+              FROM ends),
+            chunks AS (
+              SELECT sp.doc_id, sp.s, sp.e,
+                     substr(d.text, CAST(sp.s AS INTEGER),
+                            CAST(sp.e - sp.s + 1 AS INTEGER)) AS c
+              FROM spans sp JOIN docs d USING (doc_id))
+            SELECT md5(c) AS chunk_hash,
+                   count(*) AS occurrences,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(MIN(e - s + 1) AS BIGINT) AS chunk_len,
+                   CAST(MIN(doc_id * 4294967296 + s) AS BIGINT) AS keep_code
+            FROM chunks
+            GROUP BY 1 ORDER BY chunk_hash""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(meta, frames, features, resize, mediaDedup, cdcChunkDedup)
 }

@@ -787,7 +787,74 @@ object Similarity {
             ORDER BY m.vec_id""")
   )
 
+  /** Measured ANN quality contract: recall@3 of the LSH-bucket AND IVF
+    * tiers against the exact brute-force tier, per query — the
+    * bloom_fpr_calib / quantile_sketch_calib / minhash_sim_est
+    * discipline applied to similarity search. An approximate index
+    * whose recall is assumed rather than MEASURED is the classic silent
+    * 100 TB failure (the probe-count/recall tradeoff IS the cost
+    * model); this key makes the numbers gated outputs. All tiers are
+    * the component keys' own pipelines — engine side by calling their
+    * builders, oracle side by nesting their oracle SQL verbatim as
+    * subqueries — so the calibration can never drift from what
+    * `ann_topk` / `ann_lsh_bucket` / `ann_ivf` actually compute.
+    * (On this synthetic corpus the result is itself the lesson: random
+    * embeddings have no neighborhood structure, so sign-bucket recall
+    * is near zero while IVF's max-dot cells keep a usable fraction —
+    * exactly the kind of fact a deployment must measure, not assume.)
+    *
+    * Scale shape: all tiers are query-volume-sized (|Q|·k rows); each
+    * hit check is a semi-join on (qid, vec_id) and one |Q|-row
+    * aggregate. */
+  val annRecallCalib = QuerySpec(
+    "ann_recall_calib",
+    (s, d) => {
+      val exact = annBruteForce.fn(s, d)
+        .filter(col("rank") <= 3).select("qid", "vec_id")
+        .localCheckpoint(false) // 3 consumers: truth sizes + 2 hit probes
+      val truth = exact.groupBy("qid").agg(count(lit(1)).as("truth_n"))
+      def hitsOf(approx: DataFrame, name: String): DataFrame =
+        approx.select("qid", "vec_id")
+          .join(exact, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as(name))
+      truth
+        .join(hitsOf(annLshBucket.fn(s, d), "lsh_hits"), Seq("qid"), "left")
+        .join(hitsOf(annIvf.fn(s, d), "ivf_hits"), Seq("qid"), "left")
+        .select(col("qid"), col("truth_n"),
+          coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+          expr("(1000 * coalesce(lsh_hits, 0L)) div truth_n")
+            .as("lsh_recall_milli"),
+          coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+          expr("(1000 * coalesce(ivf_hits, 0L)) div truth_n")
+            .as("ivf_recall_milli"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH ex AS (
+              SELECT qid, vec_id FROM (${annBruteForce.oracle.get}) WHERE rank <= 3),
+            lsh AS (
+              SELECT qid, vec_id FROM (${annLshBucket.oracle.get})),
+            ivf AS (
+              SELECT qid, vec_id FROM (${annIvf.oracle.get})),
+            t AS (SELECT qid, count(*) AS truth_n FROM ex GROUP BY qid),
+            hl AS (
+              SELECT qid, count(*) AS lsh_hits
+              FROM lsh SEMI JOIN ex USING (qid, vec_id)
+              GROUP BY qid),
+            hi AS (
+              SELECT qid, count(*) AS ivf_hits
+              FROM ivf SEMI JOIN ex USING (qid, vec_id)
+              GROUP BY qid)
+            SELECT t.qid, t.truth_n,
+                   COALESCE(hl.lsh_hits, 0) AS lsh_hits,
+                   (1000 * COALESCE(hl.lsh_hits, 0)) // t.truth_n AS lsh_recall_milli,
+                   COALESCE(hi.ivf_hits, 0) AS ivf_hits,
+                   (1000 * COALESCE(hi.ivf_hits, 0)) // t.truth_n AS ivf_recall_milli
+            FROM t LEFT JOIN hl USING (qid) LEFT JOIN hi USING (qid)
+            ORDER BY t.qid""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, knnGraph,
-        embeddingCentroids, annIvf, kmeansLloyd, annPq, semdedupKeep)
+        embeddingCentroids, annIvf, kmeansLloyd, annPq, semdedupKeep,
+        annRecallCalib)
 }

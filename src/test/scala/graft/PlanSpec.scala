@@ -411,4 +411,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"),
       s"corpus-derived broadcast above the checkpoint:\n$p")
   }
+
+  test("cdc_chunk_dedup: doc-partitioned lag window, shuffle-hash text join-back, no single-partition exchange, no broadcast") {
+    val p = plan("cdc_chunk_dedup")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"chunk-extent window not partitioned by doc_id:\n$p")
+    assert(!p.contains("SinglePartition"), s"global exchange:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"text join-back not shuffle-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived broadcast:\n$p")
+  }
 }

@@ -89,6 +89,12 @@ def adversarial_embeddings(dim=8):
     add([1e4] * dim, 3)                   # large magnitude
     add([1e-10] * dim, 3)                 # denormal-ish
     add([(-1) ** i * (i + 1) for i in range(dim)], 4)
+    # identical SMALL-NORM pair: dot = 8*(0.1*1000)^2 = 80k < the 250k
+    # near-dup threshold, so dedup_embedding must NOT pair them and
+    # semdedup_keep must keep BOTH despite verbatim equality — the
+    # "identical but not a semantic duplicate by the contract" path
+    add([0.1] * dim, 6)
+    add([0.1] * dim, 6)
     for i in range(dim):                  # unit basis vectors
         v = [0.0] * dim
         v[i] = 1.0
