@@ -60,5 +60,6 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
         spanCorruption, bpeMergePairs, pipelineQualityPack, globalShuffle,
-        mixtureAllocate, repeatUpsample, curriculumSchedule, dsirWeights)
+        mixtureAllocate, repeatUpsample, curriculumSchedule, dsirWeights,
+        lengthBucketPack)
 }

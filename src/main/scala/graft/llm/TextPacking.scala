@@ -790,4 +790,66 @@ private[llm] trait TextPacking { self: TextOps.type =>
           FROM pos ORDER BY doc_id"""
     }
   )
+
+  /** Length-bucketed PADDED batching — the training-prep complement of
+    * sequence_pack: where packing CONCATENATES docs into fixed bins,
+    * padded batching keeps each doc its own sequence and pads every
+    * batch member to the batch max, so the cost model is padding WASTE
+    * = Σ_batch (n·max_len − Σlen). Random batching wastes ~the length
+    * spread; grouping by length bucket (n_tokens div 16) first bounds
+    * intra-batch spread to the bucket width, which is the standard
+    * dynamic-batching trick (fairseq/HF group_by_length). Batch
+    * assignment is deterministic: the two-level bucketRankOf rank
+    * (reset per len_bucket, ordered by n_tokens then md5 cell — no
+    * corpus-sized window partition even when one bucket holds the whole
+    * corpus), cut into fixed batches of 16; a bucket's trailing partial
+    * batch pads to its own max. Output is the per-batch audit row:
+    * (len_bucket, batch_idx, n_docs, max_len, padding_waste).
+    * LengthBucketPackSpec proves the waste never exceeds doc_id-order
+    * batching's on the same corpus.
+    *
+    * Scale shape: one map-side token count; the rank is the
+    * curriculum_schedule machinery (cell counts + a bounded
+    * ≤16·256-cells-per-bucket offset window + per-cell row_number);
+    * batch stats are one partial hash aggregate. NULL-text docs carry
+    * the −1 sentinel bucket (the qualityBandOf rule) instead of
+    * vanishing from equi-joins. */
+  val lengthBucketPack = QuerySpec(
+    "length_bucket_pack",
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+          coalesce(size(tokens).cast("long"), lit(-1L)).as("n_tokens"))
+        .withColumn("len_bucket", expr("n_tokens div 16"))
+        .withColumn("k",
+          md5(concat(lit("lbp-v1:"), col("doc_id").cast("string"))))
+      val ranked =
+        bucketRankOf(toks, Seq("len_bucket"), Seq("n_tokens"), "doc_id")
+          .withColumn("batch_idx", expr("rnk div 16"))
+      ranked.groupBy("len_bucket", "batch_idx")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("sl"))
+        .select(col("len_bucket"), col("batch_idx"), col("n_docs"),
+          col("max_len"),
+          (col("n_docs") * col("max_len") - col("sl")).as("padding_waste"))
+        .orderBy("len_bucket", "batch_idx")
+    },
+    Some(s"""WITH rsrc AS (
+              SELECT doc_id, n_tokens, n_tokens // 16 AS len_bucket,
+                     md5('lbp-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
+                     substr(md5('lbp-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       AS bkt
+              FROM (SELECT doc_id,
+                           COALESCE(CAST(len(list_filter(
+                             string_split(lower(text), ' '),
+                             w -> w <> '')) AS BIGINT), -1) AS n_tokens
+                    FROM documents)),
+            ${bucketRankSql(Seq("len_bucket"), Seq("n_tokens"), "doc_id")}
+            SELECT len_bucket, rnk // 16 AS batch_idx,
+                   count(*) AS n_docs,
+                   CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+                   count(*) * CAST(MAX(n_tokens) AS BIGINT)
+                     - CAST(SUM(n_tokens) AS BIGINT) AS padding_waste
+            FROM brnk GROUP BY 1, 2 ORDER BY len_bucket, batch_idx""")
+  )
 }
