@@ -665,6 +665,100 @@ object Similarity {
             FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")
   )
 
+  /** The PQ index as two persistable frames — (codebook, codes):
+    * codebook is the widenByDim layout (dim, c0..c15 milli-unit
+    * centroid components), codes is (vec_id, sub, code), together the
+    * WHOLE steady-state index (a query batch needs nothing else — the
+    * slot count is the codebook's own column count). Identical math to
+    * [[annPq]]'s in-session build: same seeds, same wide argmin
+    * encode, same tie rule, so a query batch over the stored frames is
+    * row-identical to ann_pq by construction. Empty corpus → empty
+    * frames with the right shape (one c0 slot, zero rows), which the
+    * query side handles as zero candidates. */
+  private[graft] def pqIndexFramesOf(e: DataFrame): (DataFrame, DataFrame) = {
+    val s = e.sparkSession
+    val comp = quantComponents(e).select("vec_id", "dim", "q")
+      .localCheckpoint(false)
+    val seedIds: Array[Long] = seedIdsOf(comp, 16)
+    if (seedIds.isEmpty)
+      (s.range(0).select(col("id").as("dim"), col("id").as("c0")),
+        s.range(0).select(col("id").as("vec_id"), col("id").as("sub"),
+          col("id").as("code")))
+    else {
+      val ks = seedIds.indices
+      val cent0 = comp
+        .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
+        .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
+      val wide = widenByDim(cent0, seedIds)
+      val scored = comp.join(broadcast(wide), Seq("dim"))
+        .withColumn("sub", expr("(dim - 1) div 16"))
+        .groupBy("vec_id", "sub")
+        .agg(sum((col("c0") - col("q")) * (col("c0") - col("q"))).as("s0"),
+          ks.drop(1).map(k =>
+            sum((col(s"c$k") - col("q")) * (col(s"c$k") - col("q"))).as(s"s$k")): _*)
+      val best = bestScoreOf(ks)
+      val pick = ks.foldRight(lit(ks.last.toLong)) { (k, el) =>
+        when(col(s"s$k") === best, lit(k.toLong)).otherwise(el) }
+      (wide, scored.select(col("vec_id"), col("sub"), pick.as("code")))
+    }
+  }
+
+  /** Asymmetric-distance query batch against a STORED PQ index: the
+    * query vectors' sub-distance tables are computed fresh against the
+    * stored codebook (broadcast — d×k rows, config-sized), then ADC is
+    * the stored codes' broadcast join + one (qid, vec) partial agg,
+    * exactly the annPq plan downstream of its scored frame. The ONLY
+    * corpus-sized input is the stored codes scan — the 100 TB serving
+    * shape, where the index build is the expensive once and this is
+    * the steady state. */
+  private[graft] def pqQueryFromIndex(queries: DataFrame, codebook: DataFrame,
+      codes: DataFrame): DataFrame = {
+    val ks = 0 until codebook.columns.count(_.matches("c\\d+"))
+    val qcomp = quantComponents(queries).select("vec_id", "dim", "q")
+    val scoredQ = qcomp.join(broadcast(codebook), Seq("dim"))
+      .withColumn("sub", expr("(dim - 1) div 16"))
+      .groupBy("vec_id", "sub")
+      .agg(sum((col("c0") - col("q")) * (col("c0") - col("q"))).as("s0"),
+        ks.drop(1).map(k =>
+          sum((col(s"c$k") - col("q")) * (col(s"c$k") - col("q"))).as(s"s$k")): _*)
+    val dtab = scoredQ.selectExpr("vec_id AS qid", "sub",
+      s"stack(${ks.length}, ${ks.map(k => s"${k}L, s$k").mkString(", ")}) AS (code, dt)")
+    val scores = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("dt")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id"))
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "adist")
+      .orderBy("qid", "rank")
+  }
+
+  /** ann_index_persist — the write-once/query-many ANN serving shape
+    * (VERDICT r12 task 2): the PQ codebook + codes are materialized to
+    * parquet ONCE per (app, corpus) via the Materialize stage
+    * discipline, and the query batch runs purely against the STORED
+    * tables (steady state touches no raw embedding except the query
+    * vectors' own). The oracle is ann_pq's verbatim — the stored-index
+    * path must be row-identical to the in-session build, and
+    * AnnIndexProbe proves the same identity across a full application
+    * restart (fresh session, index reloaded from disk) with the
+    * build-vs-query seconds split recorded in ANN_INDEX.json. */
+  val annIndexPersist = QuerySpec(
+    "ann_index_persist",
+    (s, d) => {
+      val e = embeddings(s, d)
+      // by-name builds: at steady state Materialize serves the parquet
+      // and pqIndexFramesOf (with its seed-selection action) never runs
+      val cb = graft.Materialize.once(s, s"ann_pq_codebook|$d")(
+        pqIndexFramesOf(e)._1)
+      val cd = graft.Materialize.once(s, s"ann_pq_codes|$d")(
+        pqIndexFramesOf(e)._2)
+      pqQueryFromIndex(e.filter(col("vec_id") < 10), cb, cd)
+    },
+    annPq.oracle
+  )
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication inside
     * CLUSTER cells rather than random-projection buckets — cluster the
     * embedding space, call same-cell high-cosine pairs semantic
@@ -788,28 +882,62 @@ object Similarity {
   )
 
   /** Measured ANN quality contract: recall@3 of the LSH-bucket AND IVF
-    * tiers against the exact brute-force tier, per query — the
+    * tiers against an exact ground-truth tier, per query — the
     * bloom_fpr_calib / quantile_sketch_calib / minhash_sim_est
     * discipline applied to similarity search. An approximate index
     * whose recall is assumed rather than MEASURED is the classic silent
     * 100 TB failure (the probe-count/recall tradeoff IS the cost
-    * model); this key makes the numbers gated outputs. All tiers are
-    * the component keys' own pipelines — engine side by calling their
-    * builders, oracle side by nesting their oracle SQL verbatim as
-    * subqueries — so the calibration can never drift from what
-    * `ann_topk` / `ann_lsh_bucket` / `ann_ivf` actually compute.
+    * model); this key makes the numbers gated outputs. The approximate
+    * tiers are the component keys' own pipelines — engine side by
+    * calling their builders, oracle side by nesting their oracle SQL
+    * verbatim as subqueries — so the calibration can never drift from
+    * what `ann_lsh_bucket` / `ann_ivf` actually compute.
     * (On this synthetic corpus the result is itself the lesson: random
     * embeddings have no neighborhood structure, so sign-bucket recall
     * is near zero while IVF's max-dot cells keep a usable fraction —
     * exactly the kind of fact a deployment must measure, not assume.)
     *
-    * Scale shape: all tiers are query-volume-sized (|Q|·k rows); each
-    * hit check is a semi-join on (qid, vec_id) and one |Q|-row
-    * aggregate. */
+    * SAMPLING CONTRACT (VERDICT r12 task 3): the ground truth is exact
+    * top-3 over a DETERMINISTIC md5-sampled candidate subset — vectors
+    * with md5('cal-v1:' || vec_id) ≡ 0 (mod max(1, N div 4096)) — so
+    * the exact tier scans ~4096 candidates per query batch at ANY
+    * corpus size instead of inheriting `ann_topk`'s contracted
+    * linear-per-query cost (its 25× ratio was 7.73 when the full exact
+    * tier was nested). Recall is then measured WITHIN the sample:
+    * truth_S = exact top-3 among sampled candidates, hits = an approx
+    * tier's results ∩ truth_S — the production estimator (big-ANN
+    * calibration samples its ground-truth set for exactly this
+    * reason). At gate scale (N ≤ 4096·2−1) the divisor is 1, the
+    * sample is the whole corpus, and the semantics coincide with the
+    * full-exact variant; the full-exact calibration itself stays
+    * spec-only (AnnRecallSamplingSpec) per the r12 contract.
+    *
+    * Scale shape: the exact tier is |Q|·~4096 by the sampling bound;
+    * the approx tiers are query-volume-sized; each hit check is a
+    * semi-join on (qid, vec_id) and one |Q|-row aggregate. */
   val annRecallCalib = QuerySpec(
     "ann_recall_calib",
     (s, d) => {
-      val exact = annBruteForce.fn(s, d)
+      val e = embeddings(s, d)
+      // corpus-size scalar feedback (A10) sizes the sample divisor; the
+      // hash filter is pushed to the scan, so the sampled candidate set
+      // never materializes the corpus
+      val n = e.count()
+      val div = math.max(1L, n / 4096L)
+      val smp = e.filter(expr(
+        s"""cast(conv(substring(md5(concat('cal-v1:',
+           cast(vec_id as string))), 1, 8), 16, 10) as bigint) % ${div}L = 0"""))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wEx = Window.partitionBy("qid")
+        .orderBy(col("dot").desc, col("vec_id"))
+      // crossJoin sanction: smp is size-BOUNDED (~4096 rows) by the
+      // sampling contract above — the |Q|×|sample| product is the
+      // config-sized class, not the contracted exact-ANN tier
+      val exact = q.crossJoin(smp)
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), quantDot("qe", "embedding").as("dot"))
+        .withColumn("rank", row_number().over(wEx).cast("long"))
         .filter(col("rank") <= 3).select("qid", "vec_id")
         .localCheckpoint(false) // 3 consumers: truth sizes + 2 hit probes
       val truth = exact.groupBy("qid").agg(count(lit(1)).as("truth_n"))
@@ -829,8 +957,24 @@ object Similarity {
             .as("ivf_recall_milli"))
         .orderBy("qid")
     },
-    Some(s"""WITH ex AS (
-              SELECT qid, vec_id FROM (${annBruteForce.oracle.get}) WHERE rank <= 3),
+    Some(s"""WITH sdiv AS (
+              SELECT GREATEST(1, COUNT(*) // 4096) AS dv FROM embeddings),
+            smp AS (
+              SELECT vec_id, embedding FROM embeddings, sdiv
+              WHERE (${graft.llm.TextOps.md5Hex32Sql(
+                "'cal-v1:' || CAST(vec_id AS VARCHAR)")}) % sdiv.dv = 0),
+            exq AS (SELECT vec_id AS qid, embedding AS qe
+                    FROM embeddings WHERE vec_id < 10),
+            exscored AS (
+              SELECT qid, vec_id, $oracleDot AS dot
+              FROM exq q, smp embeddings_s
+              WHERE qid <> vec_id),
+            ex AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY dot DESC, vec_id) AS rank
+                FROM exscored) WHERE rank <= 3),
             lsh AS (
               SELECT qid, vec_id FROM (${annLshBucket.oracle.get})),
             ivf AS (
@@ -855,6 +999,6 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, knnGraph,
-        embeddingCentroids, annIvf, kmeansLloyd, annPq, semdedupKeep,
-        annRecallCalib)
+        embeddingCentroids, annIvf, kmeansLloyd, annPq, annIndexPersist,
+        semdedupKeep, annRecallCalib)
 }

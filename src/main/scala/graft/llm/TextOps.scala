@@ -59,7 +59,8 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
         docChunk,
         trigramFamiliarity, sourceMix, winnowFingerprint, collocationPmi,
         leakageSafeSplit, sharedPassagePairs, corpusClean, sourceInterleave,
-        spanCorruption, bpeMergePairs, pipelineQualityPack, globalShuffle,
+        spanCorruption, bpeMergePairs, bpeEncode, bpeSequencePack,
+        pipelineQualityPack, globalShuffle,
         mixtureAllocate, repeatUpsample, curriculumSchedule, dsirWeights,
         lengthBucketPack)
 }

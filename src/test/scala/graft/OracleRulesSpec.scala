@@ -12,6 +12,31 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleRulesSpec extends AnyFunSuite {
 
+  /** Blank out the interior of every single-quoted SQL literal (length-
+    * preserving, so indices into the masked copy line up with the
+    * original). A constant containing `(`, `)`, `OVER`, `ORDER BY` or
+    * `SUM(` must be OPAQUE to the scanners below — without masking it
+    * corrupts their depth/keyword tracking (ADVICE r12). `''` doubling
+    * stays inside the literal. */
+  def maskLiterals(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    while (i < out.length) {
+      if (out(i) == '\'') {
+        var j = i + 1
+        var open = true
+        while (j < out.length && open) {
+          if (out(j) == '\'') {
+            if (j + 1 < out.length && out(j + 1) == '\'') { out(j) = 'x'; out(j + 1) = 'x'; j += 2 }
+            else open = false
+          } else { out(j) = 'x'; j += 1 }
+        }
+        i = j + 1
+      } else i += 1
+    }
+    new String(out)
+  }
+
   /** Every `OVER ( … )` window spec in `sql` that ORDERs without
     * PARTITIONing — the unpartitioned-global-window shape. Balanced-paren
     * scan so `ORDER BY (a + b)` and frame clauses stay inside the body. */
@@ -20,7 +45,7 @@ class OracleRulesSpec extends AnyFunSuite {
     // strings, so "ORDER\n          BY" must still match (and a line-split
     // "PARTITION BY" must still count as partitioned)
     val norm = sql.replaceAll("\\s+", " ")
-    val up = norm.toUpperCase
+    val up = maskLiterals(norm.toUpperCase)
     val out = Seq.newBuilder[String]
     var i = up.indexOf("OVER")
     while (i >= 0) {
@@ -59,6 +84,15 @@ class OracleRulesSpec extends AnyFunSuite {
       "SELECT SUM(v) OVER (PARTITION\n  BY g\n  ORDER BY k) FROM t").isEmpty)
     assert(globalWindows("SELECT recover (x) FROM t ORDER BY x").isEmpty)
     assert(globalWindows("SELECT a FROM t ORDER BY a").isEmpty)
+    // string literals are opaque (ADVICE r12): a constant spelling
+    // "OVER (ORDER BY" must not trip the scanner, and an unbalanced
+    // paren inside a literal must not desync a REAL violation after it
+    assert(globalWindows(
+      "SELECT 'OVER (ORDER BY x)' AS k FROM t ORDER BY k").isEmpty)
+    assert(globalWindows(
+      "SELECT replace(a, '(', ''), ROW_NUMBER() OVER (ORDER BY x) FROM t").nonEmpty)
+    assert(globalWindows(
+      "SELECT 'it''s' AS k, SUM(v) OVER (PARTITION BY g ORDER BY x) FROM t").isEmpty)
   }
 
   /** Bare (un-CAST) `SUM(` in a query's FINAL projection — the round-11
@@ -75,7 +109,7 @@ class OracleRulesSpec extends AnyFunSuite {
     * runtime type gate in tools/oracle_check.py (widened_int_cols). */
   def finalProjectionBareSums(sql: String): Seq[String] = {
     val s = sql.replaceAll("\\s+", " ").trim
-    val up = s.toUpperCase
+    val up = maskLiterals(s.toUpperCase)
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
     // last top-level SELECT
     var depth = 0; var lastSel = -1; var i = 0
@@ -103,7 +137,7 @@ class OracleRulesSpec extends AnyFunSuite {
       i += 1
     }
     val proj = s.substring(lastSel + 6, fromAt)
-    val pup = proj.toUpperCase
+    val pup = maskLiterals(proj.toUpperCase)
     // CAST(...) spans within the projection (balanced-paren)
     val castSpans = Seq.newBuilder[(Int, Int)]
     var c = pup.indexOf("CAST")
@@ -160,6 +194,15 @@ class OracleRulesSpec extends AnyFunSuite {
     // identifiers containing 'sum' are not calls
     assert(finalProjectionBareSums(
       "SELECT checksum, summary FROM t ORDER BY 1").isEmpty)
+    // string literals are opaque (ADVICE r12): 'SUM(' in a constant is
+    // not a call, literal parens must not break the CAST-span tracking,
+    // and a literal 'FROM' must not truncate the projection scan
+    assert(finalProjectionBareSums(
+      "SELECT 'SUM(x)' AS k FROM t ORDER BY 1").isEmpty)
+    assert(finalProjectionBareSums(
+      "SELECT concat('(', CAST(SUM(v) AS BIGINT)) AS s FROM t").isEmpty)
+    assert(finalProjectionBareSums(
+      "SELECT ' FROM ' AS k, SUM(v) AS s FROM t").nonEmpty)
   }
 
   test("no oracle SQL carries a bare SUM in its final projection") {

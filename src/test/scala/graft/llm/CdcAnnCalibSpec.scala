@@ -69,7 +69,16 @@ class CdcAnnCalibSpec extends SparkSpec {
     assert(fix.intersect(fixEdited).size <= 1)
   }
 
-  test("ann_recall_calib equals a recomputation from its component keys' outputs") {
+  test("ann_recall_calib equals the FULL-exact recomputation from its " +
+      "component keys' outputs (the spec-only full-exact variant)") {
+    // r12 task-3 contract: the key's ground truth is md5-SAMPLED with
+    // divisor max(1, N div 4096); below 2·4096 vectors the divisor is 1
+    // and sampled == full — so at THIS corpus the full-exact calibration
+    // (ann_topk's own tier, nested verbatim below) must equal the key
+    // bit-for-bit. The sampled path itself is exercised independently on
+    // a 9000-vector corpus in AnnIndexSpec.
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(nVecs / 4096 <= 1, s"sf0.001 grew past the div-1 regime ($nVecs)")
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -11,13 +11,20 @@ class LengthBucketPackSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  // NULL text carries the engine's -1 token sentinel (NOT 0 tokens of
+  // ""), and the sentinel gets its own explicit -1 bucket — -1/16 is 0
+  // in Scala/Spark/DuckDB alike, which would fold sentinel docs into
+  // bucket 0 (ADVICE r12)
+  private def bucketOf(n: Long): Long = if (n < 0) -1L else n / 16
+
   private lazy val lens: Seq[(Long, Long)] =
     spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map { r =>
-        val t = Option(r.getString(1)).getOrElse("")
         (r.getLong(0),
-          t.toLowerCase.split(" ", -1).count(_.nonEmpty).toLong)
+          Option(r.getString(1))
+            .map(_.toLowerCase.split(" ", -1).count(_.nonEmpty).toLong)
+            .getOrElse(-1L))
       }.toSeq
 
   private def wasteOf(batches: Seq[Seq[Long]]): Long =
@@ -29,7 +36,7 @@ class LengthBucketPackSpec extends SparkSpec {
     val ranked = lens
       .map { case (id, n) =>
         val k = md5hex(s"lbp-v1:$id")
-        (n / 16, n, k.take(2), k, id)
+        (bucketOf(n), n, k.take(2), k, id)
       }
       .groupBy(_._1).toSeq.flatMap { case (bucket, rows) =>
         rows.sortBy(r => (r._2, r._3, r._4, r._5)).zipWithIndex
@@ -49,7 +56,7 @@ class LengthBucketPackSpec extends SparkSpec {
 
   test("bucketed batching wastes no more padding than doc_id-order batching") {
     val bucketed = lens
-      .map { case (id, n) => (n / 16, n, md5hex(s"lbp-v1:$id"), id) }
+      .map { case (id, n) => (bucketOf(n), n, md5hex(s"lbp-v1:$id"), id) }
       .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
         rows.sortBy(r => (r._2, r._3, r._4)).map(_._2)
           .grouped(16).toSeq
@@ -59,5 +66,22 @@ class LengthBucketPackSpec extends SparkSpec {
       s"bucketed ${wasteOf(bucketed)} > naive ${wasteOf(naive)}")
     // and the corpus must actually make the comparison non-trivial
     assert(wasteOf(naive) > 0)
+  }
+
+  test("NULL text lands in the explicit -1 sentinel bucket, not bucket 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lbp_null").toString
+    Seq((0L, null.asInstanceOf[String], "en", "t", 0L),
+        (1L, "three token doc", "en", "t", 15L),
+        (2L, "two tokens", "en", "t", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.lengthBucketPack.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // sentinel batch: bucket -1, one doc, max_len -1, waste 0
+    assert(rows.contains((-1L, 0L, 1L, -1L, 0L)), rows.toString)
+    // the real docs' bucket-0 batch is NOT polluted by the sentinel doc
+    assert(rows.contains((0L, 0L, 2L, 3L, 1L)), rows.toString)
   }
 }

@@ -71,6 +71,10 @@ def adversarial_docs():
     add(span_a + " first middle unique text here " + span_b)
     add(span_a + " second different middle filler " + span_b)
     add(span_a[:40] + " too short a share to reach the fifty char gram")
+    # NULL text (distinct from the empty string above): the sentinel-
+    # bucket path (length_bucket_pack -1, qualityBandOf's rule) and every
+    # coalesce(text, ...) must agree across engines (ADVICE r12)
+    docs.append((len(docs), None, "en", "fuzz", 0))
     return docs
 
 

@@ -82,11 +82,31 @@ def final_order_cols(sql, proj_cols):
     import re
     s = re.sub(r"\s+", " ", sql).strip().rstrip(";")
     up = s.upper()
+
+    def skip_literal(text, i):
+        """i points at a single quote: return the index just past the
+        closing quote ('' doubling handled). String literals must be
+        OPAQUE to the paren/keyword scan (ADVICE r12): a '(' or
+        'ORDER BY' inside a constant would corrupt depth/position
+        tracking otherwise."""
+        j = i + 1
+        while j < len(text):
+            if text[j] == "'":
+                if j + 1 < len(text) and text[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return j  # unterminated: treat the rest as literal
+
     depth = 0
     last = -1
     i = 0
     while i < len(up):
         c = up[i]
+        if c == "'":
+            i = skip_literal(up, i)
+            continue
         if c == "(":
             depth += 1
         elif c == ")":
@@ -101,9 +121,14 @@ def final_order_cols(sql, proj_cols):
     # split on top-level commas; stop at a top-level LIMIT/OFFSET
     parts, depth, cur = [], 0, []
     j = 0
+    u = tail.upper()
     while j < len(tail):
         c = tail[j]
-        u = tail.upper()
+        if c == "'":
+            end = skip_literal(tail, j)
+            cur.append(tail[j:end])
+            j = end
+            continue
         if depth == 0 and (u.startswith(" LIMIT ", j) or u.startswith(" OFFSET ", j)):
             break
         if c == "(":
@@ -118,12 +143,24 @@ def final_order_cols(sql, proj_cols):
         j += 1
     parts.append("".join(cur))
     out = []
+    lower_cols = {c.lower() for c in proj_cols}
     for p in parts:
         e = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p.strip())
         e = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", e)
         e = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", e).strip()
         if re.fullmatch(r"\d+", e):  # positional: ORDER BY 1, 2
             e = '"' + proj_cols[int(e) - 1] + '"'
+        else:
+            # table-qualified sort key (ORDER BY t.qid): the alias does
+            # not exist outside the wrapped subquery, so the uniqueness
+            # probe's GROUP BY would throw (ADVICE r12). When the bare
+            # name is a projection column, the qualifier is redundant —
+            # strip it.
+            m = re.fullmatch(r"\w+\.(\w+)", e)
+            if m and m.group(1).lower() in lower_cols:
+                actual = next(c for c in proj_cols
+                              if c.lower() == m.group(1).lower())
+                e = '"' + actual + '"'
         out.append(e)
     return out
 
@@ -407,5 +444,39 @@ def main(sf_dir, out_dir):
     print(f"\nALL {n} checked queries hash-match{tag}.")
 
 
+def _selftest_ordercols():
+    """final_order_cols must resolve qualified refs against the
+    projection and treat string literals as opaque (ADVICE r12)."""
+    # qualified sort keys resolve to bare projection columns
+    assert final_order_cols(
+        "SELECT id1, id2 FROM (SELECT 1 AS id1, 2 AS id2) e ORDER BY e.id1, e.id2",
+        ["id1", "id2"]) == ['"id1"', '"id2"']
+    # a qualified ref that is NOT a projection column stays verbatim
+    # (the probe then fails loudly, the safe direction)
+    assert final_order_cols("SELECT a FROM t ORDER BY t.b",
+                            ["a"]) == ["t.b"]
+    # literals containing parens / ORDER BY / commas are opaque
+    assert final_order_cols(
+        "SELECT k, v FROM (SELECT ') ORDER BY junk' AS k, 1 AS v) ORDER BY k",
+        ["k", "v"]) == ['k']
+    assert final_order_cols(
+        "SELECT concat(a, '(,') AS k FROM t ORDER BY 1",
+        ["k"]) == ['"k"']
+    # doubled-quote escape inside a literal
+    assert final_order_cols(
+        "SELECT 'it''s ( ORDER BY x' AS k, n FROM t ORDER BY n",
+        ["k", "n"]) == ["n"]
+    # no top-level ORDER BY -> None (an ORDER BY inside a literal or a
+    # subquery must not count)
+    assert final_order_cols(
+        "SELECT k FROM (SELECT a AS k FROM t ORDER BY a) q", ["k"]) is None
+    assert final_order_cols("SELECT 'ORDER BY x' AS k FROM t",
+                            ["k"]) is None
+    print("selftest-ordercols: qualified refs resolved, literals opaque")
+
+
 if __name__ == "__main__":
+    if "--selftest-ordercols" in sys.argv:
+        _selftest_ordercols()
+        sys.exit(0)
     main(sys.argv[1], sys.argv[2])

@@ -66,7 +66,7 @@ def main(base_p, out_p, notes_p, *points):
         return str(int(k)) if k == int(k) else str(k)
 
     queries, superlinear, byte_superlinear = {}, {}, {}
-    spill_emergent = {}
+    spill_emergent, spill_unknown_base = {}, {}
     for key in sorted(bq):
         b = bq[key]
         entry = {"sec_1x": round(b, 3)}
@@ -99,8 +99,14 @@ def main(base_p, out_p, notes_p, *points):
             pk = art.get("shuffle_bytes", {}).get(key, {}).get("spill", -1)
             if pk >= 0:
                 entry[f"spill_mb_{t}x"] = round(pk / 2**20, 1)
-                if pk > FLOOR_BYTES and p1 <= FLOOR_BYTES:
+                # p1 >= 0 required (ADVICE r12): a base artifact that
+                # predates spill recording has p1 = -1, which is NOT
+                # "spill-free at 1x" — flagging on it would manufacture
+                # false emergent keys; report those separately instead
+                if pk > FLOOR_BYTES and 0 <= p1 <= FLOOR_BYTES:
                     spill_emergent.setdefault(t, []).append(key)
+                elif pk > FLOOR_BYTES and p1 < 0:
+                    spill_unknown_base.setdefault(t, []).append(key)
         if len(scaled) >= 2:
             (ka, aa), (kb, ab) = scaled[-2], scaled[-1]
             ta, tb = aa["queries"][key], ab["queries"][key]
@@ -144,6 +150,7 @@ def main(base_p, out_p, notes_p, *points):
             "superlinear_keys": superlinear.get(ktag(k), []),
             "byte_superlinear_keys": byte_superlinear.get(ktag(k), []),
             "spill_emergent_keys": spill_emergent.get(ktag(k), []),
+            "spill_unknown_base_keys": spill_unknown_base.get(ktag(k), []),
         } for k, a in scaled],
         "note": ("per-key median(1x, quiet multi-pass) vs kx replicated "
                  "corpus at each point; ratio > k means superlinear "
