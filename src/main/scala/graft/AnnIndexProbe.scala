@@ -40,9 +40,14 @@ object AnnIndexProbe {
     import scala.jdk.CollectionConverters._
     val path = java.nio.file.Paths.get(p)
     if (!java.nio.file.Files.exists(path)) 0L
-    else java.nio.file.Files.walk(path).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(java.nio.file.Files.size(_)).sum
+    else {
+      // walk streams hold file handles until closed (ADVICE r13)
+      val st = java.nio.file.Files.walk(path)
+      try st.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+      finally st.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {

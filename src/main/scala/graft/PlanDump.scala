@@ -88,7 +88,29 @@ object PlanDump {
           "lag window over boundary rows only (no SinglePartition " +
           "exchange anywhere); the text joins back ONCE as " +
           "ShuffledHashJoin (positions frame is corpus-derived, never " +
-          "broadcast); the chunk store is one partial hash aggregate."))
+          "broadcast); the chunk store is one partial hash aggregate."),
+      "bpe_encode" ->
+        ("Tokenizer apply is pure per-row string surgery: the trained " +
+          "merge table is spliced as LITERALS into the expression tree " +
+          "(no corpus-derived side input), the plan scans `documents` " +
+          "exactly once, contains no join, and the only exchange is " +
+          "the final ORDER BY's range partitioning."),
+      "bpe_sequence_pack" ->
+        ("Tokenizer-true packing: the BPE encode is pinned below ONE " +
+          "eager checkpoint (the input scan above it is ExistingRDD — " +
+          "no documents re-scan per downstream action), and the " +
+          "packing keeps the two-level prefix-sum discipline: the " +
+          "corpus-wide window is PARTITIONED by chunk, only the " +
+          "bounded chunk-totals aggregate sees a SinglePartition " +
+          "window."),
+      "ann_index_persist" ->
+        ("Write-once/query-many serving: the steady-state plan reads " +
+          "the STORED codebook+codes parquet (the Materialize " +
+          "artifact, one key for the pair — graft_mv paths in the " +
+          "scans), touches the raw embeddings ONLY for the query " +
+          "vectors (PushedFilters LessThan(vec_id,10)), and joins the " +
+          "query distance tables as broadcast — the one corpus-sized " +
+          "input is the stored codes scan."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -421,4 +421,57 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"),
       s"corpus-derived broadcast:\n$p")
   }
+
+  test("bpe_encode: per-row apply — merge table spliced as literals, ONE documents scan, no join, only the final sort's exchange") {
+    val p = plan("bpe_encode")
+    // the trained merge table is driver state spliced into the
+    // expression tree: nothing corpus-derived rides the plan as a side
+    // input, so the apply has NO join of any kind
+    assert(!p.contains("Join"), s"tokenizer apply grew a join:\n$p")
+    // exactly one corpus scan (the documents table), no re-scan
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"plan scans:\n$p")
+    // the only exchange is the final ORDER BY's range partitioning —
+    // the apply itself is embarrassingly parallel map work
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("SinglePartition"),
+      s"per-row apply introduced a shuffle:\n$p")
+  }
+
+  test("bpe_sequence_pack: encode pinned below ONE checkpoint; packing keeps the two-level prefix-sum discipline") {
+    val p = plan("bpe_sequence_pack")
+    // the per-word merge surgery runs once: above the checkpoint the
+    // input is the ExistingRDD scan, never a documents parquet re-scan
+    assert(p.contains("Scan ExistingRDD"),
+      s"encode not checkpoint-pinned:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"documents re-scanned above the encode checkpoint:\n$p")
+    // two-level rank: corpus window PARTITIONED by chunk, global window
+    // only over the bounded chunk-totals aggregate (sequence_pack rule)
+    assert(p.contains("windowspecdefinition(chunk"), p)
+    val idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, p)
+    val after = p.substring(idx)
+    val nextExchange = after.indexOf("Exchange hashpartitioning")
+    val globalSubtree =
+      if (nextExchange > 0) after.substring(0, nextExchange) else after
+    assert(globalSubtree.contains("HashAggregate"),
+      s"single-partition window not over the aggregated chunk totals:\n$p")
+  }
+
+  test("ann_index_persist: steady state reads the STORED index; raw embeddings scanned only for the query vectors") {
+    val df = SparkEntry.queries("ann_index_persist")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the stored codebook+codes parquet (Materialize artifact) is the
+    // plan's corpus-sized input...
+    assert(p.contains("graft_mv"), s"no stored-index scan in:\n$p")
+    // ...and the raw embeddings table contributes ONLY query vectors:
+    // the embeddings scan carries the vec_id<10 pushdown
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("LessThan(vec_id,10)")),
+      s"query-vector pushdown missing:\n$p")
+    // the query distance tables join as broadcast; the stored codes
+    // side is never sorted or broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"codes scan degraded to SMJ:\n$p")
+  }
 }

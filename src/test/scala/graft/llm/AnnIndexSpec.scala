@@ -58,8 +58,13 @@ class AnnIndexSpec extends SparkSpec {
 
     val div = n / 4096 // = 2
     assert(div > 1)
-    val sampled = vecs.filter(v => md5hex32(s"cal-v1:${v._1}") % div == 0)
-    assert(sampled.size < n && sampled.nonEmpty)
+    // the calibration corpus: queries ∪ md5 sample — EVERY tier (exact
+    // truth, LSH, IVF) ranks over this one pool (ADVICE r13: with truth
+    // sampled but tiers ranking the full corpus, recall would decay
+    // like ~1/div regardless of index quality)
+    val esVecs = vecs.filter(v =>
+      v._1 < 10 || md5hex32(s"cal-v1:${v._1}") % div == 0)
+    assert(esVecs.size < n && esVecs.nonEmpty)
 
     def qdot(a: Array[Float], b: Array[Float]): Long =
       (0 until math.min(a.length, b.length)).map(i =>
@@ -68,19 +73,27 @@ class AnnIndexSpec extends SparkSpec {
 
     val queries = vecs.filter(_._1 < 10)
     val truth: Map[Long, Set[Long]] = queries.map { q =>
-      q._1 -> sampled.filter(_._1 != q._1)
+      q._1 -> esVecs.filter(_._1 != q._1)
         .map(c => (c._1, qdot(q._2, c._2)))
         .sortBy { case (id, dot) => (-dot, id) }
         .take(3).map(_._1).toSet
     }.toMap
+
+    // independence check for the tier results: materialize the
+    // calibration corpus as its OWN corpus directory and run the
+    // public per-key pipelines over it — the key's internal
+    // restriction must equal "the tiers on the sampled corpus"
+    val esDir = java.nio.file.Files.createTempDirectory("annsamp_es").toString
+    esVecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$esDir/embeddings.parquet")
 
     def hits(approx: Seq[(Long, Long)], q: Long): Long =
       approx.count(p => p._1 == q && truth(q).contains(p._2)).toLong
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val lsh = rows(Similarity.annLshBucket.fn(spark, dir))
-    val ivf = rows(Similarity.annIvf.fn(spark, dir))
+    val lsh = rows(Similarity.annLshBucket.fn(spark, esDir))
+    val ivf = rows(Similarity.annIvf.fn(spark, esDir))
     val expected = queries.map(_._1).sorted.map { q =>
       val t = truth(q).size.toLong
       val lh = hits(lsh, q); val ih = hits(ivf, q)

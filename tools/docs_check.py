@@ -83,6 +83,52 @@ def quiet_drift(prev_name, prev, cur_name, cur, readme_text):
         f"to README.md"]
 
 
+def perkey_claims(para, queries, spill_keys):
+    """Per-key numeric claims in the scale-bench paragraph vs BENCH_SCALE
+    columns (VERDICT r13 task 4: README quoted 11.5/77×/8.6 GB against an
+    artifact saying 7.73/55.78/zero-spill — the stale class must FAIL the
+    gate, not wait for a judge's diff). Grammar the README must use for
+    per-key figures, each attributed to the nearest PRECEDING `key`:
+      time <n>x      -> ratio_5x or ratio_25x at the quoted precision
+      bytes <n>x     -> byte_ratio_5x or byte_ratio_25x
+      exponent <n>   -> exponent
+      spill-emergent -> key must be in some point's spill_emergent_keys
+    Numbers not in this grammar (e.g. k^2=625x work claims, external
+    artifact figures) are not checked. Returns drift messages."""
+    msgs = []
+
+    def quoted_match(txt, val):
+        if val is None:
+            return False
+        dec = len(txt.split(".")[1]) if "." in txt else 0
+        try:
+            return f"{float(val):.{dec}f}" == f"{float(txt):.{dec}f}"
+        except (TypeError, ValueError):
+            return False
+
+    parts = re.split(r"`(\w+)`", para)
+    for i in range(1, len(parts) - 1, 2):
+        key, seg = parts[i], parts[i + 1]
+        row = queries.get(key)
+        if row is None:
+            continue
+        for m in re.finditer(r"\b(time|bytes|exponent)\s+(-?\d+(?:\.\d+)?)(?:[x×])?",
+                             seg):
+            kind, num = m.group(1), m.group(2)
+            cols = {"time": ("ratio_5x", "ratio_25x"),
+                    "bytes": ("byte_ratio_5x", "byte_ratio_25x"),
+                    "exponent": ("exponent",)}[kind]
+            if not any(quoted_match(num, row.get(c)) for c in cols):
+                have = {c: row.get(c) for c in cols}
+                msgs.append(f"README.md scale paragraph: `{key}` {kind} "
+                            f"{num} matches no artifact column ({have})")
+        if re.search(r"spill[- ]emergen", seg) and key not in spill_keys:
+            msgs.append(f"README.md scale paragraph: `{key}` described as "
+                        f"spill-emergent but artifact spill_emergent_keys "
+                        f"= {sorted(spill_keys)}")
+    return msgs
+
+
 def _latest_quiet_pair():
     import glob
     files = sorted(glob.glob("BENCH_QUIET_r*.json"),
@@ -107,6 +153,21 @@ if "--selftest-drift" in sys.argv:
     assert fired and not quietok and not attributed, (fired, quietok, attributed)
     print("selftest-drift: gate fires on +16%, passes +14%, "
           "passes attributed +16%")
+    # per-key claim gate: must FIRE on a stale number / phantom spill
+    # claim and stay quiet on artifact-true ones
+    q = {"simhash_hamming_pairs":
+         {"ratio_5x": 6.05, "ratio_25x": 55.78, "byte_ratio_25x": 333.51,
+          "exponent": 1.38}}
+    stale = perkey_claims(
+        "the flag is `simhash_hamming_pairs` (time 77x, exponent 1.98, "
+        "its 8.6 GB spill-emergence is benign)", q, set())
+    fresh = perkey_claims(
+        "the flag is `simhash_hamming_pairs` (time 55.78x at 25x, "
+        "bytes 333.51x, exponent 1.38)", q,
+        {"simhash_hamming_pairs"})
+    assert len(stale) == 3 and not fresh, (stale, fresh)
+    print("selftest-perkey: gate fires on stale time/exponent/spill "
+          "claims, passes artifact-true ones")
     sys.exit(0)
 
 pair = _latest_quiet_pair()
@@ -131,6 +192,12 @@ else:
     if miss:
         print(f"DRIFT README.md: superlinear keys missing from the "
               f"scale-bench paragraph: {sorted(miss)}")
+        ok = False
+    spill_keys = set()
+    for pt in art.get("points", []):
+        spill_keys |= set(pt.get("spill_emergent_keys", []))
+    for m in perkey_claims(para.group(0), art["queries"], spill_keys):
+        print(f"DRIFT {m}")
         ok = False
 
 sys.exit(0 if ok else 1)
