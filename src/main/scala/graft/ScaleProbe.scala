@@ -511,6 +511,47 @@ object ScaleProbe {
     * every k the merged estimate must EQUAL the direct full-corpus
     * estimate — HLL union is associative, so incremental maintenance is
     * exact, not approximately-the-same; asserted, not claimed. */
+  /** `runMain graft.ScaleProbe semdedupocc <dir1> [dir2 ...]`:
+    * SemDeDup (cell, sign-bucket) occupancy at the PAPER's regime —
+    * cells from the shipped Lloyd machinery at k ∝ corpus size
+    * (target ~500 vectors/cell), measured over the pre-built ScaleData
+    * corpora. Max occupancy is the quantity bounding semdedup_keep's
+    * candidate pair join (work = Σ occ·(occ−1)/2); the probe's cap
+    * (4096) throws LOUDLY if any (cell, bucket) outgrows it. On
+    * replica corpora verbatim copies are the same point — no
+    * clustering can split them — so occupancy floors at the replica
+    * count times the base group size; those copies ARE semantic
+    * duplicates the pair join exists to compare, the output-bound
+    * class, and the point is that occupancy stays orders of magnitude
+    * under corpus size. Writes SEMDEDUP_OCCUPANCY.json. */
+  private def semdedupOccProbe(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): Unit = {
+    val runs = dirs.map { d =>
+      val t0 = System.nanoTime()
+      val (n, k, cells, mx, p99, pb) =
+        llm.Similarity.semdedupOccupancyOf(Tables.embeddings(spark, d),
+          targetCell = 500L, cap = 4096L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      println(f"[probe] $d n=$n k=$k cells_used=$cells max_occ=$mx " +
+        f"p99_occ=$p99 pair_bound=$pb (${sec}%.1f s)")
+      (d, n, k, cells, mx, p99, pb, sec)
+    }
+    val qs = runs.map { case (d, n, k, cells, mx, p99, pb, sec) =>
+      f"""{"sf":"$d","n":$n,"k":$k,"cells_used":$cells,""" +
+        f""""max_occ":$mx,"p99_occ":$p99,"pair_bound":$pb,""" +
+        f""""sec":$sec%.2f}""" }.mkString("[", ",", "]")
+    val json = s"""{"probe":"semdedup_occupancy","target_cell":500,""" +
+      s""""cap":4096,"note":"cells from the shipped Lloyd loop at """ +
+      s"""k=ceil(N/500); max (cell,sign-bucket) occupancy bounds the """ +
+      s"""semdedup_keep pair join (work = sum occ*(occ-1)/2); cap """ +
+      s"""crossing throws","runs":$qs}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SEMDEDUP_OCCUPANCY.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+  }
+
   private def sketchDeltaProbe(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, ks: Seq[Int]): Unit = {
     val ev = Tables.events(spark, sfDir)
@@ -701,6 +742,15 @@ object ScaleProbe {
       val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
                else Seq(1, 2, 4, 8)
       sketchDeltaProbe(spark, sfDir, ks)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("semdedupocc")) {
+      val spark = Harness.session()
+      val dirs = if (args.length > 1) args.drop(1).toSeq
+                 else Seq("/root/testdata/sf0.1",
+                   "tmpdata/sf0.5x", "tmpdata/sf2.5x")
+      semdedupOccProbe(spark, dirs)
       spark.stop()
       return
     }

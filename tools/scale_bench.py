@@ -113,11 +113,34 @@ def main(base_p, out_p, notes_p, *points):
             if ta >= FLOOR_EXP_SEC and tb >= FLOOR_EXP_SEC:
                 entry["exponent"] = round(
                     math.log(tb / ta) / math.log(kb / ka), 2)
+        # three-point check (VERDICT r12 task 7): fit the exponent on the
+        # FIRST two multiples, predict the largest, and record
+        # predicted-vs-measured — one fitted slope through two points
+        # cannot be falsified; the third point can. pred_err ~1 means the
+        # power-law fit extrapolates; far from 1 means the curve bends
+        # (emergent behavior between kb and kc) and the key needs a note.
+        if len(scaled) >= 3:
+            (ka, aa), (kb, ab), (kc, ac) = scaled[0], scaled[1], scaled[-1]
+            ta, tb, tc = (aa["queries"][key], ab["queries"][key],
+                          ac["queries"][key])
+            if min(ta, tb, tc) >= FLOOR_EXP_SEC:
+                e_lo = math.log(tb / ta) / math.log(kb / ka)
+                pred = tb * (kc / kb) ** e_lo
+                entry["exponent_lo"] = round(e_lo, 2)
+                entry[f"pred_sec_{ktag(kc)}x"] = round(pred, 3)
+                entry["pred_err"] = round(tc / pred, 2)
         queries[key] = entry
 
+    # off-fit keys (three-point runs only): measured third point more
+    # than 2x off the low-fit power-law prediction in either direction —
+    # the curve bent, and the bend needs a measured analysis like any
+    # superlinear flag
+    offfit = sorted(q for q, e in queries.items()
+                    if not 0.5 <= e.get("pred_err", 1.0) <= 2.0)
     flagged = sorted({q for ks in superlinear.values() for q in ks} |
                      {q for ks in byte_superlinear.values() for q in ks} |
-                     {q for ks in spill_emergent.values() for q in ks})
+                     {q for ks in spill_emergent.values() for q in ks} |
+                     set(offfit))
     unexplained = [q for q in flagged if q not in notes]
     if unexplained:
         sys.exit(
@@ -139,6 +162,7 @@ def main(base_p, out_p, notes_p, *points):
         "base_load_avg_before": base.get("load_avg_before"),
         "total_ratio": round(s0["value"] / base["value"], 2),
         "superlinear_keys": superlinear.get(ktag(k0), []),
+        "offfit_keys": offfit,
         "points": [{
             "k": k,
             "sf": a.get("sf"),
@@ -161,7 +185,12 @@ def main(base_p, out_p, notes_p, *points):
                  f"under the {int(FLOOR_SEC*1000)}ms scheduling floor; "
                  "spill_emergent_keys spill >4MB at kx while spill-free "
                  "at 1x (the memory-pressure signal that predicts OOMs "
-                 "at cluster scale)"),
+                 "at cluster scale); with three multiples each key also "
+                 "carries exponent_lo (fit on the first two multiples), "
+                 "pred_sec_<k>x (that fit extrapolated to the largest "
+                 "multiple) and pred_err = measured/predicted — "
+                 "pred_err outside [0.5, 2] flags the key off-fit and "
+                 "requires an analysis note"),
         "queries": queries,
         "superlinear_analysis": {q: notes[q] for q in flagged},
     }
