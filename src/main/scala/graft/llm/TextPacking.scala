@@ -231,7 +231,9 @@ private[llm] trait TextPacking { self: TextOps.type =>
     // counts over self-joins — source-bounded for rank_in_source,
     // all-pairs (oracle-scale) for the schedule position
     Some {
-      val h = md5Hex32Sql("'mix-v1:' || text")
+      // COALESCE(..., -1): the engine's NULL-text sentinel, see
+      // interleaveWith — keeps the strict-predecessor rank total
+      val h = s"COALESCE(${md5Hex32Sql("'mix-v1:' || text")}, -1)"
       val w = s"500 + (${md5Hex32Sql("'w-v1:' || source")}) % 3 * 250"
       s"""WITH r AS (
             SELECT doc_id, source, CAST($h AS BIGINT) AS h,
@@ -295,9 +297,16 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * the sizing aggregate stays out of the measured plan). */
   def interleaveWith(docs: DataFrame, band: Long): DataFrame = {
     val bySrc = Window.partitionBy("source").orderBy("h", "doc_id")
+    // NULL text → h = −1 (the length_bucket_pack sentinel convention):
+    // real 32-bit hashes are ≥ 0, so −1 reproduces Spark's NULL-first
+    // window order as a DEFINITE value the oracle's window-free
+    // strict-predecessor count can see — with a bare NULL, Spark sorts
+    // the row first while the count form drops every NULL comparison
+    // and mints two rank-1 rows (caught by the r13 NULL-text fuzz doc)
     val prio = docs
       .select(col("doc_id"), col("source"),
-        expr("cast(conv(substring(md5(concat('mix-v1:', text)), 1, 8), 16, 10) as bigint)")
+        expr("""coalesce(cast(conv(substring(md5(concat('mix-v1:', text)),
+                1, 8), 16, 10) as bigint), -1L)""")
           .as("h"),
         (lit(500L) +
           expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")

@@ -266,6 +266,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("source_interleave: NULL text takes the -1 sentinel hash and rank 1 (the NULL-first total order)") {
+    import spark.implicits._
+    // one NULL-text doc, one empty-text doc, two normal docs, one source:
+    // the schedule must stay a total permutation (the window-free oracle
+    // form mints DUPLICATE rank-1 rows if h is a bare NULL — the r13
+    // NULL-text fuzz doc caught exactly that on the fuzz corpus)
+    val docs = Seq(
+      (0L, Option("plain first document"), "s1"),
+      (1L, Option(""), "s1"),
+      (2L, Option.empty[String], "s1"),
+      (3L, Option("another plain document"), "s1"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.interleaveOf(docs).collect()
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 4L))
+    val ranks = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap
+    assert(ranks.values.toSeq.sorted == Seq(1L, 2L, 3L, 4L),
+      s"rank_in_source not a total order: $ranks")
+    // the NULL-text doc hashes to the -1 sentinel, below every real
+    // 32-bit hash, so it ranks FIRST in its source
+    assert(ranks(2L) == 1L, s"NULL-text doc not rank 1: $ranks")
+    // and the empty-string doc keeps its own REAL hash (md5('mix-v1:')
+    // prefix), distinct from the sentinel
+    assert(ranks(1L) != 1L || ranks(2L) != 1L)
+  }
+
   test("global_shuffle: pos is a permutation, two-level rank equals the global rank, shards balance") {
     val rows = SparkEntry.queries("global_shuffle")(spark, sf).collect()
     // exact permutation of [0, n)
