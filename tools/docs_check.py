@@ -89,9 +89,13 @@ def perkey_claims(para, queries, spill_keys):
     artifact saying 7.73/55.78/zero-spill — the stale class must FAIL the
     gate, not wait for a judge's diff). Grammar the README must use for
     per-key figures, each attributed to the nearest PRECEDING `key`:
-      time <n>x      -> ratio_5x or ratio_25x at the quoted precision
-      bytes <n>x     -> byte_ratio_5x or byte_ratio_25x
-      exponent <n>   -> exponent
+      time <n>x      -> ratio_5x / ratio_25x / ratio_50x at the quoted
+                        precision
+      bytes <n>x     -> byte_ratio_5x / byte_ratio_25x / byte_ratio_50x
+      exponent <n>   -> exponent or exponent_lo (three-point runs carry
+                        both: the headline fit between the two largest
+                        multiples and the low fit used for prediction)
+      pred-err <n>   -> pred_err (three-point extrapolation check)
       spill-emergent -> key must be in some point's spill_emergent_keys
     Numbers not in this grammar (e.g. k^2=625x work claims, external
     artifact figures) are not checked. Returns drift messages."""
@@ -112,12 +116,15 @@ def perkey_claims(para, queries, spill_keys):
         row = queries.get(key)
         if row is None:
             continue
-        for m in re.finditer(r"\b(time|bytes|exponent)\s+(-?\d+(?:\.\d+)?)(?:[x×])?",
-                             seg):
+        for m in re.finditer(
+                r"\b(time|bytes|exponent|pred-err)\s+(-?\d+(?:\.\d+)?)(?:[x×])?",
+                seg):
             kind, num = m.group(1), m.group(2)
-            cols = {"time": ("ratio_5x", "ratio_25x"),
-                    "bytes": ("byte_ratio_5x", "byte_ratio_25x"),
-                    "exponent": ("exponent",)}[kind]
+            cols = {"time": ("ratio_5x", "ratio_25x", "ratio_50x"),
+                    "bytes": ("byte_ratio_5x", "byte_ratio_25x",
+                              "byte_ratio_50x"),
+                    "exponent": ("exponent", "exponent_lo"),
+                    "pred-err": ("pred_err",)}[kind]
             if not any(quoted_match(num, row.get(c)) for c in cols):
                 have = {c: row.get(c) for c in cols}
                 msgs.append(f"README.md scale paragraph: `{key}` {kind} "
@@ -156,16 +163,18 @@ if "--selftest-drift" in sys.argv:
     # per-key claim gate: must FIRE on a stale number / phantom spill
     # claim and stay quiet on artifact-true ones
     q = {"simhash_hamming_pairs":
-         {"ratio_5x": 6.05, "ratio_25x": 55.78, "byte_ratio_25x": 333.51,
-          "exponent": 1.38}}
+         {"ratio_5x": 6.05, "ratio_25x": 55.78, "ratio_50x": 140.2,
+          "byte_ratio_25x": 333.51, "exponent": 1.38, "exponent_lo": 1.12,
+          "pred_err": 1.61}}
     stale = perkey_claims(
         "the flag is `simhash_hamming_pairs` (time 77x, exponent 1.98, "
-        "its 8.6 GB spill-emergence is benign)", q, set())
+        "pred-err 0.9, its 8.6 GB spill-emergence is benign)", q, set())
     fresh = perkey_claims(
         "the flag is `simhash_hamming_pairs` (time 55.78x at 25x, "
-        "bytes 333.51x, exponent 1.38)", q,
+        "time 140.2x at 50x, bytes 333.51x, exponent 1.38, "
+        "exponent 1.12 on the low fit, pred-err 1.61)", q,
         {"simhash_hamming_pairs"})
-    assert len(stale) == 3 and not fresh, (stale, fresh)
+    assert len(stale) == 4 and not fresh, (stale, fresh)
     print("selftest-perkey: gate fires on stale time/exponent/spill "
           "claims, passes artifact-true ones")
     sys.exit(0)
@@ -192,6 +201,14 @@ else:
     if miss:
         print(f"DRIFT README.md: superlinear keys missing from the "
               f"scale-bench paragraph: {sorted(miss)}")
+        ok = False
+    # off-fit keys (three-point runs) carry analysis notes in the
+    # artifact; the README narrative must name them the same way it
+    # names superlinear keys — a bent curve is a finding, not a footnote
+    offmiss = set(art.get("offfit_keys", [])) - named
+    if offmiss:
+        print(f"DRIFT README.md: off-fit keys missing from the "
+              f"scale-bench paragraph: {sorted(offmiss)}")
         ok = False
     spill_keys = set()
     for pt in art.get("points", []):
