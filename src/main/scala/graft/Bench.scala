@@ -75,7 +75,17 @@ object Bench {
     // query isn't charged for session init (it was absorbing ~5s)
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // optional key filter (SPARK_GRAFT_BENCH_KEYS=a,b,c): measure only
+    // the named keys under the IDENTICAL per-key protocol (recorded
+    // warmup over the same selection + median-of-passes), so a new
+    // key's timings can be merged into a committed full artifact
+    // (tools/merge_bench_keys.py records the provenance) without
+    // re-running the whole suite at every multiple
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
     // RECORDED warmup pass(es): run the whole key loop once before any
     // measured pass, so the one-time Materialize stage builds and the
     // bulk of the janino codegen floor land HERE by construction rather

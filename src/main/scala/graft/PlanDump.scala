@@ -110,7 +110,32 @@ object PlanDump {
           "scans), touches the raw embeddings ONLY for the query " +
           "vectors (PushedFilters LessThan(vec_id,10)), and joins the " +
           "query distance tables as broadcast — the one corpus-sized " +
-          "input is the stored codes scan."))
+          "input is the stored codes scan."),
+      "embedding_quantize" ->
+        ("Int8 PTQ audit is pure per-row map work: ONE embeddings scan, " +
+          "no join, no aggregate exchange — the only exchanges are the " +
+          "small-file fan-out repartition (Tables.fanOut, a no-op at " +
+          "real scale) and the final ORDER BY's range partitioning; " +
+          "the quantize/error expressions are chained Projects over " +
+          "the scan."),
+      "packing_efficiency" ->
+        ("Three-strategy audit: the token-count frame is pinned behind " +
+          "one checkpoint (ExistingRDD feeds all three legs); the " +
+          "bucket leg keeps bucketRankOf's two-level rank (offsets " +
+          "join back ShuffledHashJoin), the naive leg derives its rank " +
+          "from the chunked prefix scan — no corpus-wide " +
+          "SinglePartition window anywhere; each leg ends in a partial " +
+          "hash aggregate before the 3-row union."),
+      "minhash_band_calib" ->
+        ("Sampled S-curve: the corpus-sized work (text IS NOT NULL + " +
+          "md5 sample filter over one documents scan) happens once " +
+          "inside the sample checkpoint — every leaf below is the " +
+          "bounded-sample ExistingRDD. The shingle inverted index, " +
+          "size join-backs and LSH catch probe run on that sample; " +
+          "broadcasts appear ONLY for sample-bounded sides " +
+          "(scale-invariant ~256 docs by the divisor contract), the " +
+          "Jaccard/catch joins are ShuffledHashJoin, and the result " +
+          "is a ≤10-row aggregate."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -113,10 +113,13 @@ object Dedup {
   /** sh/sig/bands CTE chain for the MinHash signature/band tables in
     * DuckDB — ONE definition shared by the five minhash-family oracles
     * (mirrors [[signaturesOf]] + [[bandsOf]] exactly; a drift in any
-    * copy would silently desynchronize one key's Spark/DuckDB pair). */
-  private def minhashSigCtes: String = """sh AS (
+    * copy would silently desynchronize one key's Spark/DuckDB pair).
+    * Parameterized by the (doc_id, text) source so minhash_band_calib
+    * can instantiate it over its sampled-corpus CTE — same text object,
+    * no fork (the ann_recall_calib oracle-generator discipline). */
+  private def minhashSigCtesOver(tbl: String): String = s"""sh AS (
               SELECT doc_id, substr(text, i, 8) AS s
-              FROM documents,
+              FROM $tbl,
                    UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
             sig AS (
               SELECT doc_id,
@@ -129,6 +132,8 @@ object Dedup {
               SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
               UNION ALL
               SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig)"""
+
+  private def minhashSigCtes: String = minhashSigCtesOver("documents")
 
   /** Band-collision candidate pairs CTE (named so simEst can call it
     * `cand` while the cc chain calls it `pairs`). */
@@ -1106,8 +1111,114 @@ object Dedup {
             ORDER BY doc_id""")
   )
 
+  /** The analytic S-curve `1 − (1 − s⁴)²` (2 bands × 4 rows) at the
+    * decile-bin MIDPOINT m = (2·bin+1)/20, in EXACT integer arithmetic:
+    * expanding gives p = 2m⁴ − m⁸ = (2·t⁴·20⁴ − t⁸)/20⁸ with t = 2·bin+1
+    * ≤ 19, so numerator ≤ ~4·10¹⁰ and everything stays in BIGINT — no
+    * float pow whose last-ulp could differ between the engines. ONE
+    * text, instantiated with Spark's `div` and DuckDB's `//`. */
+  private def analyticPermilleSql(divOp: String): String = {
+    val t4 = "((2*bin+1)*(2*bin+1)*(2*bin+1)*(2*bin+1))"
+    s"CAST((1000 * (2 * $t4 * 160000 - $t4 * $t4)) $divOp 25600000000 " +
+      "AS BIGINT)"
+  }
+
+  /** Measured-vs-analytic LSH banding S-curve — the calibration that
+    * picks (bands, rows) for a target similarity threshold before a
+    * 100 TB dedup run. Ground truth is EXACT shingle-set Jaccard over a
+    * deterministic md5 doc sample (~256 docs; divisor from one A10
+    * count, the ann_recall_calib sampling discipline): within-sample
+    * pairs sharing ≥1 shingle get c = |A∩B| from a shingle inverted
+    * index and u = |A|+|B|−c, decile-binned at `least(9, 10c div u)`.
+    * A pair is CAUGHT when the shipped 2-band×4-row pipeline
+    * ([[candidatePairsOf]] over the same sample — detection depends
+    * only on the pair's own signatures, so sample-local banding is
+    * exact) emits it. Per bin: n_pairs, n_caught, measured_permille
+    * (exact integer division) and the analytic 1−(1−s⁴)² at the bin
+    * midpoint — both permille, so the S-curve fit is read row-by-row.
+    * Zero-overlap pairs are uninformative for the curve (measured and
+    * analytic are both ~0) and are not enumerated — the inverted index
+    * never materializes them.
+    *
+    * Scale shape: corpus-sized work is ONE count + the pushed-down
+    * md5 sample filter; everything after is sample-bounded (shingle
+    * self-join fanout ≤ sample² per shingle value, sample ~256), with
+    * shuffle_hash join-backs on the bounded frames. */
+  val minhashBandCalib = QuerySpec(
+    "minhash_band_calib",
+    (s, d) => {
+      val nn = documents(s, d).where(col("text").isNotNull)
+      // corpus-size scalar feedback (A10) sizes the sample divisor
+      val div = math.max(1L, nn.count() / 256L)
+      val smp = nn.where(expr(
+        s"""cast(conv(substring(md5(concat('mbc-v1:',
+           cast(doc_id as string))), 1, 8), 16, 10) as bigint) % ${div}L = 0"""))
+        .select("doc_id", "text")
+        .localCheckpoint(false) // feeds the shingle index + the LSH pipeline
+      // distinct shingle sets: Jaccard is over SETS, while the minhash
+      // signature consumes positional rows (min() is dup-insensitive)
+      val sset = TextOps.shingleRows(smp, 8).distinct()
+        .localCheckpoint(false) // feeds sizes + both self-join sides
+      val sz = sset.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = sset.as("a")
+        .join(sset.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+      val pairs = inter
+        .join(sz.select(col("doc_id").as("id1"), col("nsh").as("n1"))
+          .hint("shuffle_hash"), "id1")
+        .join(sz.select(col("doc_id").as("id2"), col("nsh").as("n2"))
+          .hint("shuffle_hash"), "id2")
+        .withColumn("u", col("n1") + col("n2") - col("c"))
+      val cand = candidatePairsOf(smp).withColumn("hit", lit(1L))
+      pairs.join(cand.hint("shuffle_hash"), Seq("id1", "id2"), "left")
+        .withColumn("caught", coalesce(col("hit"), lit(0L)))
+        .withColumn("bin", least(lit(9L), expr("(10 * c) div u")))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+        .withColumn("measured_permille", expr("(n_caught * 1000) div n_pairs"))
+        .withColumn("analytic_permille", expr(analyticPermilleSql("div")))
+        .orderBy("bin")
+    },
+    Some(s"""WITH nn AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            smp AS (
+              SELECT doc_id, text FROM nn
+              WHERE (${TextOps.md5Hex32Sql("'mbc-v1:' || CAST(doc_id AS VARCHAR)")})
+                    % (SELECT GREATEST(1, COUNT(*) // 256) FROM nn) = 0),
+            ${minhashSigCtesOver("smp")},
+            ${minhashPairCte("cand")},
+            sset AS (SELECT DISTINCT doc_id, s FROM sh),
+            sz AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+              FROM sset GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM sset a JOIN sset b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.id1, i.id2, i.c, za.nsh + zb.nsh - i.c AS u
+              FROM inter i JOIN sz za ON za.doc_id = i.id1
+                           JOIN sz zb ON zb.doc_id = i.id2),
+            binned AS (
+              SELECT LEAST(9, (10 * p.c) // p.u) AS bin,
+                     CASE WHEN cd.id1 IS NULL THEN 0 ELSE 1 END AS caught
+              FROM pairs p LEFT JOIN cand cd
+                ON cd.id1 = p.id1 AND cd.id2 = p.id2)
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(caught) AS BIGINT) AS n_caught,
+                   (CAST(SUM(caught) AS BIGINT) * 1000)
+                     // CAST(COUNT(*) AS BIGINT) AS measured_permille,
+                   ${analyticPermilleSql("//")} AS analytic_permille
+            FROM binned GROUP BY bin ORDER BY bin""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(exact, minhashLsh, simhash, simhashHammingPairs, ngramJaccard,
         clusters, keep, decontaminate, minhashSimEst, bloomPruneJoin,
-        bloomFprCalib, substringDedup, deltaDedup, deltaSimhash)
+        bloomFprCalib, substringDedup, deltaDedup, deltaSimhash,
+        minhashBandCalib)
 }

@@ -1093,8 +1093,81 @@ object Similarity {
             ORDER BY t.qid""")
   )
 
+  /** Per-vector int8 post-training quantization audit — the compression
+    * step a 100 TB embedding store runs before ann_index_persist-style
+    * serving (4 bytes/dim float → 1 byte/dim + one scale per vector).
+    * Symmetric absmax scheme in the engine's exact fixed-point domain
+    * (c_i = floor(x_i·1000), the quantDot convention): amax = max|c_i|,
+    * code q_i = round-half-away-from-zero(c_i·127/amax), computed as
+    * sign-split POSITIVE integer division — (|c|·254 + amax) div
+    * (2·amax) — so Spark's `div` (truncate) and DuckDB's `//` (floor)
+    * agree everywhere, negatives included. Reconstruction error is
+    * reported ×127 to stay integral: err127_i = c_i·127 − q_i·amax
+    * (|err127| ≤ amax/2 by the rounding bound), sse127 = Σ err127²,
+    * max_abs_err127 = max|err127|. No float reaches the hashed output.
+    * Zero/empty vectors quantize to all-zero codes with zero error;
+    * vectors carrying a NULL component are excluded (quantizing absent
+    * components is undefined), pinned identically in both engines.
+    *
+    * Scale shape: pure per-row map over ONE embeddings scan — zero
+    * shuffle below the final ORDER BY; linear by construction. */
+  val embeddingQuantize = QuerySpec(
+    "embedding_quantize",
+    (s, d) => {
+      embeddings(s, d)
+        .where(expr("NOT exists(embedding, x -> x IS NULL)"))
+        .select(col("vec_id"),
+          expr("""transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))""")
+            .as("c"))
+        .withColumn("amax",
+          expr("aggregate(c, 0L, (m, v) -> greatest(m, abs(v)))"))
+        .withColumn("q",
+          expr("""transform(c, v -> CASE
+                    WHEN amax = 0 THEN 0L
+                    WHEN v >= 0 THEN (v * 254 + amax) div (2 * amax)
+                    ELSE -(((-v) * 254 + amax) div (2 * amax)) END)"""))
+        .withColumn("err", expr("zip_with(c, q, (v, w) -> v * 127 - w * amax)"))
+        .select(col("vec_id"), col("amax"),
+          expr("aggregate(err, 0L, (a, x) -> a + x * x)").as("sse127"),
+          expr("aggregate(err, 0L, (a, x) -> greatest(a, abs(x)))")
+            .as("max_abs_err127"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH src AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                       AS c
+              FROM embeddings
+              WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+            am AS (
+              SELECT vec_id, c,
+                     CAST(COALESCE(list_max(list_transform(c, v -> abs(v))), 0)
+                       AS BIGINT) AS amax
+              FROM src),
+            q AS (
+              SELECT vec_id, c, amax,
+                     list_transform(c, v -> CASE
+                       WHEN amax = 0 THEN 0
+                       WHEN v >= 0 THEN (v * 254 + amax) // (2 * amax)
+                       ELSE -(((-v) * 254 + amax) // (2 * amax)) END) AS qs
+              FROM am),
+            e AS (
+              SELECT vec_id, amax,
+                     list_transform(range(1, len(c) + 1),
+                       i -> c[i] * 127 - qs[i] * amax) AS err
+              FROM q)
+            SELECT vec_id, amax,
+                   CAST(COALESCE(list_sum(list_transform(err, x -> x * x)), 0)
+                     AS BIGINT) AS sse127,
+                   CAST(COALESCE(list_max(list_transform(err, x -> abs(x))), 0)
+                     AS BIGINT) AS max_abs_err127
+            FROM e ORDER BY vec_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, knnGraph,
         embeddingCentroids, annIvf, kmeansLloyd, annPq, annIndexPersist,
-        semdedupKeep, annRecallCalib)
+        semdedupKeep, annRecallCalib, embeddingQuantize)
 }

@@ -1029,4 +1029,134 @@ private[llm] trait TextPacking { self: TextOps.type =>
                      - CAST(SUM(n_tokens) AS BIGINT) AS padding_waste
             FROM brnk GROUP BY 1, 2 ORDER BY len_bucket, batch_idx""")
   )
+
+  /** Padding-waste audit ACROSS layout strategies — the number that
+    * decides which training-prep layout to run at 100 TB. One row per
+    * strategy over the same non-NULL-text corpus:
+    *   - `stream_pack`  — sequence_pack's concat-into-2048-token bins:
+    *     waste is only the final partial bin (units = ceil(Σtok/2048));
+    *   - `bucket_batch` — length_bucket_pack's regime (len-bucketed
+    *     batches of 16, each padded to its batch max);
+    *   - `naive_batch`  — doc_id-order batches of 16 padded to batch
+    *     max: the baseline whose waste ≈ the corpus length spread,
+    *     which bucketing exists to beat.
+    * Columns: units (bins/batches), real_tokens, slot_tokens
+    * (units·2048, or Σ n_docs·max_len), padding_waste = slot − real,
+    * util_permille = real·1000 div slot (exact integer — no float in
+    * the hashed output). NULL-text docs are excluded from ALL three
+    * legs (content-free docs can't be trained on; length_bucket_pack's
+    * −1 sentinel bucket is that key's own audit concern).
+    *
+    * Scale shape: leg (a) is one map-side-combinable SUM; leg (b) is
+    * the shipped bucketRankOf machinery (two-level rank, no
+    * corpus-sized window); leg (c) derives the doc_id-order rank from
+    * packCountsOf over unit counts (the same two-level prefix scan) and
+    * joins token counts back shuffle_hash on doc_id. Each leg ends in a
+    * ≤|batches|-row aggregate; the union is three 1-row frames. */
+  val packingEfficiency = QuerySpec(
+    "packing_efficiency",
+    (s, d) => {
+      // pin: the token-count frame feeds three strategy branches and
+      // Catalyst cannot CSE across them (the bucketRankOf rationale)
+      val toks = documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+        .localCheckpoint(false)
+      def totalsOf(batches: DataFrame, name: String): DataFrame =
+        batches.agg(count(lit(1)).as("units"),
+            coalesce(sum(col("sl")), lit(0L)).as("real_tokens"),
+            coalesce(sum(col("n") * col("mx")), lit(0L)).as("slot_tokens"))
+          .select(lit(name).as("strategy"), col("units"),
+            col("real_tokens"), col("slot_tokens"))
+      val stream = toks
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("real_tokens"))
+        .select(lit("stream_pack").as("strategy"),
+          expr("(real_tokens + 2047) div 2048").as("units"),
+          col("real_tokens"),
+          (expr("(real_tokens + 2047) div 2048") * 2048L).as("slot_tokens"))
+      val bsrc = toks.withColumn("len_bucket", expr("n_tokens div 16"))
+        .withColumn("k",
+          md5(concat(lit("lbp-v1:"), col("doc_id").cast("string"))))
+      val bucket = totalsOf(
+        bucketRankOf(bsrc, Seq("len_bucket"), Seq("n_tokens"), "doc_id")
+          .withColumn("batch_idx", expr("rnk div 16"))
+          .groupBy("len_bucket", "batch_idx")
+          .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("mx"),
+            sum(col("n_tokens")).as("sl")),
+        "bucket_batch")
+      // doc_id-order rank: packCountsOf over unit counts makes start_pos
+      // the 0-based ordinal (prefix sum of 1s) with the two-level scan
+      val naive = totalsOf(
+        packCountsOf(toks.select(col("doc_id"), lit(1L).as("n_tokens")))
+          .select(col("doc_id"), expr("start_pos div 16").as("batch_idx"))
+          .join(toks.hint("shuffle_hash"), "doc_id")
+          .groupBy("batch_idx")
+          .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("mx"),
+            sum(col("n_tokens")).as("sl")),
+        "naive_batch")
+      stream.unionByName(bucket).unionByName(naive)
+        .withColumn("padding_waste", col("slot_tokens") - col("real_tokens"))
+        .withColumn("util_permille",
+          expr("""CASE WHEN slot_tokens = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE (real_tokens * 1000) div slot_tokens END"""))
+        .orderBy("strategy")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '')) AS BIGINT) AS n_tokens
+              FROM documents WHERE text IS NOT NULL),
+            stream AS (
+              SELECT 'stream_pack' AS strategy,
+                     CAST(COALESCE((SUM(n_tokens) + 2047) // 2048, 0)
+                       AS BIGINT) AS units,
+                     CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS real_tokens,
+                     CAST(COALESCE((SUM(n_tokens) + 2047) // 2048, 0)
+                       AS BIGINT) * 2048 AS slot_tokens
+              FROM toks),
+            rsrc AS (
+              SELECT doc_id, n_tokens, n_tokens // 16 AS len_bucket,
+                     md5('lbp-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
+                     substr(md5('lbp-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       AS bkt
+              FROM toks),
+            ${bucketRankSql(Seq("len_bucket"), Seq("n_tokens"), "doc_id")},
+            bb AS (
+              SELECT len_bucket, rnk // 16 AS batch_idx,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MAX(n_tokens) AS BIGINT) AS mx,
+                     CAST(SUM(n_tokens) AS BIGINT) AS sl
+              FROM brnk GROUP BY 1, 2),
+            bucket AS (
+              SELECT 'bucket_batch' AS strategy,
+                     CAST(COUNT(*) AS BIGINT) AS units,
+                     CAST(COALESCE(SUM(sl), 0) AS BIGINT) AS real_tokens,
+                     CAST(COALESCE(SUM(n * mx), 0) AS BIGINT) AS slot_tokens
+              FROM bb),
+            npos AS (
+              SELECT a.doc_id, a.n_tokens,
+                     CAST(COUNT(b.doc_id) AS BIGINT) AS rnk
+              FROM toks a LEFT JOIN toks b ON b.doc_id < a.doc_id
+              GROUP BY a.doc_id, a.n_tokens),
+            nb AS (
+              SELECT rnk // 16 AS batch_idx, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MAX(n_tokens) AS BIGINT) AS mx,
+                     CAST(SUM(n_tokens) AS BIGINT) AS sl
+              FROM npos GROUP BY 1),
+            naive AS (
+              SELECT 'naive_batch' AS strategy,
+                     CAST(COUNT(*) AS BIGINT) AS units,
+                     CAST(COALESCE(SUM(sl), 0) AS BIGINT) AS real_tokens,
+                     CAST(COALESCE(SUM(n * mx), 0) AS BIGINT) AS slot_tokens
+              FROM nb),
+            allrows AS (
+              SELECT * FROM stream UNION ALL
+              SELECT * FROM bucket UNION ALL
+              SELECT * FROM naive)
+            SELECT strategy, units, real_tokens, slot_tokens,
+                   slot_tokens - real_tokens AS padding_waste,
+                   CASE WHEN slot_tokens = 0 THEN NULL
+                        ELSE (real_tokens * 1000) // slot_tokens
+                   END AS util_permille
+            FROM allrows ORDER BY strategy""")
+  )
 }

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Bucketed {
 
+  /** Stale-sweep age gate: only unowned bucket-table dirs at least this
+    * old are deleted (see the sweep comment in [[tables]]). A shutdown
+    * hook removes this JVM's own dirs on clean exit, so anything older
+    * than this is a crashed run's leftover, not a live sibling's. */
+  private val SWEEP_AGE_MS = 2L * 60 * 60 * 1000
+
   private val made =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -87,12 +93,25 @@ object Bucketed {
       val live = made.values.asScala.flatMap(t => Seq(t._1, t._2)).toSet ++
         building.asScala
       val wh = warehousePath(s)
+      // cross-PROCESS safety (round-14 finding): the tag embeds the
+      // applicationId, so a CONCURRENT graft JVM's live tables are never
+      // in this JVM's `live` set — an unconditional sweep deleted a
+      // running Bench's tables mid-pass when a full Verify ran beside it
+      // (FAILED_READ_FILE.FILE_NOT_EXIST on passes 2-3). Age-gate the
+      // sweep: only dirs older than SWEEP_AGE_MS are candidates. Crashed
+      // leftovers from previous rounds are hours old; any table a live
+      // sibling JVM could still be reading is younger than its own
+      // session. The gate trades at most one stale dir-pair of disk for
+      // eliminating the cross-process delete race.
+      val cutoff = System.currentTimeMillis() - SWEEP_AGE_MS
       if (java.nio.file.Files.exists(wh)) {
         val ls = java.nio.file.Files.list(wh)
         try ls.forEach { p =>
           val n = p.getFileName.toString
           if ((n.startsWith("graft_orders_bkt_") ||
-               n.startsWith("graft_customer_bkt_")) && !live.contains(n)) rm(p)
+               n.startsWith("graft_customer_bkt_")) && !live.contains(n) &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+            rm(p)
         }
         finally ls.close()
       }

@@ -474,4 +474,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"codes scan degraded to SMJ:\n$p")
   }
+
+  test("embedding_quantize: pure per-row map — one scan, no join, no aggregate exchange") {
+    val p = plan("embedding_quantize")
+    assert(!p.contains("Join"), s"per-row quantizer grew a join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"plan scans:\n$p")
+    // no hash-partitioned shuffle (the only exchanges are the
+    // small-file fan-out round-robin and the final sort's range
+    // partitioning) and no single-partition collapse
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("SinglePartition"),
+      s"per-row quantizer introduced a shuffle:\n$p")
+  }
+
+  test("packing_efficiency: checkpoint-pinned counts feed three legs; no corpus-wide single-partition window") {
+    val p = plan("packing_efficiency")
+    // the token-count frame is pinned: every leg reads the ExistingRDD,
+    // never a documents parquet re-scan
+    assert(p.contains("Scan ExistingRDD"), s"counts not pinned:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"documents re-scanned above the counts checkpoint:\n$p")
+    // two-level rank discipline in both batching legs: every
+    // SinglePartition exchange sits over an aggregated (bounded) frame
+    assert(p.contains("ShuffledHashJoin"), s"offsets join-back missing:\n$p")
+    var rest = p
+    var guard = 0
+    while (rest.contains("Exchange SinglePartition") && guard < 8) {
+      val idx = rest.indexOf("Exchange SinglePartition")
+      val after = rest.substring(idx)
+      val nextEx = after.indexOf("Exchange hashpartitioning", 1)
+      val subtree = if (nextEx > 0) after.substring(0, nextEx) else after
+      assert(subtree.contains("HashAggregate"),
+        s"single-partition window not over aggregated totals:\n$p")
+      rest = after.substring(1)
+      guard += 1
+    }
+  }
+
+  test("minhash_band_calib: corpus work confined to the sample checkpoint; result is a bounded aggregate") {
+    val p = plan("minhash_band_calib")
+    // the only corpus-sized pass (scan + null filter + md5 sample
+    // filter) ran inside the checkpoint — the final plan's leaves are
+    // all the bounded-sample ExistingRDD
+    assert(p.contains("Scan ExistingRDD"), s"sample not pinned:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"documents re-scanned above the sample checkpoint:\n$p")
+    // the Jaccard joins keep the shuffle-hash discipline (broadcasts
+    // are allowed only for the sample-bounded sides)
+    assert(p.contains("ShuffledHashJoin"), s"join discipline lost:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"degraded to SMJ:\n$p")
+  }
 }

@@ -2,7 +2,9 @@
 # Run a graft main directly with java (no sbt lock): mirrors build.sbt's
 # forked-JVM flags. Usage: tools/run_main.sh graft.Bench [args...]
 set -euo pipefail
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CLASSES overrides the classes dir (e.g. a frozen snapshot while a
+# long bench chain must keep seeing one fixed key surface)
+CP="${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent \
