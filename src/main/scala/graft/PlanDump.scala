@@ -135,7 +135,20 @@ object PlanDump {
           "broadcasts appear ONLY for sample-bounded sides " +
           "(scale-invariant ~256 docs by the divisor contract), the " +
           "Jaccard/catch joins are ShuffledHashJoin, and the result " +
-          "is a ≤10-row aggregate."))
+          "is a ≤10-row aggregate."),
+      "tokenizer_fertility" ->
+        ("The shared bpe_encode apply chain with lang carried through: " +
+          "ONE documents scan, the per-row surgery in a Project, then " +
+          "a map-side-combinable HashAggregate pair down to the " +
+          "|languages|-row frame — no join (the carry makes the " +
+          "corpus-sized join-back unnecessary), no window."),
+      "shard_manifest" ->
+        ("Manifest = one scan + one partial-then-final HashAggregate " +
+          "to 32 rows: shard routing and the multiset checksum are " +
+          "per-row expressions, the checksum accumulates in " +
+          "DECIMAL(38,0) inside the aggregate and leaves as one " +
+          "mod-2^61 BIGINT — no join, no window, nothing " +
+          "corpus-derived broadcast."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -1018,10 +1018,18 @@ object Similarity {
       val n = e.count()
       val div = math.max(1L, n / 4096L)
       // the calibration corpus: queries ∪ md5 sample — the ONE pool
-      // every tier ranks over (see the sampling contract above)
+      // every tier ranks over (see the sampling contract above).
+      // Checkpoint-pinned (r14): es feeds FOUR subtrees (queries, the
+      // exact tier's crossJoin side, LSH, IVF) and Catalyst cannot CSE
+      // across them — unpinned, each consumer re-ran the full-corpus
+      // md5 filter scan, making the key ~6 linear passes instead of 1
+      // (measured exponent 1.38 at the 25x gate where the sampling
+      // contract predicts a flat tail; the pin leaves ONE corpus scan:
+      // the count above shares the other)
       val es = e.filter(col("vec_id") < 10 || expr(
         s"""cast(conv(substring(md5(concat('cal-v1:',
            cast(vec_id as string))), 1, 8), 16, 10) as bigint) % ${div}L = 0"""))
+        .localCheckpoint(false)
       val q = es.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val wEx = Window.partitionBy("qid")

@@ -62,5 +62,6 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
         spanCorruption, bpeMergePairs, bpeEncode, bpeSequencePack,
         pipelineQualityPack, globalShuffle,
         mixtureAllocate, repeatUpsample, curriculumSchedule, dsirWeights,
-        lengthBucketPack, packingEfficiency)
+        lengthBucketPack, packingEfficiency, tokenizerFertility,
+        shardManifest)
 }

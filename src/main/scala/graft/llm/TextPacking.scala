@@ -819,16 +819,21 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * with the encoded result joined back — the word-frequency trick the
     * trainer already uses — but at config-sized k the direct per-row
     * form is strictly cheaper (no corpus-wide join). */
-  def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)],
+      carry: Seq[String] = Nil): DataFrame = {
     val enc = "concat(',,', regexp_replace(w, '(.)', '$1,,'))"
     val chain = merges.foldLeft(enc) { case (acc, (l, r)) =>
       s"replace($acc, ',$l,,$r,', ',$l$r,')" }
-    docs.select(col("doc_id"),
+    // carry: extra input columns projected through unchanged (the
+    // default keeps every existing caller's plan identical) — lets a
+    // consumer like tokenizer_fertility aggregate per-doc BPE counts
+    // against other doc attributes WITHOUT a corpus-sized join-back
+    docs.select(col("doc_id") +: carry.map(col) :+
       expr(s"""flatten(transform(
           filter(split(lower(coalesce(text, '')), ' '), x -> x != ''),
           w -> CASE WHEN w rlike '^[a-z]+${"$"}'
                THEN filter(split($chain, ',,'), x -> x != '')
-               ELSE array(w) END))""").as("toks"))
+               ELSE array(w) END))""").as("toks"): _*)
   }
 
   /** bpe_encode — the tokenizer train→apply loop CLOSED (VERDICT r12
@@ -853,6 +858,52 @@ private[llm] trait TextPacking { self: TextOps.type =>
           SELECT doc_id, CAST(len(toks) AS BIGINT) AS bpe_token_cnt,
                  md5(COALESCE(array_to_string(toks, ' '), '')) AS stream_md5
           FROM dtok ORDER BY doc_id""")
+  )
+
+  /** Tokenizer fertility by language — the data-card metric that sizes
+    * a training run's token budget per source language: BPE tokens per
+    * whitespace word (fertility_milli = bpe·1000 div ws, exact). High
+    * fertility = the tokenizer fragments that language's words into
+    * many sub-symbols, so a doc budget overshoots its token budget.
+    * Shares the trained merge table AND the apply chain with
+    * bpe_encode ([[bpeEncodeOf]], lang/text carried through — no
+    * corpus-sized join-back), trained ONCE per (app, corpus) via
+    * Materialize. NULL-text docs are excluded (no words to tokenize).
+    *
+    * Scale shape: the per-row apply plus ONE map-side-combinable
+    * aggregate to a |languages|-row frame — zero joins, zero windows. */
+  val tokenizerFertility = QuerySpec(
+    "tokenizer_fertility",
+    (s, d) => {
+      val nn = documents(s, d).where(col("text").isNotNull)
+      bpeEncodeOf(nn, trainedMerges(s, d), Seq("lang", "text"))
+        .select(col("lang"), size(tokens).cast("long").as("ws"),
+          size(col("toks")).cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .withColumn("fertility_milli",
+          expr("""CASE WHEN ws_tokens = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE (bpe_tokens * 1000) div ws_tokens END"""))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $bpeTrainCtesSql,
+          $bpeEncodeCtesSql,
+          fj AS (
+            SELECT d.lang,
+                   CAST(len(list_filter(string_split(lower(d.text), ' '),
+                                        w -> w <> '')) AS BIGINT) AS ws,
+                   CAST(len(t.toks) AS BIGINT) AS bpe
+            FROM dtok t JOIN documents d ON d.doc_id = t.doc_id
+            WHERE d.text IS NOT NULL)
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+                 CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                 CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+                 CASE WHEN CAST(SUM(ws) AS BIGINT) = 0 THEN NULL
+                      ELSE (CAST(SUM(bpe) AS BIGINT) * 1000)
+                        // CAST(SUM(ws) AS BIGINT)
+                 END AS fertility_milli
+          FROM fj GROUP BY lang ORDER BY lang""")
   )
 
   /** bpe_sequence_pack — sequence_pack re-pointed at BPE tokens (the
@@ -1158,5 +1209,62 @@ private[llm] trait TextPacking { self: TextOps.type =>
                         ELSE (real_tokens * 1000) // slot_tokens
                    END AS util_permille
             FROM allrows ORDER BY strategy""")
+  )
+
+  /** Deterministic output-shard manifest — the reproducibility artifact
+    * a 100 TB training-data export ships next to its shards: every doc
+    * routes to shard md5-hash32('sm-v1:'||doc_id) % 32 (content-stable,
+    * recomputable by any worker from the id alone — no stored routing
+    * table), and each shard row carries the stats a loader validates
+    * against (doc count, whitespace tokens, text chars, id range) plus
+    * an ORDER-INDEPENDENT multiset checksum: the SUM of each doc's
+    * 32-bit md5 over (id, text), accumulated in DECIMAL(38,0)/HUGEINT
+    * (BIGINT sums would overflow at ~2^31 docs per shard) and emitted
+    * MOD 2^61−1 as BIGINT — associativity survives the modulus, so
+    * shard-parallel writers still combine exactly, and the final
+    * projection stays integer (decimals in driver-facing output are
+    * the trailing-zero hash-fail class the local gate red-flags).
+    * NULL-text docs are manifest rows too (checksum hashes the empty
+    * string; chars/tokens contribute 0) — a manifest that dropped them
+    * would not reconcile with the corpus row count.
+    *
+    * Scale shape: one map + one map-side-combinable aggregate to a
+    * 32-row frame — zero joins, zero windows, zero corpus-sized sorts. */
+  val shardManifest = QuerySpec(
+    "shard_manifest",
+    (s, d) => documents(s, d).select(
+        expr("""cast(conv(substring(md5(concat('sm-v1:',
+               cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 32""")
+          .as("shard"),
+        col("doc_id"),
+        coalesce(size(tokens).cast("long"), lit(0L)).as("ws"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("chars"),
+        expr("""cast(cast(conv(substring(md5(concat('sm-v1:',
+               cast(doc_id as string), ':', coalesce(text, ''))), 1, 8),
+               16, 10) as bigint) as decimal(38,0))""").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("chars")).as("text_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("cast(sum(h) % 2305843009213693951 as bigint)").as("checksum"))
+      .orderBy("shard"),
+    Some(s"""WITH rows_h AS (
+              SELECT (${TextOps.md5Hex32Sql(
+                "'sm-v1:' || CAST(doc_id AS VARCHAR)")}) % 32 AS shard,
+                     doc_id,
+                     COALESCE(len(list_filter(string_split(lower(text), ' '),
+                                              w -> w <> '')), 0) AS ws,
+                     COALESCE(length(text), 0) AS chars,
+                     CAST((${TextOps.md5Hex32Sql(
+                "'sm-v1:' || CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')")})
+                       AS HUGEINT) AS h
+              FROM documents)
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS text_chars,
+                   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+                   CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS checksum
+            FROM rows_h GROUP BY shard ORDER BY shard""")
   )
 }

@@ -511,6 +511,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_fertility and shard_manifest: one scan, partial aggregate, no join, no window") {
+    for (key <- Seq("tokenizer_fertility", "shard_manifest")) {
+      val p = plan(key)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$key scans:\n$p")
+      assert(!p.contains("Join"), s"$key grew a join:\n$p")
+      assert(!p.contains("Window"), s"$key grew a window:\n$p")
+      // partial-then-final aggregate pair (map-side combine present)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$key agg:\n$p")
+      assert(!p.contains("SinglePartition"), s"$key collapsed:\n$p")
+    }
+  }
+
   test("minhash_band_calib: corpus work confined to the sample checkpoint; result is a bounded aggregate") {
     val p = plan("minhash_band_calib")
     // the only corpus-sized pass (scan + null filter + md5 sample

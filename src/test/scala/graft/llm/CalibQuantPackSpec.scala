@@ -158,4 +158,76 @@ class CalibQuantPackSpec extends SparkSpec {
     val byBin = got.map(r => r._1 -> r._4).toMap
     for (lo <- byBin.get(0L); hi <- byBin.get(9L)) assert(hi >= lo)
   }
+
+  // ---- tokenizer_fertility ----
+
+  test("tokenizer_fertility matches a plain-Scala re-aggregation of the " +
+      "trained apply") {
+    // the merge table comes from the engine's own (independently
+    // spec'd + oracle-gated) trainer key; the APPLY below is plain
+    // Scala — the same ',,'-encoded replace semantics BpeEncodeSpec
+    // proves byte-for-byte
+    val merges = TextOps.bpeMergePairs.fn(spark, sf)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+    def bpeCount(w: String): Long =
+      if (w.matches("^[a-z]+$")) {
+        val enc = ",," + w.flatMap(c => s"$c,,")
+        val merged = merges.foldLeft(enc) { case (acc, (l, r)) =>
+          acc.replace(s",$l,,$r,", s",$l$r,") }
+        merged.split(",,").count(_.nonEmpty).toLong
+      } else 1L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .flatMap(r => Option(r.getString(2)).map((r.getString(1), _))).toSeq
+    val expected = docs.map { case (lang, t) =>
+        val ws = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        (lang, ws.length.toLong, ws.map(bpeCount).sum)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (lang, rs) =>
+        val ws = rs.map(_._2).sum; val bpe = rs.map(_._3).sum
+        (lang, rs.size.toLong, ws, bpe,
+          if (ws == 0) null else java.lang.Long.valueOf(bpe * 1000 / ws))
+      }
+    val got = TextOps.tokenizerFertility.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4))))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- shard_manifest ----
+
+  test("shard_manifest matches a plain-Scala manifest and reconciles " +
+      "with the corpus") {
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val M = 2305843009213693951L // 2^61 - 1
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val expected = docs.map { case (id, to) =>
+        val ws = to.map(_.toLowerCase.split(" ", -1).count(_.nonEmpty).toLong)
+          .getOrElse(0L)
+        val chars = to.map(_.length.toLong).getOrElse(0L)
+        (h32(s"sm-v1:$id") % 32, id, ws, chars,
+          h32(s"sm-v1:$id:${to.getOrElse("")}"))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (shard, rs) =>
+        (shard, rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum,
+          rs.map(_._2).min, rs.map(_._2).max,
+          // the engine sums in DECIMAL(38,0) then takes one mod; sum
+          // of 32-bit values over a test corpus fits a Long exactly,
+          // so a single trailing mod reproduces it
+          rs.map(_._5).sum % M)
+      }
+    val got = TextOps.shardManifest.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // reconciliation: shard doc counts sum to the corpus row count, and
+    // every doc routes to exactly one shard (counts are a partition)
+    assert(got.map(_._2).sum == docs.size.toLong)
+  }
 }

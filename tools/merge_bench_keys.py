@@ -48,6 +48,9 @@ def main(full_p, filt_p, keys_csv):
             full.setdefault("shuffle_bytes", {})[k] = fb
     full["value"] = round(
         sum(v for v in full["queries"].values() if v >= 0), 3)
+    # a merged re-measure can replace a -1 (failed) row — recompute the
+    # failure count so the artifact's headline matches its rows
+    full["failed"] = sum(1 for v in full["queries"].values() if v < 0)
     full["merged_keys"] = sorted(set(full.get("merged_keys", [])) | set(keys))
     full["merge_note"] = (
         "merged_keys rows were measured by a key-filtered Bench run "
