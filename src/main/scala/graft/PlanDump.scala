@@ -148,7 +148,15 @@ object PlanDump {
           "per-row expressions, the checksum accumulates in " +
           "DECIMAL(38,0) inside the aggregate and leaves as one " +
           "mod-2^61 BIGINT — no join, no window, nothing " +
-          "corpus-derived broadcast."))
+          "corpus-derived broadcast."),
+      "quantized_topk_recall" ->
+        ("The minhash_band_calib shape in the embedding domain: the " +
+          "only corpus-sized pass (count + pushed-down cal-v1 sample " +
+          "filter) runs inside the sample checkpoint; below it the " +
+          "int8 code table, the bounded |Q|×|sample| score crossJoin, " +
+          "the exact-truth crossJoin and the hit semi-joins are all " +
+          "ExistingRDD-rooted sample-local work ending in a |Q|-row " +
+          "aggregate."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -604,17 +604,20 @@ object Similarity {
     * (qid, vec) partial agg — the corpus is scanned once, shuffled
     * never. Top-k per query is a qid-partitioned window; at real query
     * volume the per-partition partial top-k refinement applies. */
-  val annPq = QuerySpec(
-    "ann_pq",
-    (s, d) => {
-      val comp = quantComponents(embeddings(s, d)).select("vec_id", "dim", "q")
-        .localCheckpoint(false)
-      val seedIds: Array[Long] = seedIdsOf(comp, 16)
-      val ks = seedIds.indices
-      if (seedIds.isEmpty)
-        s.range(0).select(col("id").as("qid"), col("id").as("rank"),
-          col("id").as("vec_id"), col("id").as("adist"))
-      else {
+  /** The full PQ pipeline (seed codebook → wide encode → ADC → top-5)
+    * over an arbitrary embeddings frame — extracted so
+    * pq_recall_calib can run the identical tier over the sampled
+    * calibration corpus (the lshBucketTopkOf/ivfTopkOf discipline). */
+  private[graft] def pqTopkOf(e: DataFrame): DataFrame = {
+    val sess = e.sparkSession
+    val comp = quantComponents(e).select("vec_id", "dim", "q")
+      .localCheckpoint(false)
+    val seedIds: Array[Long] = seedIdsOf(comp, 16)
+    val ks = seedIds.indices
+    if (seedIds.isEmpty)
+      sess.range(0).select(col("id").as("qid"), col("id").as("rank"),
+        col("id").as("vec_id"), col("id").as("adist"))
+    else {
         val cent0 = comp
           .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
           .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
@@ -647,12 +650,16 @@ object Similarity {
           .filter(col("rank") <= 5)
           .select("qid", "rank", "vec_id", "adist")
           .orderBy("qid", "rank")
-      }
-    },
-    Some("""WITH comp AS (
+    }
+  }
+
+  /** The matching PQ oracle over table/CTE `tbl` (same generator
+    * discipline as lshBucketOracleSql/ivfOracleSql). */
+  private[graft] def pqOracleSql(tbl: String): String =
+    s"""WITH comp AS (
               SELECT vec_id, i AS dim,
                      CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
-              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+              FROM $tbl, UNNEST(generate_series(1, len(embedding))) AS t(i)),
             s16 AS (SELECT DISTINCT vec_id FROM comp ORDER BY vec_id LIMIT 16),
             seeds AS (
               SELECT a.vec_id,
@@ -696,7 +703,12 @@ object Similarity {
                                         ORDER BY adist, vec_id) AS rank
               FROM scores)
             SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, adist
-            FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")
+            FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+
+  val annPq = QuerySpec(
+    "ann_pq",
+    (s, d) => pqTopkOf(embeddings(s, d)),
+    Some(pqOracleSql("embeddings"))
   )
 
   /** The PQ index as two persistable frames — (codebook, codes):
@@ -1008,46 +1020,89 @@ object Similarity {
     * calibration corpus (the md5 filter sits directly on each tier's
     * scan); each hit check is a semi-join on (qid, vec_id) and one
     * |Q|-row aggregate. */
+  /** The cal-v1 calibration corpus: queries ∪ md5 sample, divisor from
+    * one A10 count (~4096 rows at any corpus size). Checkpoint-pinned
+    * (r14): the frame feeds several consumer subtrees per key and
+    * Catalyst cannot CSE across them — unpinned, each consumer re-ran
+    * the full-corpus md5 filter scan (ann_recall_calib measured
+    * exponent 1.38 at the 25x gate where the sampling contract
+    * predicts a flat tail; the pin leaves ONE corpus scan — the count
+    * shares the other). ONE definition shared by ann_recall_calib,
+    * pq_recall_calib and quantized_topk_recall, so all three rank
+    * over the IDENTICAL pool and their recalls compare row-for-row. */
+  private[graft] def calSampleOf(e: DataFrame): DataFrame = {
+    val div = math.max(1L, e.count() / 4096L)
+    e.filter(col("vec_id") < 10 || expr(
+      s"""cast(conv(substring(md5(concat('cal-v1:',
+         cast(vec_id as string))), 1, 8), 16, 10) as bigint) % ${div}L = 0"""))
+      .localCheckpoint(false)
+  }
+
+  /** Exact quantDot top-3 ground truth over the calibration corpus —
+    * the truth tier every sampled-calibration key intersects against.
+    * crossJoin sanction: es is size-BOUNDED (~4096 rows) by the
+    * sampling contract — the |Q|×|sample| product is the config-sized
+    * class, not the contracted exact-ANN tier. Checkpoint-pinned: the
+    * truth table has multiple consumers (sizes + hit probes). */
+  private[graft] def exactTop3Of(es: DataFrame): DataFrame = {
+    val q = es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wEx = Window.partitionBy("qid")
+      .orderBy(col("dot").desc, col("vec_id"))
+    q.crossJoin(es.select("vec_id", "embedding"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), quantDot("qe", "embedding").as("dot"))
+      .withColumn("rank", row_number().over(wEx).cast("long"))
+      .filter(col("rank") <= 3).select("qid", "vec_id")
+      .localCheckpoint(false)
+  }
+
+  /** Per-query hit counts of an approximate tier against the exact
+    * truth (left-semi on (qid, vec_id) + one |Q|-row aggregate). */
+  private def hitsAgainst(exact: DataFrame, approx: DataFrame,
+      name: String): DataFrame =
+    approx.select("qid", "vec_id")
+      // shuffle_hash: both sides are sample-bounded (≤ |Q|·k rows) —
+      // an SMJ sort here is pure overhead at any scale
+      .join(exact.hint("shuffle_hash"), Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as(name))
+
+  /** sdiv/es CTEs over `embeddings`: the cal-v1 calibration sample —
+    * [[calSampleOf]]'s DuckDB twin, ONE text shared by the three
+    * sampled-calibration oracles. */
+  private def calSampleCtesSql: String =
+    s"""sdiv AS (
+              SELECT GREATEST(1, COUNT(*) // 4096) AS dv FROM embeddings),
+            es AS (
+              SELECT vec_id, embedding, label FROM embeddings, sdiv
+              WHERE vec_id < 10
+                 OR (${graft.llm.TextOps.md5Hex32Sql(
+        "'cal-v1:' || CAST(vec_id AS VARCHAR)")}) % sdiv.dv = 0)"""
+
+  /** exq/exscored/ex CTEs: the exact top-3 truth over the sample CTE
+    * `es` — [[exactTop3Of]]'s DuckDB twin. */
+  private def exTruthCtesSql: String =
+    s"""exq AS (SELECT vec_id AS qid, embedding AS qe
+                    FROM es WHERE vec_id < 10),
+            exscored AS (
+              SELECT qid, vec_id, $oracleDot AS dot
+              FROM exq q, es embeddings_s
+              WHERE qid <> vec_id),
+            ex AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY dot DESC, vec_id) AS rank
+                FROM exscored) WHERE rank <= 3)"""
+
   val annRecallCalib = QuerySpec(
     "ann_recall_calib",
     (s, d) => {
-      val e = embeddings(s, d)
-      // corpus-size scalar feedback (A10) sizes the sample divisor; the
-      // hash filter is pushed to the scan, so the sampled candidate set
-      // never materializes the corpus
-      val n = e.count()
-      val div = math.max(1L, n / 4096L)
-      // the calibration corpus: queries ∪ md5 sample — the ONE pool
-      // every tier ranks over (see the sampling contract above).
-      // Checkpoint-pinned (r14): es feeds FOUR subtrees (queries, the
-      // exact tier's crossJoin side, LSH, IVF) and Catalyst cannot CSE
-      // across them — unpinned, each consumer re-ran the full-corpus
-      // md5 filter scan, making the key ~6 linear passes instead of 1
-      // (measured exponent 1.38 at the 25x gate where the sampling
-      // contract predicts a flat tail; the pin leaves ONE corpus scan:
-      // the count above shares the other)
-      val es = e.filter(col("vec_id") < 10 || expr(
-        s"""cast(conv(substring(md5(concat('cal-v1:',
-           cast(vec_id as string))), 1, 8), 16, 10) as bigint) % ${div}L = 0"""))
-        .localCheckpoint(false)
-      val q = es.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val wEx = Window.partitionBy("qid")
-        .orderBy(col("dot").desc, col("vec_id"))
-      // crossJoin sanction: es is size-BOUNDED (~4096 rows) by the
-      // sampling contract above — the |Q|×|sample| product is the
-      // config-sized class, not the contracted exact-ANN tier
-      val exact = q.crossJoin(es.select("vec_id", "embedding"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), quantDot("qe", "embedding").as("dot"))
-        .withColumn("rank", row_number().over(wEx).cast("long"))
-        .filter(col("rank") <= 3).select("qid", "vec_id")
-        .localCheckpoint(false) // 3 consumers: truth sizes + 2 hit probes
+      val es = calSampleOf(embeddings(s, d))
+      val exact = exactTop3Of(es)
       val truth = exact.groupBy("qid").agg(count(lit(1)).as("truth_n"))
       def hitsOf(approx: DataFrame, name: String): DataFrame =
-        approx.select("qid", "vec_id")
-          .join(exact, Seq("qid", "vec_id"), "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as(name))
+        hitsAgainst(exact, approx, name)
       truth
         .join(hitsOf(lshBucketTopkOf(es), "lsh_hits"), Seq("qid"), "left")
         .join(hitsOf(ivfTopkOf(es), "ivf_hits"), Seq("qid"), "left")
@@ -1060,25 +1115,8 @@ object Similarity {
             .as("ivf_recall_milli"))
         .orderBy("qid")
     },
-    Some(s"""WITH sdiv AS (
-              SELECT GREATEST(1, COUNT(*) // 4096) AS dv FROM embeddings),
-            es AS (
-              SELECT vec_id, embedding, label FROM embeddings, sdiv
-              WHERE vec_id < 10
-                 OR (${graft.llm.TextOps.md5Hex32Sql(
-                "'cal-v1:' || CAST(vec_id AS VARCHAR)")}) % sdiv.dv = 0),
-            exq AS (SELECT vec_id AS qid, embedding AS qe
-                    FROM es WHERE vec_id < 10),
-            exscored AS (
-              SELECT qid, vec_id, $oracleDot AS dot
-              FROM exq q, es embeddings_s
-              WHERE qid <> vec_id),
-            ex AS (
-              SELECT qid, vec_id FROM (
-                SELECT qid, vec_id,
-                       ROW_NUMBER() OVER (PARTITION BY qid
-                                          ORDER BY dot DESC, vec_id) AS rank
-                FROM exscored) WHERE rank <= 3),
+    Some(s"""WITH $calSampleCtesSql,
+            $exTruthCtesSql,
             lsh AS (
               SELECT qid, vec_id FROM (${lshBucketOracleSql("es")})),
             ivf AS (
@@ -1119,35 +1157,35 @@ object Similarity {
     *
     * Scale shape: pure per-row map over ONE embeddings scan — zero
     * shuffle below the final ORDER BY; linear by construction. */
-  val embeddingQuantize = QuerySpec(
-    "embedding_quantize",
-    (s, d) => {
-      embeddings(s, d)
-        .where(expr("NOT exists(embedding, x -> x IS NULL)"))
-        .select(col("vec_id"),
-          expr("""transform(embedding,
-                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))""")
-            .as("c"))
-        .withColumn("amax",
-          expr("aggregate(c, 0L, (m, v) -> greatest(m, abs(v)))"))
-        .withColumn("q",
-          expr("""transform(c, v -> CASE
-                    WHEN amax = 0 THEN 0L
-                    WHEN v >= 0 THEN (v * 254 + amax) div (2 * amax)
-                    ELSE -(((-v) * 254 + amax) div (2 * amax)) END)"""))
-        .withColumn("err", expr("zip_with(c, q, (v, w) -> v * 127 - w * amax)"))
-        .select(col("vec_id"), col("amax"),
-          expr("aggregate(err, 0L, (a, x) -> a + x * x)").as("sse127"),
-          expr("aggregate(err, 0L, (a, x) -> greatest(a, abs(x)))")
-            .as("max_abs_err127"))
-        .orderBy("vec_id")
-    },
-    Some("""WITH src AS (
+  /** Per-vector int8 absmax codes over an arbitrary embeddings frame —
+    * (vec_id, c fixed-point components, amax, q int8 codes). ONE
+    * definition shared by the embedding_quantize audit and the
+    * quantized_topk_recall ranking (with [[int8CodesCtesSql]] as its
+    * DuckDB twin): a drift between the audit's codes and the ranking's
+    * codes would silently decouple the two keys' claims. */
+  private[graft] def int8CodesOf(e: DataFrame): DataFrame =
+    e.where(expr("NOT exists(embedding, x -> x IS NULL)"))
+      .select(col("vec_id"),
+        expr("""transform(embedding,
+                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))""")
+          .as("c"))
+      .withColumn("amax",
+        expr("aggregate(c, 0L, (m, v) -> greatest(m, abs(v)))"))
+      .withColumn("q",
+        expr("""transform(c, v -> CASE
+                  WHEN amax = 0 THEN 0L
+                  WHEN v >= 0 THEN (v * 254 + amax) div (2 * amax)
+                  ELSE -(((-v) * 254 + amax) div (2 * amax)) END)"""))
+
+  /** src/am/q CTE chain producing the int8 code table over `tbl`
+    * (columns vec_id, c, amax, qs) — [[int8CodesOf]]'s DuckDB twin. */
+  private[graft] def int8CodesCtesSql(tbl: String): String =
+    s"""src AS (
               SELECT vec_id,
                      list_transform(embedding,
                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                        AS c
-              FROM embeddings
+              FROM $tbl
               WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
             am AS (
               SELECT vec_id, c,
@@ -1160,7 +1198,20 @@ object Similarity {
                        WHEN amax = 0 THEN 0
                        WHEN v >= 0 THEN (v * 254 + amax) // (2 * amax)
                        ELSE -(((-v) * 254 + amax) // (2 * amax)) END) AS qs
-              FROM am),
+              FROM am)"""
+
+  val embeddingQuantize = QuerySpec(
+    "embedding_quantize",
+    (s, d) => {
+      int8CodesOf(embeddings(s, d))
+        .withColumn("err", expr("zip_with(c, q, (v, w) -> v * 127 - w * amax)"))
+        .select(col("vec_id"), col("amax"),
+          expr("aggregate(err, 0L, (a, x) -> a + x * x)").as("sse127"),
+          expr("aggregate(err, 0L, (a, x) -> greatest(a, abs(x)))")
+            .as("max_abs_err127"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ${int8CodesCtesSql("embeddings")},
             e AS (
               SELECT vec_id, amax,
                      list_transform(range(1, len(c) + 1),
@@ -1174,8 +1225,133 @@ object Similarity {
             FROM e ORDER BY vec_id""")
   )
 
+  /** PQ recall calibration — the missing tier of ann_recall_calib:
+    * LSH and IVF recalls are measured there, but PQ is the tier that
+    * PERSISTS to disk for serving (ann_index_persist), so its recall
+    * is the one a production deployment actually monitors. Same
+    * cal-v1 calibration corpus (identical pool → recalls compare
+    * row-for-row with ann_recall_calib's), same exact top-3 truth,
+    * the shipped [[pqTopkOf]] pipeline run over the sample (its top-5
+    * probed against the top-3 truth, the ann_recall_calib k
+    * convention per tier).
+    *
+    * Scale shape: one count + one pushed-down sample filter scan are
+    * the only corpus-sized work; the PQ build/encode/ADC all run on
+    * the ~4096-row sample. */
+  val pqRecallCalib = QuerySpec(
+    "pq_recall_calib",
+    (s, d) => {
+      val es = calSampleOf(embeddings(s, d))
+      val exact = exactTop3Of(es)
+      val truth = exact.groupBy("qid").agg(count(lit(1)).as("truth_n"))
+      truth
+        .join(hitsAgainst(exact, pqTopkOf(es), "pq_hits")
+          .hint("shuffle_hash"), Seq("qid"), "left")
+        .select(col("qid"), col("truth_n"),
+          coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
+          expr("(1000 * coalesce(pq_hits, 0L)) div truth_n")
+            .as("pq_recall_milli"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH $calSampleCtesSql,
+            $exTruthCtesSql,
+            pq AS (
+              SELECT qid, vec_id FROM (${pqOracleSql("es")})),
+            t AS (SELECT qid, count(*) AS truth_n FROM ex GROUP BY qid),
+            hp AS (
+              SELECT qid, count(*) AS pq_hits
+              FROM pq SEMI JOIN ex USING (qid, vec_id)
+              GROUP BY qid)
+            SELECT t.qid, t.truth_n,
+                   COALESCE(hp.pq_hits, 0) AS pq_hits,
+                   (1000 * COALESCE(hp.pq_hits, 0)) // t.truth_n
+                     AS pq_recall_milli
+            FROM t LEFT JOIN hp USING (qid)
+            ORDER BY t.qid""")
+  )
+
+  /** Does int8 quantization preserve neighbors? Top-3 by the
+    * QUANTIZED dot — score(a, b) = amax_a·amax_b·Σ qa_i·qb_i over the
+    * common prefix, the exact integer the int8 codes reconstruct to
+    * (up to the shared /127² factor, which cannot change a rank) —
+    * probed against the exact quantDot top-3 truth over the same
+    * cal-v1 corpus. This is embedding_quantize's OTHER half: sse127
+    * bounds the per-vector reconstruction error; q8_recall measures
+    * what that error does to retrieval. Scores accumulate in
+    * DECIMAL(38,0) (amax products overflow BIGINT at fuzz magnitudes)
+    * and never reach the output — only integer hit counts do.
+    *
+    * Scale shape: identical to pq_recall_calib — corpus-sized work is
+    * the count + pushed-down sample scan; the code table, the bounded
+    * |Q|×|sample| score crossJoin and the hit probe are all
+    * sample-local. */
+  val quantizedTopkRecall = QuerySpec(
+    "quantized_topk_recall",
+    (s, d) => {
+      val es = calSampleOf(embeddings(s, d))
+      val exact = exactTop3Of(es)
+      val truth = exact.groupBy("qid").agg(count(lit(1)).as("truth_n"))
+      val codes = int8CodesOf(es).select("vec_id", "amax", "q")
+        .localCheckpoint(false) // feeds the query side and the corpus side
+      val qcodes = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("amax").as("qamax"),
+          col("q").as("qq"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val q8 = qcodes.crossJoin(codes)
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("qq8",
+          expr("""CASE WHEN least(size(qq), size(q)) <= 0 THEN 0L
+                  ELSE aggregate(sequence(1, least(size(qq), size(q))), 0L,
+                    (acc, i) -> acc + element_at(qq, i) * element_at(q, i))
+                  END"""))
+        .withColumn("score",
+          expr("cast(qamax as decimal(38,0)) * amax * qq8"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3).select("qid", "vec_id")
+      truth
+        .join(hitsAgainst(exact, q8, "q8_hits")
+          .hint("shuffle_hash"), Seq("qid"), "left")
+        .select(col("qid"), col("truth_n"),
+          coalesce(col("q8_hits"), lit(0L)).as("q8_hits"),
+          expr("(1000 * coalesce(q8_hits, 0L)) div truth_n")
+            .as("q8_recall_milli"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH $calSampleCtesSql,
+            $exTruthCtesSql,
+            ${int8CodesCtesSql("es")},
+            qc AS (SELECT vec_id AS qid, amax AS qamax, qs AS qq
+                   FROM q WHERE vec_id < 10),
+            q8scored AS (
+              SELECT qc.qid, q.vec_id,
+                     CAST(qc.qamax AS HUGEINT) * q.amax *
+                       CAST(COALESCE(list_sum(list_transform(
+                         generate_series(1, least(len(qc.qq), len(q.qs))),
+                         i -> qc.qq[i] * q.qs[i])), 0) AS HUGEINT) AS score
+              FROM qc, q WHERE qc.qid <> q.vec_id),
+            q8 AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, vec_id) AS rank
+                FROM q8scored) WHERE rank <= 3),
+            t AS (SELECT qid, count(*) AS truth_n FROM ex GROUP BY qid),
+            hq AS (
+              SELECT qid, count(*) AS q8_hits
+              FROM q8 SEMI JOIN ex USING (qid, vec_id)
+              GROUP BY qid)
+            SELECT t.qid, t.truth_n,
+                   COALESCE(hq.q8_hits, 0) AS q8_hits,
+                   (1000 * COALESCE(hq.q8_hits, 0)) // t.truth_n
+                     AS q8_recall_milli
+            FROM t LEFT JOIN hq USING (qid)
+            ORDER BY t.qid""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, knnGraph,
         embeddingCentroids, annIvf, kmeansLloyd, annPq, annIndexPersist,
-        semdedupKeep, annRecallCalib, embeddingQuantize)
+        semdedupKeep, annRecallCalib, embeddingQuantize, pqRecallCalib,
+        quantizedTopkRecall)
 }

@@ -523,6 +523,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq_recall_calib and quantized_topk_recall: corpus work confined to the cal-v1 sample checkpoint") {
+    for (key <- Seq("pq_recall_calib", "quantized_topk_recall")) {
+      val p = plan(key)
+      // the count + md5 sample filter ran inside calSampleOf's
+      // checkpoint — the final plan roots on the bounded sample
+      assert(p.contains("Scan ExistingRDD"), s"$key sample not pinned:\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"$key re-scanned embeddings above the sample checkpoint:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$key degraded to SMJ:\n$p")
+    }
+  }
+
   test("minhash_band_calib: corpus work confined to the sample checkpoint; result is a bounded aggregate") {
     val p = plan("minhash_band_calib")
     // the only corpus-sized pass (scan + null filter + md5 sample

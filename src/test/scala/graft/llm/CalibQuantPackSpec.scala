@@ -230,4 +230,118 @@ class CalibQuantPackSpec extends SparkSpec {
     // every doc routes to exactly one shard (counts are a partition)
     assert(got.map(_._2).sum == docs.size.toLong)
   }
+
+  // ---- the sampled-recall pair (pq_recall_calib / quantized_topk_recall) ----
+
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  /** cal-v1 sample + exact quantDot top-3 truth, recomputed plain. */
+  private lazy val (calIds, calVecs, calTruth):
+      (Seq[Long], Map[Long, Seq[Float]], Map[Long, Set[Long]]) = {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val div = math.max(1L, vecs.size.toLong / 4096L)
+    val smp = vecs.filter { case (id, _) =>
+      id < 10 || h32(s"cal-v1:$id") % div == 0 }
+    val m = smp.toMap
+    def qdot(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * 1000d).toLong *
+          math.floor(y.toDouble * 1000d).toLong }.sum
+    val truth = smp.filter(_._1 < 10).map { case (qid, qe) =>
+      qid -> smp.filter(_._1 != qid)
+        .map { case (id, v) => (qdot(qe, v), id) }
+        .sortBy { case (dotv, id) => (-dotv, id) }
+        .take(3).map(_._2).toSet
+    }.toMap
+    (smp.map(_._1), m, truth)
+  }
+
+  test("quantized_topk_recall matches a plain-Scala int8 ranking " +
+      "over the sampled corpus") {
+    def codes(xs: Seq[Float]): (Long, Seq[Long]) = {
+      val c = xs.map(x => math.floor(x.toDouble * 1000d).toLong)
+      val amax = if (c.isEmpty) 0L else c.map(math.abs).max
+      (amax, c.map { v =>
+        if (amax == 0) 0L
+        else if (v >= 0) (v * 254 + amax) / (2 * amax)
+        else -(((-v) * 254 + amax) / (2 * amax))
+      })
+    }
+    val cm = calVecs.map { case (id, v) => id -> codes(v) }
+    val expected = calTruth.toSeq.sortBy(_._1).map { case (qid, truth) =>
+      val (qamax, qq) = cm(qid)
+      val top3 = calIds.filter(_ != qid)
+        .map { id =>
+          val (amax, qs) = cm(id)
+          val qq8 = qq.zip(qs).map { case (a, b) => a * b }.sum
+          (BigInt(qamax) * BigInt(amax) * BigInt(qq8), id)
+        }
+        .sortBy { case (sc, id) => (-sc, id) }.take(3).map(_._2).toSet
+      (qid, 3L, (top3 & truth).size.toLong,
+        (top3 & truth).size.toLong * 1000 / 3)
+    }
+    val got = Similarity.quantizedTopkRecall.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("pq_recall_calib matches a plain-Scala PQ pipeline " +
+      "over the sampled corpus") {
+    // plain-Scala PQ: seed codebook = 16 smallest sampled vec_ids,
+    // 16-dim subspaces, squared-distance encode, ADC scores, top-5
+    def comp(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 1000d).toLong)
+    val seeds = calIds.sorted.take(16)
+    val dims = seeds.flatMap(s => calVecs(s).indices).distinct.sorted
+    // zero-filled seed grid over the union of seed dims
+    val cent: Map[Int, Map[Int, Long]] = seeds.zipWithIndex.map {
+      case (sid, slot) =>
+        val c = comp(calVecs(sid))
+        slot -> dims.map(d => d -> (if (d < c.size) c(d) else 0L)).toMap
+    }.toMap
+    def subScores(v: Seq[Long]): Map[(Int, Int), Seq[Long]] = {
+      // (sub, ·) -> per-slot Σ (q − c)² over this vector's dims ∩ grid
+      val bySub = v.indices.filter(dims.contains)
+        .groupBy(d => d / 16)
+      bySub.map { case (sub, ds) =>
+        (sub, 0) -> cent.keys.toSeq.sorted.map { slot =>
+          ds.map(d => { val diff = v(d) - cent(slot)(d); diff * diff }).sum
+        }
+      }
+    }
+    def encode(v: Seq[Long]): Map[Int, Int] =
+      subScores(v).map { case ((sub, _), ss) =>
+        sub -> ss.zipWithIndex.minBy { case (s2, slot) => (s2, slot) }._2 }
+    val allCodes = calIds.map(id => id -> encode(comp(calVecs(id)))).toMap
+    val expected = calTruth.toSeq.sortBy(_._1).map { case (qid, truth) =>
+      val qs = subScores(comp(calVecs(qid)))
+        .map { case ((sub, _), ss) => sub -> ss }
+      val top5 = calIds.filter(_ != qid)
+        .flatMap { id =>
+          // ADC: an inner join on (sub, code) — a candidate scores only
+          // where BOTH the query table and its codes cover the sub; no
+          // overlap at all = no score row = excluded from the ranking
+          val subs = allCodes(id).keySet & qs.keySet
+          if (subs.isEmpty) None
+          else Some((subs.toSeq.map(s => qs(s)(allCodes(id)(s))).sum, id))
+        }
+        .sortBy { case (ad, id) => (ad, id) }.take(5).map(_._2).toSet
+      val hits = (top5 & truth).size.toLong
+      (qid, 3L, hits, hits * 1000 / 3)
+    }
+    val got = Similarity.pqRecallCalib.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the pair tells the compression story together: near-lossless
+    // int8 per-vector codes vs the coarse 16-centroid PQ
+    val q8 = Similarity.quantizedTopkRecall.fn(spark, sf).collect()
+      .map(r => r.getLong(3)).sum
+    assert(q8 >= got.map(_._4).sum,
+      "int8 per-vector recall should dominate 16-centroid PQ recall")
+  }
 }
