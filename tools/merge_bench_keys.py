@@ -64,7 +64,46 @@ def main(full_p, filt_p, keys_csv):
     print(f"merged {keys} into {full_p}: value={full['value']}")
 
 
+def _selftest():
+    import copy
+    import tempfile
+    full = {"sf": "a", "passes": 3, "queries": {"x": 1.0, "y": -1.0},
+            "shuffle_bytes": {"x": {"write": 1}}, "value": 1.0, "failed": 1}
+    filt = {"sf": "a", "passes": 3, "queries": {"y": 2.0},
+            "shuffle_bytes": {"y": {"write": 7}},
+            "load_avg_before": 0.1, "warmup_total": 1.0}
+
+    def run(f, g, keys):
+        fp = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        gp = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        json.dump(f, fp); fp.close()
+        json.dump(g, gp); gp.close()
+        main(fp.name, gp.name, keys)
+        return json.load(open(fp.name))
+
+    # happy path: the -1 row is replaced, value and failed recomputed,
+    # provenance recorded
+    out = run(copy.deepcopy(full), filt, "y")
+    assert out["queries"]["y"] == 2.0 and out["value"] == 3.0
+    assert out["failed"] == 0 and out["merged_keys"] == ["y"]
+    assert out["shuffle_bytes"]["y"] == {"write": 7}
+    # refusals: sf mismatch, pass-count mismatch, failed filtered key
+    for bad in ({**filt, "sf": "b"}, {**filt, "passes": 1},
+                {**filt, "queries": {"y": -1.0}}):
+        try:
+            run(copy.deepcopy(full), bad, "y")
+        except SystemExit:
+            pass
+        else:
+            raise AssertionError(f"merge accepted invalid input: {bad}")
+    print("selftest: replaces -1 rows, recomputes value/failed, records "
+          "provenance; refuses sf/pass mismatches and failed keys")
+
+
 if __name__ == "__main__":
+    if "--selftest" in sys.argv:
+        _selftest()
+        sys.exit(0)
     if len(sys.argv) != 4:
         sys.exit(__doc__)
     main(*sys.argv[1:])
