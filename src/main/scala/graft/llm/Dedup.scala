@@ -246,36 +246,84 @@ object Dedup {
     * volume stays a constant ~33× the emitted pairs, i.e.
     * output-proportional, while the nibble blocking's extra 7.9× was
     * pure random-collision waste). */
-  def hammingBlocksOf(sig: DataFrame): DataFrame =
-    (0 until 4).map(i =>
-        sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("blk"),
-          expr(s"(simhash div ${1L << (8 * i)}L) % 256").as("nib")))
+  def hammingBlocksOf(sig: DataFrame, idCols: Seq[String] = Seq("doc_id")): DataFrame =
+    (0 until 4).map { i =>
+        val kept = idCols.map(col) ++ Seq(col("simhash"),
+          lit(i.toLong).as("blk"),
+          expr(s"(simhash div ${1L << (8 * i)}L) % 256").as("nib"))
+        sig.select(kept: _*)
+      }
       .reduce(_ unionByName _)
 
   /** SimHash near-dup search: pairs within hamming distance 3, found by
     * byte-block candidate generation — ≤3 differing bits cannot touch
     * all 4 bytes (pigeonhole), so every qualifying pair shares at
     * least one (position, byte) block. The multi-index trick that
-    * turns all-pairs hamming search into 4 equi-joins. */
+    * turns all-pairs hamming search into 4 equi-joins.
+    *
+    * Exact-collapse discipline (fuzzy_link's guard, ops/Relational
+    * .scala): the block join and its DISTINCT run over DISTINCT
+    * signature VALUES only, never over documents. A hot hamming-0
+    * group (a boilerplate page duplicated millions of times — or the
+    * replica scale corpus, where every doc has k−1 exact signature
+    * partners) contributes ONE row per block instead of g, so the
+    * candidate join's raw volume is group-size-INVARIANT: measured
+    * 2.8M raw rows at 1×/5×/25×/50× alike where the per-document join
+    * was 70M at 5× and 1.76B at 25× (SIMHASH_CANDIDATES.json, whose
+    * 25× pipeline leg took 84 s and whose 50× ORDER-BY spilled
+    * 15.7 GB through the billion-row DISTINCT). The contracted k²
+    * OUTPUT still gets emitted — hamming-0 pairs through one
+    * equi-join on the signature (each emitted row is an output row;
+    * no speculative candidates), cross-group pairs by fanning the
+    * signature-level verified pairs back out through two
+    * member joins (output-bound, exactly like fuzzy_link's
+    * re-expansion join). Nothing corpus-quadratic remains: every
+    * post-collapse operator's row count is either distinct-signature-
+    * sized or output-sized. */
   val simhashHammingPairs = QuerySpec(
     "simhash_hamming_pairs",
     (s, d) => {
-      // materialized parquet: the 4 block-projections re-scan a tiny
-      // file with real stats instead of a stats-less checkpoint subtree
+      // materialized parquet: the block projection and both member
+      // fan-out joins re-scan a tiny file with real stats instead of a
+      // stats-less checkpoint subtree
       val sig = simhashStage(s, d)
-      val blocks = hammingBlocksOf(sig)
-      val cand = blocks.as("a")
-        .join(blocks.as("b"),
-          col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+      // hamming-0 pairs: one equi-join on the signature value. Emits
+      // exactly the within-group output set — no candidate surplus, no
+      // DISTINCT, no hamming verify (equality IS hamming 0).
+      val same = sig.as("a")
+        .join(sig.as("b"),
+          col("a.simhash") === col("b.simhash") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+          lit(0L).as("hamming"))
+      // cross-group candidates: byte-block pigeonhole over the DISTINCT
+      // signatures (s1 < s2 replaces doc_id ordering — any total order
+      // on the collapsed key works, and each unordered signature pair
+      // appears exactly once)
+      val ds = sig.select("simhash").distinct()
+      val blocks = hammingBlocksOf(ds, Seq.empty)
+      val sigPairs = blocks.as("a")
+        .join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+            col("a.simhash") < col("b.simhash"))
+        .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
         .distinct()
-      cand
         .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
         .filter(col("hamming") <= 3)
-        .select("id1", "id2", "hamming")
-        .orderBy("id1", "id2")
+      // fan verified signature pairs back out to member pairs:
+      // output-bound (every join row becomes an output row; distinct
+      // signatures make each unordered doc pair reachable exactly once).
+      // shuffle_hash, never broadcast: sigPairs is corpus-derived — on
+      // adversarial data (all-distinct signatures) it is candidate-
+      // sized, and the static planner has no stats for it.
+      val cross = sigPairs.hint("shuffle_hash")
+        .join(sig.as("m1"), col("s1") === col("m1.simhash"))
+        .join(sig.as("m2"), col("s2") === col("m2.simhash"))
+        .select(
+          least(col("m1.doc_id"), col("m2.doc_id")).as("id1"),
+          greatest(col("m1.doc_id"), col("m2.doc_id")).as("id2"),
+          col("hamming"))
+      same.unionByName(cross).orderBy("id1", "id2")
     },
     Some {
       // hamming filter INSIDE the candidate CTE, before the DISTINCT:
