@@ -156,7 +156,25 @@ object PlanDump {
           "int8 code table, the bounded |Q|×|sample| score crossJoin, " +
           "the exact-truth crossJoin and the hit semi-joins are all " +
           "ExistingRDD-rooted sample-local work ending in a |Q|-row " +
-          "aggregate."))
+          "aggregate."),
+      "pq_recall_calib" ->
+        ("PQ recall calibration: the corpus-sized work (count + " +
+          "pushed-down cal-v1 sample filter) happens once inside the " +
+          "sample checkpoint; the subspace codebook trains on the " +
+          "bounded sample (ExistingRDD leaves), the ADC score and " +
+          "exact-truth crossJoins are |Q|×|sample|-bounded, and the " +
+          "result is a ≤10-row aggregate — no corpus-derived side is " +
+          "broadcast."),
+      "simhash_hamming_pairs" ->
+        ("Exact-collapse hamming search: the byte-block candidate join " +
+          "runs over the DISTINCT signature VALUES (a HashAggregate " +
+          "keyed by simhash alone sits below the block join — no " +
+          "doc_id in that subtree), so candidate volume is group-size-" +
+          "invariant; the hamming-0 leg is one signature equi-join; " +
+          "both member fan-out joins honor the shuffle_hash hint " +
+          "(ShuffledHashJoin — the pair frames are corpus-derived, " +
+          "never broadcast), and the only total order is the final " +
+          "contracted ORDER BY."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

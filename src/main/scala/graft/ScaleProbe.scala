@@ -617,67 +617,87 @@ object ScaleProbe {
   }
 
   /** `runMain graft.ScaleProbe simhash <dir1> [dir2 ...]`: hamming-pair
-    * candidate-volume curve over PRE-BUILT corpora (the ScaleData 5×/25×
-    * replicas), comparing the shipped 4×8-bit byte blocking against the
-    * former 8×4-bit nibble blocking. Uniform signatures collide per
-    * block with probability 2^-bits, so expected RANDOM cross-group
-    * candidates are blocks·N²/2^(bits+1): nibbles 8·N²/2⁵ = N²/4,
-    * bytes N²/128 (theoretical 32× on uniform data; the measured 7.9×
-    * is smaller because true near-dup candidates dominate the corpus)
-    * from half the block rows. Emitted pairs (hamming ≤ 3) are
-    * identical under both blockings (pigeonhole: 3 differing bits
-    * cannot touch all 4 bytes); replicas are hamming-0 partners, so
-    * TRUE pairs grow k²-per-group — the intrinsic output-bound floor
-    * the time ratio must be read against. Output lands in
-    * SIMHASH_CANDIDATES.json. */
+    * candidate-volume curve over PRE-BUILT corpora (the ScaleData
+    * 5×/25×/50× replicas), measuring the SHIPPED collapsed pipeline —
+    * `Dedup.simhashSigPairsOf` / `Dedup.simhashPairsOf` over
+    * `Dedup.simhashStage`, the exact plan `simhash_hamming_pairs`
+    * runs (the ngramPhase1 rule: no probe-only re-derivation).
+    *
+    * What each leg proves: `raw_collapsed` is the block join's raw
+    * output over DISTINCT signature values — replicas are hamming-0
+    * partners, so distinct signatures (and with them this volume) must
+    * stay ~FLAT as k grows; the superseded per-document block join
+    * (`raw_per_doc`, kept for the payoff comparison, skipped above
+    * 125k docs where it reaches billions of rows) grows k². `sig_pairs`
+    * is the verified signature-level candidate set (also ~flat);
+    * `pairs` is the contracted k²-growing OUTPUT via the shipped
+    * hamming-0 equi-join + member fan-out, whose time is the
+    * end-to-end pipeline cost. Block-width comparison (4×8-bit bytes
+    * vs 8×4-bit nibbles, both over the collapsed frame): uniform
+    * signatures collide per block with probability 2^-bits, so random
+    * candidates are blocks·D²/2^(bits+1) — nibbles D²/4, bytes D²/128.
+    * Output lands in SIMHASH_CANDIDATES.json. */
   private def simhashProbe(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String]): Unit = {
     val runs = dirs.map { dir =>
-      val sig = llm.Dedup
-        .simhashSignatures(Tables.documents(spark, dir))
-        .localCheckpoint(false)
+      val sig = llm.Dedup.simhashStage(spark, dir)
       val n = sig.count()
-      // RAW join-output count (pre-distinct): the join WORK each
-      // blocking buys, streamed through a count with no dedup state —
-      // measurable even where the nibble blocking's distinct would
-      // thrash (265M+ candidate rows at 5×, 25× that at 25×). The
-      // shipped pipeline's distinct+verify cost additionally gets the
-      // real measure below, byte blocking only.
-      def rawOf(blocks: org.apache.spark.sql.DataFrame) =
-        blocks.as("a")
-          .join(blocks.as("b"),
-            col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
-              col("a.doc_id") < col("b.doc_id"))
-      val nibbleBlocks = (0 until 8).map(i =>
-          sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("blk"),
-            expr(s"(simhash div ${1 << (4 * i)}) % 16").as("nib")))
-        .reduce(_ unionByName _)
       def timed[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime()
         val r = f
         (r, (System.nanoTime() - t0) / 1e9)
       }
-      val byteBlocks = llm.Dedup.hammingBlocksOf(sig)
-      val (rawByte, secByte) = timed(rawOf(byteBlocks).count())
-      val (rawNib, secNib) = timed(rawOf(nibbleBlocks).count())
-      // the shipped path end-to-end: distinct candidates then exact
-      // hamming verify — byte blocking only (this is what runs in prod)
-      val (pairs, secPipe) = timed(
-        rawOf(byteBlocks)
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-            col("a.simhash").as("s1"), col("b.simhash").as("s2"))
-          .distinct()
-          .filter(expr("bit_count(s1 ^ s2)") <= 3).count())
+      // raw join-output count (pre-distinct, pre-verify): the join
+      // WORK the collapsed blocking does, streamed through a count
+      def rawOf(blocks: org.apache.spark.sql.DataFrame) =
+        blocks.as("a")
+          .join(blocks.as("b"),
+            col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+              col("a.simhash") < col("b.simhash"))
+      val ds = sig.select("simhash").distinct().localCheckpoint(false)
+      val dsCount = ds.count()
+      val (rawCollapsed, secRaw) =
+        timed(rawOf(llm.Dedup.hammingBlocksOf(ds, Seq.empty)).count())
+      val nibbleBlocks = (0 until 8).map(i =>
+          ds.select(col("simhash"), lit(i.toLong).as("blk"),
+            expr(s"(simhash div ${1 << (4 * i)}) % 16").as("nib")))
+        .reduce(_ unionByName _)
+      val (rawNibble, _) = timed(rawOf(nibbleBlocks).count())
+      // the superseded per-document block join, for the payoff ratio —
+      // k²-growing (1.76B raw rows at 25×), so skipped at 50×+
+      val perDoc: Option[(Long, Double)] =
+        if (n > 125000) None
+        else {
+          val b = llm.Dedup.hammingBlocksOf(sig)
+          Some(timed(b.as("a")
+            .join(b.as("b"),
+              col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+                col("a.doc_id") < col("b.doc_id")).count()))
+        }
+      // shipped stage 1: verified signature-level pairs
+      val (sigPairs, secSig) =
+        timed(llm.Dedup.simhashSigPairsOf(sig).count())
+      // shipped pipeline end-to-end (sans the contract's final total
+      // order, which Bench measures): hamming-0 equi-join UNION
+      // member fan-out — the exact simhash_hamming_pairs plan
+      val (pairs, secPipe) = timed(llm.Dedup.simhashPairsOf(sig).count())
       Harness.sweepBlocks(spark)
-      println(f"[probe] $dir docs=$n%-7d raw_byte=$rawByte%-11d " +
-        f"raw_nibble=$rawNib%-11d pairs=$pairs%-9d " +
-        f"byte=${secByte}%.1f s nibble=${secNib}%.1f s pipe=${secPipe}%.1f s")
-      (dir, n, rawByte, rawNib, pairs, secByte, secNib, secPipe)
+      println(f"[probe] $dir docs=$n%-7d distinct_sigs=$dsCount%-7d " +
+        f"raw_collapsed=$rawCollapsed%-9d raw_nibble=$rawNibble%-10d " +
+        f"per_doc=${perDoc.map(_._1).getOrElse(-1L)}%-11d " +
+        f"sig_pairs=$sigPairs%-7d pairs=$pairs%-9d " +
+        f"raw=${secRaw}%.1f s sig=${secSig}%.1f s pipe=${secPipe}%.1f s")
+      (dir, n, dsCount, rawCollapsed, rawNibble, perDoc, sigPairs, pairs,
+        secRaw, secSig, secPipe)
     }
-    val qs = runs.map { case (d, n, cb, cn, p, sb, sn, sp) =>
-      f"""{"dir":"$d","docs":$n,"raw_byte":$cb,"raw_nibble":$cn,""" +
-        f""""pairs":$p,"sec_byte":$sb%.3f,"sec_nibble":$sn%.3f,""" +
-        f""""sec_pipeline_byte":$sp%.3f}""" }
+    val qs = runs.map { case (d, n, dc, rc, rn, pd, sp, p, sr, ss, spi) =>
+      val pdRaw = pd.map(_._1.toString).getOrElse("null")
+      val pdSec = pd.map(v => f"${v._2}%.3f").getOrElse("null")
+      f"""{"dir":"$d","docs":$n,"distinct_sigs":$dc,""" +
+        f""""raw_collapsed":$rc,"raw_nibble_collapsed":$rn,""" +
+        f""""raw_per_doc":$pdRaw,"sec_per_doc":$pdSec,""" +
+        f""""sig_pairs":$sp,"pairs":$p,"sec_raw_collapsed":$sr%.3f,""" +
+        f""""sec_sig_pairs":$ss%.3f,"sec_pipeline":$spi%.3f}""" }
       .mkString("[", ",", "]")
     println(s"""{"probe":"simhash_hamming_candidates","runs":$qs}""")
   }

@@ -267,11 +267,9 @@ object Dedup {
     * group (a boilerplate page duplicated millions of times — or the
     * replica scale corpus, where every doc has k−1 exact signature
     * partners) contributes ONE row per block instead of g, so the
-    * candidate join's raw volume is group-size-INVARIANT: measured
-    * 2.8M raw rows at 1×/5×/25×/50× alike where the per-document join
-    * was 70M at 5× and 1.76B at 25× (SIMHASH_CANDIDATES.json, whose
-    * 25× pipeline leg took 84 s and whose 50× ORDER-BY spilled
-    * 15.7 GB through the billion-row DISTINCT). The contracted k²
+    * candidate join's raw volume is group-size-INVARIANT
+    * (SIMHASH_CANDIDATES.json measures the shipped stages below via
+    * ScaleProbe at 1×/5×/25×/50× replica corpora). The contracted k²
     * OUTPUT still gets emitted — hamming-0 pairs through one
     * equi-join on the signature (each emitted row is an output row;
     * no speculative candidates), cross-group pairs by fanning the
@@ -282,70 +280,98 @@ object Dedup {
     * sized or output-sized. */
   val simhashHammingPairs = QuerySpec(
     "simhash_hamming_pairs",
-    (s, d) => {
-      // materialized parquet: the block projection and both member
-      // fan-out joins re-scan a tiny file with real stats instead of a
-      // stats-less checkpoint subtree
-      val sig = simhashStage(s, d)
-      // hamming-0 pairs: one equi-join on the signature value. Emits
-      // exactly the within-group output set — no candidate surplus, no
-      // DISTINCT, no hamming verify (equality IS hamming 0).
-      val same = sig.as("a")
-        .join(sig.as("b"),
-          col("a.simhash") === col("b.simhash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          lit(0L).as("hamming"))
-      // cross-group candidates: byte-block pigeonhole over the DISTINCT
-      // signatures (s1 < s2 replaces doc_id ordering — any total order
-      // on the collapsed key works, and each unordered signature pair
-      // appears exactly once)
-      val ds = sig.select("simhash").distinct()
-      val blocks = hammingBlocksOf(ds, Seq.empty)
-      val sigPairs = blocks.as("a")
-        .join(blocks.as("b"),
-          col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
-            col("a.simhash") < col("b.simhash"))
-        .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
-        .distinct()
-        .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
-        .filter(col("hamming") <= 3)
-      // fan verified signature pairs back out to member pairs:
-      // output-bound (every join row becomes an output row; distinct
-      // signatures make each unordered doc pair reachable exactly once).
-      // shuffle_hash, never broadcast: sigPairs is corpus-derived — on
-      // adversarial data (all-distinct signatures) it is candidate-
-      // sized, and the static planner has no stats for it.
-      val cross = sigPairs.hint("shuffle_hash")
-        .join(sig.as("m1"), col("s1") === col("m1.simhash"))
-        .join(sig.as("m2"), col("s2") === col("m2.simhash"))
-        .select(
-          least(col("m1.doc_id"), col("m2.doc_id")).as("id1"),
-          greatest(col("m1.doc_id"), col("m2.doc_id")).as("id2"),
-          col("hamming"))
-      same.unionByName(cross).orderBy("id1", "id2")
-    },
+    (s, d) => simhashPairsOf(simhashStage(s, d)).orderBy("id1", "id2"),
     Some {
-      // hamming filter INSIDE the candidate CTE, before the DISTINCT:
-      // the two commute (hamming is a function of the pair), but
-      // filter-first keeps DuckDB's dedup hash at emitted-pair size
-      // instead of raw-join size — at the 25× corpus the raw join is
-      // 1.76B rows and the distinct-first form spilled past the disk
+      // oracle mirrors the engine's exact-collapse (round-10 rule:
+      // oracle-side quadratics get the engine's own discipline — the
+      // per-document block join this replaces measured 1.76B raw rows
+      // at the 25× corpus and spilled at 50×): block-join DISTINCT
+      // signature VALUES, verify hamming, re-expand through the two
+      // member joins, plus the hamming-0 leg as a direct equi-join.
+      // Filter INSIDE the candidate CTE, before the DISTINCT, keeps
+      // DuckDB's dedup hash at verified-pair size, not raw-join size.
       s"""WITH $simhashSigCtes,
+          ds AS (SELECT DISTINCT simhash FROM sig),
           blocks AS (
-            SELECT doc_id, simhash, blk, (simhash // (256 ** blk)::BIGINT) % 256 AS nib
-            FROM sig, UNNEST([0, 1, 2, 3]) AS u(blk)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            SELECT simhash, blk, (simhash // (256 ** blk)::BIGINT) % 256 AS nib
+            FROM ds, UNNEST([0, 1, 2, 3]) AS u(blk)),
+          sigpairs AS (
+            SELECT DISTINCT a.simhash AS s1, b.simhash AS s2,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
             FROM blocks a JOIN blocks b
-              ON a.blk = b.blk AND a.nib = b.nib AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
-          SELECT id1, id2, hamming
-          FROM cand
+              ON a.blk = b.blk AND a.nib = b.nib AND a.simhash < b.simhash
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          same AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, 0::BIGINT AS hamming
+            FROM sig a JOIN sig b
+              ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+          crossgrp AS (
+            SELECT least(m1.doc_id, m2.doc_id) AS id1,
+                   greatest(m1.doc_id, m2.doc_id) AS id2, p.hamming
+            FROM sigpairs p
+            JOIN sig m1 ON p.s1 = m1.simhash
+            JOIN sig m2 ON p.s2 = m2.simhash)
+          SELECT id1, id2, hamming FROM same
+          UNION ALL
+          SELECT id1, id2, hamming FROM crossgrp
           ORDER BY id1, id2"""
     }
   )
+
+  /** Collapsed candidate stage of [[simhashPairsOf]]: verified
+    * signature-level pairs (s1 < s2, hamming ∈ [1, 3]) over the
+    * DISTINCT signature values of `sig`. Exposed — like [[ngramPhase1]]
+    * — so ScaleProbe measures the exact shipped plan, never a
+    * probe-only re-derivation that could drift. */
+  def simhashSigPairsOf(sig: DataFrame): DataFrame = {
+    // byte-block pigeonhole over the DISTINCT signatures (s1 < s2
+    // replaces doc_id ordering — any total order on the collapsed key
+    // works, and each unordered signature pair appears exactly once)
+    val ds = sig.select("simhash").distinct()
+    val blocks = hammingBlocksOf(ds, Seq.empty)
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Document-pair expansion over a (doc_id, simhash) signature table:
+    * the shipped simhash_hamming_pairs pipeline minus the final total
+    * order. `sig` should be parquet-backed (simhashStage) so the block
+    * projection and both member fan-out joins re-scan a file with real
+    * stats instead of a stats-less checkpoint subtree. */
+  def simhashPairsOf(sig: DataFrame): DataFrame = {
+    // hamming-0 pairs: one equi-join on the signature value. Emits
+    // exactly the within-group output set — no candidate surplus, no
+    // DISTINCT, no hamming verify (equality IS hamming 0).
+    val same = sig.as("a")
+      .join(sig.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        lit(0L).as("hamming"))
+    val sigPairs = simhashSigPairsOf(sig)
+    // fan verified signature pairs back out to member pairs:
+    // output-bound (every join row becomes an output row; distinct
+    // signatures make each unordered doc pair reachable exactly once).
+    // shuffle_hash on BOTH fan-out joins, never broadcast: each left
+    // side is corpus-derived (sigPairs, then the m1-joined pair frame)
+    // — on adversarial data (all-distinct signatures) it is candidate-
+    // sized, and the static planner has no stats for either.
+    val cross = sigPairs.hint("shuffle_hash")
+      .join(sig.as("m1"), col("s1") === col("m1.simhash"))
+      .hint("shuffle_hash")
+      .join(sig.as("m2"), col("s2") === col("m2.simhash"))
+      .select(
+        least(col("m1.doc_id"), col("m2.doc_id")).as("id1"),
+        greatest(col("m1.doc_id"), col("m2.doc_id")).as("id2"),
+        col("hamming"))
+    same.unionByName(cross)
+  }
 
   /** n-gram Jaccard near-dup pairs via a rare-shingle inverted index:
     * candidates share ≥10 shingles with document frequency in [2, 20];

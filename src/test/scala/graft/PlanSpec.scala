@@ -535,6 +535,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("simhash_hamming_pairs: block join runs over collapsed DISTINCT signature values; member fan-out joins are shuffle-hash") {
+    val df = SparkEntry.queries("simhash_hamming_pairs")(spark, sf)
+    df.collect() // finalize AQE so the chosen join strategies are visible
+    val p = df.queryExecution.executedPlan.toString
+    // the exact-collapse guard: a distinct keyed by the signature ALONE
+    // (no doc_id) must feed the block join — a regression to the
+    // per-document block join (measured 1.76B raw rows at the 25×
+    // corpus) would key this aggregate by doc_id and pass every
+    // output-equality test, so pin the plan shape here
+    assert("HashAggregate\\(keys=\\[simhash#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"no distinct-signature collapse below the block join in:\n$p")
+    // both member fan-out joins honor the shuffle_hash hint: the pair
+    // frames are corpus-derived (candidate-sized on adversarial
+    // all-distinct-signature data) and must never be broadcast
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"member fan-out joins lost the shuffle-hash discipline:\n$p")
+  }
+
   test("minhash_band_calib: corpus work confined to the sample checkpoint; result is a bounded aggregate") {
     val p = plan("minhash_band_calib")
     // the only corpus-sized pass (scan + null filter + md5 sample

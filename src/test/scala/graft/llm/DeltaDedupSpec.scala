@@ -127,9 +127,11 @@ class DeltaDedupSpec extends SparkSpec {
   test("delta_simhash equals the full hamming pipeline restricted to the shard (sf0.001)") {
     val docs = graft.Tables.documents(spark, sf)
     val split = Dedup.deltaSplitOf(spark, sf)
-    // ground truth: the shipped FULL byte-block hamming search over
-    // corpus ∪ shard (simhash_hamming_pairs' plan, sans its stage
-    // indirection), restricted to shard-side rows
+    // ground truth: the pre-collapse per-document byte-block hamming
+    // search over corpus ∪ shard, restricted to shard-side rows — an
+    // algorithmically independent derivation (the shipped
+    // simhash_hamming_pairs now collapses to distinct signature
+    // values first; this test deliberately does not)
     val sig = Dedup.simhashSignatures(docs).localCheckpoint(false)
     val blocks = Dedup.hammingBlocksOf(sig)
     val full = blocks.as("a")
