@@ -702,6 +702,112 @@ object ScaleProbe {
     println(s"""{"probe":"simhash_hamming_candidates","runs":$qs}""")
   }
 
+  /** `runMain graft.ScaleProbe deltaann [ks...]`: the incremental-ANN
+    * value claim, measured — a FIXED shard of arriving vectors encoded
+    * against a PQ codebook whose corpus grows k× (vec_id-offset
+    * replicas). The codebook build is the amortized once-per-corpus
+    * cost (grows with the corpus: its comp scan is corpus-sized even
+    * though the codebook itself is 16 seed vectors); the timed shard
+    * leg is exactly one arriving-shard job against the FROZEN
+    * codebook: shard component explode + broadcast-codebook join +
+    * per-(vector, sub) argmin — shard × codebook work, with NOTHING
+    * corpus-sized in the job. The claim this prints: per-shard encode
+    * stays FLAT while the corpus (and its build) grows k× — the
+    * delta_dedup curve shape in the ANN family. Output lands in
+    * DELTA_ANN.json. */
+  private def deltaAnnProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ks: Seq[Int]): Unit = {
+    val e0 = Tables.embeddings(spark, sfDir)
+    val stride = Option(e0.agg(max(col("vec_id"))).first().get(0))
+      .map(_.toString.toLong).getOrElse(0L) + 1L
+    val split = stride * 4L / 5L
+    val corpus0 = e0.filter(col("vec_id") < split)
+    // shard ids lifted above every replicated corpus id, mirroring the
+    // deltaProbe convention (not load-bearing for the encode, but keeps
+    // the corpora disjoint like production)
+    val shard = e0.filter(col("vec_id") >= split)
+      .select((col("vec_id") + lit(ks.max.toLong * stride)).as("vec_id"),
+        col("embedding"), col("label"))
+      .localCheckpoint(false)
+    val shardN = shard.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val runs = ks.map { k =>
+      val corpus = (0 until k).map(i =>
+          corpus0.select((col("vec_id") + lit(i * stride)).as("vec_id"),
+            col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+      // build: the once-per-corpus cost, forced by materializing both
+      // frames (codebook is tiny; codes are corpus-sized)
+      val ((cb, codes), buildSec) = time {
+        val (w, c) = llm.Similarity.pqIndexFramesOf(corpus)
+        val wp = w.localCheckpoint(false)
+        wp.count()
+        val cp = c.localCheckpoint(false)
+        cp.count()
+        (wp, cp)
+      }
+      val corpusCodes = codes.count()
+      // the shard job: encode against the FROZEN stored codebook
+      val (shardCodes, encodeSec) = time {
+        llm.Similarity.pqCodesOf(
+          llm.Similarity.quantComponentsOf(shard), cb).count()
+      }
+      Harness.sweepBlocks(spark)
+      println(f"[probe] k=$k%-2d corpus=${k * split}%-8d shard=$shardN%-6d " +
+        f"build=${buildSec}%6.1f s (codes $corpusCodes) " +
+        f"encode=${encodeSec}%5.2f s (codes $shardCodes)")
+      (k, buildSec, corpusCodes, encodeSec, shardCodes)
+    }
+    val qs = runs.map { case (k, b, cc, e, sc) =>
+      f"""{"k":$k,"build_sec":$b%.3f,"corpus_codes":$cc,""" +
+        f""""encode_sec":$e%.3f,"shard_codes":$sc}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"delta_ann_index","sf":"$sfDir",""" +
+      s""""shard_vectors":$shardN,"runs":$qs}""")
+  }
+
+  /** `runMain graft.ScaleProbe bpedepth <dir> [depth1 depth2 ...]`:
+    * BPE trainer round-depth cost curve over one pre-built corpus
+    * (default depths 3/30/300 — the shipped bpe_merge_pairs contract
+    * is 3; real tokenizers run 10⁴-10⁵). The loop is inherently
+    * SEQUENTIAL (each merge depends on the previous argmax), so the
+    * cost model is rounds × per-round constant: after the ONE
+    * corpus-sized word-count scan, every round touches only the
+    * vocab-sized (freq, enc) table — one pair-explode aggregate + one
+    * TakeOrdered argmax collect + one codegen replace, re-checkpointed
+    * eagerly with the superseded round's blocks dropped (without the
+    * drop, k rounds pin k vocab-sized block sets — the linear memory
+    * growth this probe exists to bound). sec/round flat as depth grows
+    * 3→300 = the driver loop is per-round-constant; vocab_words is the
+    * table size the constant is proportional to. */
+  private def bpeDepthProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, depths: Seq[Int]): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs
+      .select(explode(graft.llm.TextOps.tokens).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select("w").distinct().count()
+    val runs = depths.map { k =>
+      val t0 = System.nanoTime()
+      val merges = llm.TextOps.bpeMergesOf(docs, k).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Harness.sweepBlocks(spark)
+      val rounds = merges.length
+      println(f"[probe] $dir depth=$k%-4d rounds_run=$rounds%-4d " +
+        f"sec=${sec}%7.1f sec_per_round=${sec / math.max(rounds, 1)}%6.3f")
+      (k, rounds, sec)
+    }
+    val qs = runs.map { case (k, r, s) =>
+      f"""{"depth":$k,"rounds_run":$r,"sec":$s%.3f,""" +
+        f""""sec_per_round":${s / math.max(r, 1)}%.4f}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"probe":"bpe_depth","dir":"$dir","vocab_words":$vocab,""" +
+      s""""runs":$qs}""")
+  }
+
   /** `runMain graft.ScaleProbe minhashpairs <dir1> [dir2 ...]`: LSH
     * candidate-pair count curve for the minhash family over pre-built
     * replica corpora. minhash_sim_est emits one row (and one shingle
@@ -732,6 +838,23 @@ object ScaleProbe {
     if (args.headOption.contains("minhashpairs")) {
       val spark = Harness.session()
       minhashPairsProbe(spark, args.drop(1).toSeq)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("deltaann")) {
+      val spark = Harness.session()
+      val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(1, 4, 16)
+      deltaAnnProbe(spark, sfDir, ks)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bpedepth")) {
+      val spark = Harness.session()
+      val dir = args.lift(1).getOrElse("tmpdata/sf0.5x")
+      val depths = if (args.length > 2) args.drop(2).toSeq.map(_.toInt)
+                   else Seq(3, 30, 300)
+      bpeDepthProbe(spark, dir, depths)
       spark.stop()
       return
     }

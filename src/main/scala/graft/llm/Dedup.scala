@@ -239,13 +239,13 @@ object Dedup {
     * expected RANDOM cross-group candidates are blocks·N²/2^(bits+1):
     * 8×4-bit nibbles gave 8·N²/2⁵ = N²/4, 4×8-bit bytes give N²/128
     * (theoretical 32× fewer on uniform data) with HALF the block rows.
-    * Measured at 1×/5×/25× corpus
-    * (SIMHASH_CANDIDATES.json): identical output set, 7.9× less raw
-    * join work at every point (true-near-dup candidates, which both
-    * blockings must emit, dominate the testdata corpus — candidate
-    * volume stays a constant ~33× the emitted pairs, i.e.
-    * output-proportional, while the nibble blocking's extra 7.9× was
-    * pure random-collision waste). */
+    * Measured over the shipped collapsed distinct-signature frame at
+    * 1×/5×/25×/50× corpora (SIMHASH_CANDIDATES.json): identical
+    * output set, byte blocking 2.32M raw join rows vs nibble 19.2M —
+    * 8.3× less raw work at every point (true-near-dup candidates,
+    * which both blockings must emit, dominate the testdata corpus;
+    * the nibble blocking's extra 8.3× is pure random-collision
+    * waste). */
   def hammingBlocksOf(sig: DataFrame, idCols: Seq[String] = Seq("doc_id")): DataFrame =
     (0 until 4).map { i =>
         val kept = idCols.map(col) ++ Seq(col("simhash"),
@@ -267,9 +267,11 @@ object Dedup {
     * group (a boilerplate page duplicated millions of times — or the
     * replica scale corpus, where every doc has k−1 exact signature
     * partners) contributes ONE row per block instead of g, so the
-    * candidate join's raw volume is group-size-INVARIANT
-    * (SIMHASH_CANDIDATES.json measures the shipped stages below via
-    * ScaleProbe at 1×/5×/25×/50× replica corpora). The contracted k²
+    * candidate join's raw volume is group-size-INVARIANT: measured
+    * (SIMHASH_CANDIDATES.json, ScaleProbe over the EXACT stages below)
+    * 4,711 distinct signatures and 2,315,839 raw block-join rows at
+    * 1×/5×/25×/50× replica corpora ALIKE, where the per-document join
+    * grew 2.8M → 70M → 1.76B over 1×/5×/25×. The contracted k²
     * OUTPUT still gets emitted — hamming-0 pairs through one
     * equi-join on the signature (each emitted row is an output row;
     * no speculative candidates), cross-group pairs by fanning the
@@ -555,6 +557,16 @@ object Dedup {
     * the labels come off materialized parquet with real statistics, and
     * AQE picks broadcast vs shuffle from the actual size instead of a
     * hard-coded assumption (the ngram broadcast lesson). */
+  /** The dedup_keep oracle's recursive stage chain (minhash signatures
+    * → band-collision pairs → connected-component closure → canonical
+    * labels) — ONE definition, exposed so the composed corpus_to_shards
+    * oracle reuses the exact keep semantics (callers must open with
+    * WITH RECURSIVE). */
+  private[llm] def keepLabelsCtesSql: String =
+    s"""$minhashSigCtes,
+            $minhashCcCtes,
+            labels AS (SELECT id, min(root) AS cid FROM reach GROUP BY id)"""
+
   val keep = QuerySpec(
     "dedup_keep",
     (s, d) => {
@@ -565,9 +577,7 @@ object Dedup {
         .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $minhashSigCtes,
-            $minhashCcCtes,
-            labels AS (SELECT id, min(root) AS cid FROM reach GROUP BY id)
+    Some(s"""WITH RECURSIVE $keepLabelsCtesSql
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> cid)
             ORDER BY d.doc_id""")

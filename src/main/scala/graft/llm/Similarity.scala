@@ -335,6 +335,12 @@ object Similarity {
       .groupBy("cluster", "dim")
       .agg(expr("sum(q) div count(1)").as("c"))
 
+  /** The (vec_id, dim, q) component projection of quantComponents —
+    * exposed so ScaleProbe's delta-ANN curve encodes its shard through
+    * the exact shipped stages (the ngramPhase1 no-drift rule). */
+  private[graft] def quantComponentsOf(e: DataFrame): DataFrame =
+    quantComponents(e).select("vec_id", "dim", "q")
+
   private def quantComponents(e: DataFrame): DataFrame =
     // empty vectors contribute no components: Spark's sequence(1, 0) is
     // the DESCENDING [1, 0] (element_at would throw), while DuckDB's
@@ -731,23 +737,115 @@ object Similarity {
         s.range(0).select(col("id").as("vec_id"), col("id").as("sub"),
           col("id").as("code")))
     else {
-      val ks = seedIds.indices
       val cent0 = comp
         .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
         .select(col("vec_id").as("cluster"), col("dim"), col("q").as("c"))
       val wide = widenByDim(cent0, seedIds)
-      val scored = comp.join(broadcast(wide), Seq("dim"))
-        .withColumn("sub", expr("(dim - 1) div 16"))
-        .groupBy("vec_id", "sub")
-        .agg(sum((col("c0") - col("q")) * (col("c0") - col("q"))).as("s0"),
-          ks.drop(1).map(k =>
-            sum((col(s"c$k") - col("q")) * (col(s"c$k") - col("q"))).as(s"s$k")): _*)
-      val best = bestScoreOf(ks)
-      val pick = ks.foldRight(lit(ks.last.toLong)) { (k, el) =>
-        when(col(s"s$k") === best, lit(k.toLong)).otherwise(el) }
-      (wide, scored.select(col("vec_id"), col("sub"), pick.as("code")))
+      // the encode is pqCodesOf — the ONE definition the incremental
+      // delta_ann_index path re-applies to arriving shards, so the
+      // stored codes and a later shard's codes can never drift
+      (wide, pqCodesOf(comp, wide))
     }
   }
+
+  /** PQ encode of arbitrary (vec_id, dim, q) components against a
+    * FROZEN wide codebook: sub-distance argmin per (vector, subspace),
+    * ties to the smallest code — the identical math as
+    * [[pqIndexFramesOf]]'s in-build encode (same wide layout, same
+    * bestScoreOf/first-match tie rule), extracted so the incremental
+    * path cannot drift from what the stored index believes. */
+  private[graft] def pqCodesOf(comp: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val ks = 0 until codebook.columns.count(_.matches("c\\d+"))
+    val scored = comp.join(broadcast(codebook), Seq("dim"))
+      .withColumn("sub", expr("(dim - 1) div 16"))
+      .groupBy("vec_id", "sub")
+      .agg(sum((col("c0") - col("q")) * (col("c0") - col("q"))).as("s0"),
+        ks.drop(1).map(k =>
+          sum((col(s"c$k") - col("q")) * (col(s"c$k") - col("q"))).as(s"s$k")): _*)
+    val best = bestScoreOf(ks)
+    val pick = ks.foldRight(lit(ks.last.toLong)) { (k, el) =>
+      when(col(s"s$k") === best, lit(k.toLong)).otherwise(el) }
+    scored.select(col("vec_id"), col("sub"), pick.as("code"))
+  }
+
+  /** 80/20 vec_id split for the incremental ANN path — deltaSplitOf's
+    * rule (Dedup.scala) in the embedding domain, null-safe on an empty
+    * table for the same reason. */
+  private[graft] def deltaVecSplitOf(s: SparkSession, d: String): Long =
+    Option(embeddings(s, d).agg(expr("(max(vec_id) + 1) * 4 div 5"))
+      .first().get(0)).map(_.toString.toLong).getOrElse(0L)
+
+  /** The EXISTING corpus's PQ index (codebook + codes), materialized
+    * once per (application, dir) — the delta_dedup incremental pattern
+    * in the ANN family: at production scale the codebook is FROZEN at
+    * corpus-build time and every arriving shard re-encodes against it
+    * (retraining would silently re-map every stored code; the standard
+    * serving contract is codebook-stable between full rebuilds). */
+  def pqCorpusIndexStage(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.Materialize.oncePair(s, s"delta_pq_index|$d") {
+      val split = deltaVecSplitOf(s, d)
+      pqIndexFramesOf(embeddings(s, d).filter(col("vec_id") < split))
+    }
+
+  /** delta_ann_index — incremental index maintenance: a new shard of
+    * vectors (the 20% above the split) is encoded against the STORED
+    * corpus codebook, never against itself — per-job cost is
+    * shard × codebook (the codebook is config-sized and broadcast;
+    * nothing corpus-sized is read except the one-time Materialize
+    * build), the delta_dedup shape for the ANN family. The oracle
+    * re-derives the codebook from the corpus half and encodes the
+    * shard with the same argmin/tie rule, proving the incremental
+    * encode equals what a from-scratch build of corpus ∪ shard would
+    * have assigned the shard under the frozen-codebook contract. */
+  val deltaAnnIndex = QuerySpec(
+    "delta_ann_index",
+    (s, d) => {
+      val (cb, _) = pqCorpusIndexStage(s, d)
+      val split = deltaVecSplitOf(s, d)
+      val shard = embeddings(s, d).filter(col("vec_id") >= split)
+      pqCodesOf(quantComponents(shard).select("vec_id", "dim", "q"), cb)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code"))
+        .orderBy("vec_id", "sub")
+    },
+    Some("""WITH comp AS (
+              SELECT vec_id, i AS dim,
+                     CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+              FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+            split AS (SELECT (max(vec_id) + 1) * 4 // 5 AS t FROM embeddings),
+            s16 AS (SELECT DISTINCT vec_id FROM comp
+                    WHERE vec_id < (SELECT t FROM split)
+                    ORDER BY vec_id LIMIT 16),
+            seeds AS (
+              SELECT a.vec_id,
+                     CAST((SELECT count(*) FROM s16 b WHERE b.vec_id < a.vec_id)
+                          AS BIGINT) AS slot
+              FROM s16 a),
+            cent AS (
+              SELECT s.slot, comp.dim, comp.q AS c
+              FROM comp JOIN seeds s ON comp.vec_id = s.vec_id),
+            wide AS (
+              SELECT s.slot, d.dim, COALESCE(c.c, 0) AS c
+              FROM (SELECT DISTINCT slot FROM cent) s
+              CROSS JOIN (SELECT DISTINCT dim FROM cent) d
+              LEFT JOIN cent c ON c.slot = s.slot AND c.dim = d.dim),
+            d2 AS (
+              SELECT comp.vec_id, (comp.dim - 1) // 16 AS sub, w.slot,
+                     SUM((comp.q - w.c) * (comp.q - w.c)) AS d2
+              FROM comp JOIN wide w ON comp.dim = w.dim
+              WHERE comp.vec_id >= (SELECT t FROM split)
+              GROUP BY 1, 2, 3),
+            codes AS (
+              SELECT vec_id, sub, slot AS code FROM (
+                SELECT vec_id, sub, slot,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, slot) AS rn
+                FROM d2) WHERE rn = 1)
+            SELECT vec_id, CAST(sub AS BIGINT) AS sub, code
+            FROM codes
+            ORDER BY vec_id, sub""")
+  )
 
   /** Asymmetric-distance query batch against a STORED PQ index: the
     * query vectors' sub-distance tables are computed fresh against the
@@ -1352,6 +1450,6 @@ object Similarity {
   val all: Seq[QuerySpec] =
     Seq(annBruteForce, annLshBucket, embeddingNearDup, knnGraph,
         embeddingCentroids, annIvf, kmeansLloyd, annPq, annIndexPersist,
-        semdedupKeep, annRecallCalib, embeddingQuantize, pqRecallCalib,
-        quantizedTopkRecall)
+        deltaAnnIndex, semdedupKeep, annRecallCalib, embeddingQuantize,
+        pqRecallCalib, quantizedTopkRecall)
 }

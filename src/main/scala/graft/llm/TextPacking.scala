@@ -419,14 +419,21 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * budget·corpus_docs·weight ≈ 10²⁷ at a 10¹²-doc corpus — inside
     * both engines, outside BIGINT: overflow-safe BY TYPE, not by luck. */
   private[llm] def mixtureAllocFrameOf(
-      s: SparkSession, d: String, budgetDiv: Int): DataFrame = {
+      s: SparkSession, d: String, budgetDiv: Int): DataFrame =
+    mixtureAllocOf(documents(s, d), budgetDiv)
+
+  /** [[mixtureAllocFrameOf]] over an arbitrary documents frame — the
+    * composition form, so corpus_to_shards can apportion over its
+    * post-clean/post-dedup survivor set with the identical algebra. */
+  private[llm] def mixtureAllocOf(docs: DataFrame,
+      budgetDiv: Int): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // eager localCheckpoint: the totals, the quota sum, and the final
     // frame all derive from this config-bounded per-source table, and
     // Catalyst cannot CSE across the cross-joins — without the pin the
     // plan re-scans the whole corpus once per branch (3 scans at
     // 100 TB for one map-side count)
-    val src = documents(s, d).groupBy("source")
+    val src = docs.groupBy("source")
       .agg(count(lit(1)).as("corpus_docs"))
       .withColumn("weight_milli",
         lit(500L) +
@@ -460,12 +467,13 @@ private[llm] trait TextPacking { self: TextOps.type =>
 
   /** DuckDB twin of [[mixtureAllocFrameOf]]: the CTE chain ending in
     * `u` (source, corpus_docs, weight_milli, budget, uncapped). */
-  private[llm] def allocCtesSql(budgetDiv: Int): String = {
+  private[llm] def allocCtesSql(budgetDiv: Int,
+      from: String = "documents"): String = {
     val w = s"500 + (${md5Hex32Sql("'w-v1:' || source")}) % 3 * 250"
     s"""src AS (
           SELECT source, CAST(COUNT(*) AS BIGINT) AS corpus_docs,
                  CAST($w AS BIGINT) AS weight_milli
-          FROM documents GROUP BY source),
+          FROM $from GROUP BY source),
         cw AS (
           SELECT *, CAST(corpus_docs AS HUGEINT) * weight_milli AS cw
           FROM src),
@@ -669,10 +677,17 @@ private[llm] trait TextPacking { self: TextOps.type =>
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((rnd.toLong, l, r, l + r, cnt))
-        words = words
+        // EAGER checkpoint, then drop the superseded round's blocks:
+        // each round's table replaces the previous one, and a lazy
+        // chain would pin k vocab-sized block sets in executor memory
+        // — linear growth that caps training depth (measured by the
+        // `ScaleProbe bpedepth` 3/30/300-round curve, BPE_DEPTH.json)
+        val prev = words
+        words = prev
           .select(col("freq"),
             expr(s"replace(enc, ',$l,,$r,', ',$l$r,')").as("enc"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
+        prev.unpersist()
       }
     }
     out.toSeq.toDF("round", "left_sym", "right_sym", "merged_sym", "pair_cnt")
@@ -1230,18 +1245,39 @@ private[llm] trait TextPacking { self: TextOps.type =>
     *
     * Scale shape: one map + one map-side-combinable aggregate to a
     * 32-row frame — zero joins, zero windows, zero corpus-sized sorts. */
+  /** Per-doc manifest row projection (shard route, whitespace tokens,
+    * chars, 32-bit content hash widened to DECIMAL(38,0)) — ONE
+    * definition shared by shard_manifest and the composed
+    * corpus_to_shards, so the export manifest a composed pipeline
+    * ships can never drift from the standalone key's. */
+  private[llm] def manifestRowsOf(docs: DataFrame): DataFrame = docs.select(
+    expr("""cast(conv(substring(md5(concat('sm-v1:',
+           cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 32""")
+      .as("shard"),
+    col("doc_id"),
+    coalesce(size(tokens).cast("long"), lit(0L)).as("ws"),
+    coalesce(length(col("text")).cast("long"), lit(0L)).as("chars"),
+    expr("""cast(cast(conv(substring(md5(concat('sm-v1:',
+           cast(doc_id as string), ':', coalesce(text, ''))), 1, 8),
+           16, 10) as bigint) as decimal(38,0))""").as("h"))
+
+  /** DuckDB twin of [[manifestRowsOf]] as a `rows_h` CTE over `from`. */
+  private[llm] def manifestRowsCteSql(from: String): String =
+    s"""rows_h AS (
+              SELECT (${TextOps.md5Hex32Sql(
+      "'sm-v1:' || CAST(doc_id AS VARCHAR)")}) % 32 AS shard,
+                     doc_id,
+                     COALESCE(len(list_filter(string_split(lower(text), ' '),
+                                              w -> w <> '')), 0) AS ws,
+                     COALESCE(length(text), 0) AS chars,
+                     CAST((${TextOps.md5Hex32Sql(
+      "'sm-v1:' || CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')")})
+                       AS HUGEINT) AS h
+              FROM $from)"""
+
   val shardManifest = QuerySpec(
     "shard_manifest",
-    (s, d) => documents(s, d).select(
-        expr("""cast(conv(substring(md5(concat('sm-v1:',
-               cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 32""")
-          .as("shard"),
-        col("doc_id"),
-        coalesce(size(tokens).cast("long"), lit(0L)).as("ws"),
-        coalesce(length(col("text")).cast("long"), lit(0L)).as("chars"),
-        expr("""cast(cast(conv(substring(md5(concat('sm-v1:',
-               cast(doc_id as string), ':', coalesce(text, ''))), 1, 8),
-               16, 10) as bigint) as decimal(38,0))""").as("h"))
+    (s, d) => manifestRowsOf(documents(s, d))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
         sum(col("chars")).as("text_chars"),
@@ -1249,22 +1285,142 @@ private[llm] trait TextPacking { self: TextOps.type =>
         max(col("doc_id")).as("max_doc_id"),
         expr("cast(sum(h) % 2305843009213693951 as bigint)").as("checksum"))
       .orderBy("shard"),
-    Some(s"""WITH rows_h AS (
-              SELECT (${TextOps.md5Hex32Sql(
-                "'sm-v1:' || CAST(doc_id AS VARCHAR)")}) % 32 AS shard,
-                     doc_id,
-                     COALESCE(len(list_filter(string_split(lower(text), ' '),
-                                              w -> w <> '')), 0) AS ws,
-                     COALESCE(length(text), 0) AS chars,
-                     CAST((${TextOps.md5Hex32Sql(
-                "'sm-v1:' || CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')")})
-                       AS HUGEINT) AS h
-              FROM documents)
+    Some(s"""WITH ${manifestRowsCteSql("documents")}
             SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
                    CAST(SUM(chars) AS BIGINT) AS text_chars,
                    MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
                    CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS checksum
             FROM rows_h GROUP BY shard ORDER BY shard""")
+  )
+
+  /** Stages 1+2 of corpus_to_shards — the clean ∩ dedup-keep survivor
+    * corpus: corpus_clean's gates (language/quality/PII/exact-dedup) as
+    * a semi-join, dedup_keep's near-dup drop list (minhash connected
+    * components, canonical member survives) as an anti-join. Exposed
+    * for the stage-set equality spec: this set must equal
+    * corpus_clean ∩ dedup_keep computed standalone. The gate lists are
+    * corpus-derived doc_id sets — shuffle_hash, never a static
+    * broadcast (the pipeline_quality_pack rule); clusterLabels comes
+    * off its materialized stage with real stats. */
+  def cleanKeepSurvivorsOf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val clean = corpusCleanOf(docs).select("doc_id")
+    val drop = Dedup.clusterLabels(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs
+      .join(clean.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .join(drop.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 3 of corpus_to_shards — exact-quota mixture selection over
+    * the survivor corpus: the mixture_allocate apportionment
+    * ([[mixtureAllocOf]], budget = survivors/2) decides each source's
+    * doc COUNT, and the repeat_upsample rank rule (two-level md5-bucket
+    * rank within source) picks WHICH docs fill the quota —
+    * deterministic, no RNG, and a hot source never becomes one giant
+    * window partition. Returns the selected doc_id set. */
+  def mixtureSelectOf(surv: DataFrame): DataFrame = {
+    val alloc = mixtureAllocOf(surv, 2)
+      .select(col("source"), col("alloc_docs"))
+    val db = surv.select(col("doc_id"), col("source"),
+      md5(concat(lit("mix-v1:"), col("doc_id").cast("string"))).as("k"))
+    val rnk = bucketRankOf(db, Seq("source"), Seq(), "doc_id")
+    rnk.join(alloc.hint("shuffle_hash"), Seq("source"))
+      .filter(col("rnk") < col("alloc_docs"))
+      .select("doc_id")
+  }
+
+  /** corpus_to_shards — the END-TO-END export recipe AS ONE PLAN
+    * (clean → dedup → mixture → pack → shard manifest), the
+    * pipeline_quality_pack discipline extended through the mixing and
+    * export stages: every stage is the SHIPPED stage's frame-level plan
+    * composed declaratively (no per-stage corpus copy — at 100 TB a
+    * script pipeline materializes 4 dead corpus copies between these
+    * stages), and the output is the 32-row shard manifest a training
+    * run would validate its download against — n_docs/tokens/chars/id
+    * range per shard, the count of pack bins the shard's docs START in
+    * (start_bins — the packed layout gating the chain), and the
+    * order-independent multiset checksum, which changes if ANY upstream
+    * stage selects a different set: the checksum IS the pipeline's
+    * end-to-end identity gate. The oracle composes the same shared CTE
+    * generators the component keys use (keepLabelsCtesSql,
+    * corpusCleanCteSql, allocCtesSql, bucketRankSql, the sequence_pack
+    * prefix-sum shape, manifestRowsCteSql) so the composition can never
+    * drift from its stages. */
+  val corpusToShards = QuerySpec(
+    "corpus_to_shards",
+    (s, d) => {
+      // survivor pin: feeds the per-source count (alloc), the rank and
+      // the selection re-join — the clean/dedup gate chain must run
+      // once, not once per consumer (the pipeline_quality_pack rule)
+      val surv = cleanKeepSurvivorsOf(s, d).localCheckpoint()
+      val sel = mixtureSelectOf(surv)
+      // selected pin: packOf reads its input in 3 actions and the
+      // manifest projection reads it once more
+      val selected = surv
+        .join(sel.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text")
+        .localCheckpoint()
+      val packed = packOf(selected)
+      manifestRowsOf(selected)
+        .join(packed.select(col("doc_id"), col("bin_id"))
+          .hint("shuffle_hash"), Seq("doc_id"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("chars")).as("text_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          countDistinct(col("bin_id")).as("start_bins"),
+          expr("cast(sum(h) % 2305843009213693951 as bigint)")
+            .as("checksum"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.keepLabelsCtesSql},
+          $corpusCleanCteSql,
+          surv0 AS (
+            SELECT d.* FROM documents d
+            SEMI JOIN cleaned USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> cid)),
+          ${allocCtesSql(2, "surv0")},
+          alloc AS (
+            SELECT source,
+                   CAST(LEAST(uncapped, corpus_docs) AS BIGINT) AS alloc_docs
+            FROM u),
+          rsrc AS (
+            SELECT doc_id, source,
+                   md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
+                   substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     AS bkt
+            FROM surv0),
+          ${bucketRankSql(Seq("source"), Seq(), "doc_id")},
+          sel AS (
+            SELECT b.doc_id FROM brnk b JOIN alloc a USING (source)
+            WHERE b.rnk < a.alloc_docs),
+          seld AS (
+            SELECT d.doc_id, d.text FROM documents d
+            SEMI JOIN sel USING (doc_id)),
+          toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        w -> w <> '')) AS BIGINT) AS n_tokens
+            FROM seld),
+          pos AS (
+            SELECT a.doc_id,
+                   CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT) AS start_pos
+            FROM toks a LEFT JOIN toks b ON b.doc_id < a.doc_id
+            GROUP BY a.doc_id),
+          packed AS (
+            SELECT doc_id, start_pos // 2048 AS bin_id FROM pos),
+          ${manifestRowsCteSql("seld")}
+          SELECT r.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(r.ws) AS BIGINT) AS ws_tokens,
+                 CAST(SUM(r.chars) AS BIGINT) AS text_chars,
+                 MIN(r.doc_id) AS min_doc_id, MAX(r.doc_id) AS max_doc_id,
+                 CAST(COUNT(DISTINCT p.bin_id) AS BIGINT) AS start_bins,
+                 CAST(SUM(r.h) % 2305843009213693951 AS BIGINT) AS checksum
+          FROM rows_h r JOIN packed p USING (doc_id)
+          GROUP BY r.shard ORDER BY r.shard""")
   )
 }

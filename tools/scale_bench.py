@@ -43,6 +43,7 @@ import sys
 FLOOR_SEC = 0.05      # below this the 1x time is scheduling noise
 FLOOR_EXP_SEC = 0.2   # exponent fit needs both points above noise
 FLOOR_BYTES = 4 * 1024 * 1024
+OFFFIT_ABS_SEC = 1.0  # pred_err flags only above this absolute deviation
 
 
 def main(base_p, out_p, notes_p, *points):
@@ -134,9 +135,22 @@ def main(base_p, out_p, notes_p, *points):
     # off-fit keys (three-point runs only): measured third point more
     # than 2x off the low-fit power-law prediction in either direction —
     # the curve bent, and the bend needs a measured analysis like any
-    # superlinear flag
-    offfit = sorted(q for q, e in queries.items()
-                    if not 0.5 <= e.get("pred_err", 1.0) <= 2.0)
+    # superlinear flag. The RELATIVE gate alone manufactures flags out
+    # of sub-second floor noise (r14 carried six such keys: a 0.3 s
+    # measurement vs a 0.1 s prediction is err 3.0 but means nothing on
+    # this box's ±0.2 s scheduling jitter), so the flag additionally
+    # requires the absolute deviation to clear OFFFIT_ABS_SEC — a
+    # genuinely bent curve at the largest multiple is seconds off, a
+    # floor artifact is not.
+    t_last = ktag(scaled[-1][0])
+
+    def _offfit(e):
+        pe = e.get("pred_err")
+        if pe is None or 0.5 <= pe <= 2.0:
+            return False
+        return abs(e[f"sec_{t_last}x"]
+                   - e[f"pred_sec_{t_last}x"]) > OFFFIT_ABS_SEC
+    offfit = sorted(q for q, e in queries.items() if _offfit(e))
     flagged = sorted({q for ks in superlinear.values() for q in ks} |
                      {q for ks in byte_superlinear.values() for q in ks} |
                      {q for ks in spill_emergent.values() for q in ks} |
@@ -189,8 +203,11 @@ def main(base_p, out_p, notes_p, *points):
                  "carries exponent_lo (fit on the first two multiples), "
                  "pred_sec_<k>x (that fit extrapolated to the largest "
                  "multiple) and pred_err = measured/predicted — "
-                 "pred_err outside [0.5, 2] flags the key off-fit and "
-                 "requires an analysis note"),
+                 "pred_err outside [0.5, 2] AND an absolute deviation "
+                 f"above {OFFFIT_ABS_SEC} s at the largest multiple "
+                 "flags the key off-fit and requires an analysis note "
+                 "(the absolute floor keeps sub-second scheduling "
+                 "jitter from manufacturing flags)"),
         "queries": queries,
         "superlinear_analysis": {q: notes[q] for q in flagged},
     }
@@ -203,5 +220,47 @@ def main(base_p, out_p, notes_p, *points):
               f"spill_emergent={p['spill_emergent_keys']}")
 
 
+def _selftest_offfit():
+    """A genuinely bent curve (seconds off its low-fit prediction) must
+    still flag off-fit; a sub-second floor artifact with the same
+    RELATIVE error must not (the r14 noise class)."""
+    import os
+    import subprocess
+    import tempfile
+    d = tempfile.mkdtemp()
+    # floor: err ~2.2 but |diff| ~0.4 s  -> not flagged
+    # bent:  err ~11  and |diff| ~27 s   -> flagged, note required
+    base = {"queries": {"floor": 0.25, "bent": 0.2}, "value": 0.45,
+            "sf": "1x"}
+    p5 = {"queries": {"floor": 0.25, "bent": 1.0}, "value": 1.25, "sf": "5x"}
+    p25 = {"queries": {"floor": 0.30, "bent": 2.0}, "value": 2.3,
+           "sf": "25x"}
+    p50 = {"queries": {"floor": 0.70, "bent": 30.0}, "value": 30.7,
+           "sf": "50x"}
+    notes = {"bent": "synthetic bend for the selftest",
+             "floor": "unused unless the floor gate regresses"}
+    for n, obj in (("b.json", base), ("p5.json", p5), ("p25.json", p25),
+                   ("p50.json", p50), ("n.json", notes)):
+        json.dump(obj, open(os.path.join(d, n), "w"))
+    out = os.path.join(d, "out.json")
+    r = subprocess.run(
+        [sys.executable, __file__, os.path.join(d, "b.json"), out,
+         os.path.join(d, "n.json"), "5=" + os.path.join(d, "p5.json"),
+         "25=" + os.path.join(d, "p25.json"),
+         "50=" + os.path.join(d, "p50.json")],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    art = json.load(open(out))
+    assert art["offfit_keys"] == ["bent"], art["offfit_keys"]
+    fq = art["queries"]["floor"]
+    assert not 0.5 <= fq["pred_err"] <= 2.0, (
+        "selftest premise broken: floor key's relative err must be "
+        f"outside [0.5,2] to prove the absolute gate did the work: {fq}")
+    print("selftest-offfit: bent flagged, floor artifact suppressed")
+
+
 if __name__ == "__main__":
+    if "--selftest-offfit" in sys.argv:
+        _selftest_offfit()
+        sys.exit(0)
     main(*sys.argv[1:])
