@@ -174,7 +174,22 @@ object PlanDump {
           "both member fan-out joins honor the shuffle_hash hint " +
           "(ShuffledHashJoin — the pair frames are corpus-derived, " +
           "never broadcast), and the only total order is the final " +
-          "contracted ORDER BY."))
+          "contracted ORDER BY."),
+      "corpus_to_shards" ->
+        ("Composed export pipeline above its two checkpoints: the " +
+          "survivor and selection chains are pinned (Scan ExistingRDD " +
+          "leaves — the gate stages run once, not once per consumer), " +
+          "the selection/offset/pack join-backs are ShuffledHashJoin " +
+          "(corpus-derived doc_id sets, never broadcast), the pack " +
+          "window is chunk-PARTITIONED, and the manifest ends in one " +
+          "partial-then-final HashAggregate to 32 rows."),
+      "delta_ann_index" ->
+        ("Incremental PQ encode: the ONLY corpus-sized inputs are the " +
+          "stored Materialize frames (graft_mv scans); the shard scan " +
+          "carries a pushed vec_id >= split filter, the codebook joins " +
+          "as BroadcastExchange (config-sized by contract), and the " +
+          "argmin is one partial hash aggregate per (vector, sub) — " +
+          "no self-join, no window."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

@@ -725,16 +725,20 @@ object ScaleProbe {
     // shard ids lifted above every replicated corpus id, mirroring the
     // deltaProbe convention (not load-bearing for the encode, but keeps
     // the corpora disjoint like production)
-    val shard = e0.filter(col("vec_id") >= split)
+    val shard0 = e0.filter(col("vec_id") >= split)
       .select((col("vec_id") + lit(ks.max.toLong * stride)).as("vec_id"),
         col("embedding"), col("label"))
-      .localCheckpoint(false)
-    val shardN = shard.count()
+    val shardN = shard0.count()
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
     val runs = ks.map { k =>
+      // per-k shard pin (the deltaProbe rule: the per-k sweep frees the
+      // previous pin's blocks); the untimed count is the shard job's
+      // input read, not probe work
+      val shard = shard0.localCheckpoint(false)
+      shard.count()
       val corpus = (0 until k).map(i =>
           corpus0.select((col("vec_id") + lit(i * stride)).as("vec_id"),
             col("embedding"), col("label")))

@@ -1406,6 +1406,11 @@ private[llm] trait TextPacking { self: TextOps.type =>
                    CAST(len(list_filter(string_split(lower(text), ' '),
                                         w -> w <> '')) AS BIGINT) AS n_tokens
             FROM seld),
+          -- the committed sequence_pack/pipeline_quality_pack oracle
+          -- prefix-sum shape: quadratic in the SELECTED set, which the
+          -- half-budget mixture selection bounds — check-scale only
+          -- (the ~31k-row 25x selection takes DuckDB tens of minutes;
+          -- the engine side is the two-level linear prefix sum)
           pos AS (
             SELECT a.doc_id,
                    CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT) AS start_pos

@@ -553,6 +553,38 @@ class PlanSpec extends SparkSpec {
       s"member fan-out joins lost the shuffle-hash discipline:\n$p")
   }
 
+  test("delta_ann_index: shard filter pushed to the scan, codebook broadcast, no window, no SMJ") {
+    val df = SparkEntry.queries("delta_ann_index")(spark, sf)
+    df.collect() // finalize AQE (and force the Materialize build)
+    val p = df.queryExecution.executedPlan.toString
+    // the arriving shard is the ONLY raw-embedding scan, and its split
+    // predicate reaches the reader — an unpushed filter would re-read
+    // the whole 100 TB store per shard job
+    assert(p.contains("GreaterThanOrEqual(vec_id"),
+      s"shard split filter not pushed to the scan:\n$p")
+    // the frozen codebook is config-sized by contract — broadcast
+    assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"incremental encode grew a sort/window:\n$p")
+  }
+
+  test("corpus_to_shards: gate chains pinned behind checkpoints, join-backs shuffle-hash, 32-row manifest aggregate") {
+    val df = SparkEntry.queries("corpus_to_shards")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // the survivor/selection chains ran once inside their checkpoints —
+    // the manifest plan roots on the pinned frames, it never re-scans
+    // documents (a per-consumer gate re-run is 3 dead corpus passes)
+    assert(p.contains("Scan ExistingRDD"),
+      s"selection not pinned behind a checkpoint:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"documents re-scanned above the selection checkpoint:\n$p")
+    // pack offsets + bin join-back keep the shuffle-hash discipline
+    assert(p.contains("ShuffledHashJoin"), s"join discipline lost:\n$p")
+    // partial-then-final manifest aggregate (map-side combine present)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("minhash_band_calib: corpus work confined to the sample checkpoint; result is a bounded aggregate") {
     val p = plan("minhash_band_calib")
     // the only corpus-sized pass (scan + null filter + md5 sample
