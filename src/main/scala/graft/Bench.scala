@@ -97,18 +97,33 @@ object Bench {
     // construction, not by the median's vote
     val warmups = math.max(0, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").trim.toInt).getOrElse(1))
-    val warmupRuns: Seq[(Double, Double)] = (1 to warmups).map { _ =>
+    // janino class-count probe (exact — the histogram's COUNT, unlike its
+    // reservoir-sampled mean): snapshotted around each warmup key and
+    // each measured pass, so the artifact shows WHERE the compile leg
+    // lands — per-key compile attribution in the warmup, and proof that
+    // the measured passes run compile-free off the codegen cache (a
+    // key-level regression can then never hide inside compile noise)
+    def cgClassCount: Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val warmupKeyClasses =
+      scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val warmupRuns: Seq[(Double, Double)] = (1 to warmups).map { wi =>
       val wl = loadAvg
       val t0 = System.nanoTime()
       names.foreach { case (name, fn) =>
+        val c0 = cgClassCount
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
         Harness.sweepBlocks(spark)
+        if (wi == 1)
+          warmupKeyClasses(name) =
+            warmupKeyClasses.getOrElse(name, 0L) + (cgClassCount - c0)
       }
       (wl, (System.nanoTime() - t0) / 1e9)
     }
     val warmupTotal = warmupRuns.map(_._2).sum
+    val classesAfterWarmup = cgClassCount
     // snapshot which Materialize stages the warmup built: with ≥1 warmup
     // pass every stage lands here by construction (the warmup runs every
     // key), so a stage tagged "pass" below is a protocol violation worth
@@ -121,9 +136,11 @@ object Bench {
     // fixed (sorted) order within each pass: per-key timings comparable
     // across rounds; one-time pipeline materializations already landed in
     // the warmup pass, so every measured pass sees steady state
+    val passClassDeltas = scala.collection.mutable.ArrayBuffer.empty[Long]
     val passRuns: Seq[(Double, Seq[(String, Double, (Long, Long, Long))])] =
       (1 to passes).map { _ =>
         val passLoad = loadAvg
+        val pc0 = cgClassCount
         val res = names.map { case (name, fn) =>
           val (r0, w0, s0) = byteSnap()
           val t0 = System.nanoTime()
@@ -137,6 +154,7 @@ object Bench {
           Harness.sweepBlocks(spark)
           (name, secs, (r1 - r0, w1 - w0, s1 - s0))
         }
+        passClassDeltas += cgClassCount - pc0
         (passLoad, res)
       }
     // per-key median over the passes that succeeded; a key with NO
@@ -241,6 +259,19 @@ object Bench {
     val cg = org.apache.spark.metrics.source.CodegenMetrics
     val cgCount = cg.METRIC_COMPILATION_TIME.getCount
     val cgSec = cgCount * cg.METRIC_COMPILATION_TIME.getSnapshot.getMean / 1000.0
+    // the compile-vs-execute split: per-key class counts from warmup
+    // pass 1 (where the leg lands by protocol — nonzero keys only, the
+    // map would otherwise dwarf the artifact) and the per-phase totals
+    // (warmup absolute, then each measured pass's delta — ~0 deltas
+    // prove the measured medians are compile-free). Per-key SECONDS are
+    // deliberately not estimated: the histogram mean is
+    // reservoir-sampled, and count×mean per key would smear slow
+    // compiles uniformly — counts are exact, use them.
+    val cgWarmupKeyJs = warmupKeyClasses.toSeq.filter(_._2 > 0)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cgPhaseJs =
+      (classesAfterWarmup +: passClassDeltas.toSeq).mkString("[", ",", "]")
     // exact bytes (longs, no rounding): the scale gate divides two runs'
     // values, so precision loss here would manufacture false ratios
     val bytesJs = bytesByKey.map { case (name, (r, w, sp)) =>
@@ -252,6 +283,8 @@ object Bench {
         s""""stages":$stages,"pass_spread":$spreadJs,""" +
         s""""shuffle_bytes":$bytesJs,""" +
         s""""codegen_compile_sec":${fmt(cgSec, 1)},"codegen_compiled_classes":$cgCount,""" +
+        s""""codegen_classes_by_phase":$cgPhaseJs,""" +
+        s""""codegen_classes_warmup_by_key":$cgWarmupKeyJs,""" +
         s""""sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,""" +
         s""""passes":$passes,"pass_totals":${arr(passTotals, 3)},""" +
         s""""pass_load_avg":${arr(passRuns.map(_._1), 1)},""" +

@@ -189,7 +189,17 @@ object PlanDump {
           "carries a pushed vec_id >= split filter, the codebook joins " +
           "as BroadcastExchange (config-sized by contract), and the " +
           "argmin is one partial hash aggregate per (vector, sub) — " +
-          "no self-join, no window."))
+          "no self-join, no window."),
+      "delta_corpus_to_shards" ->
+        ("Incremental export: the frozen corpus enters ONLY through its " +
+          "stored Materialize frames (graft_mv scans of the survivor " +
+          "index and stored manifest — no corpus document re-scan); " +
+          "the shard-side survivor chain and the admitted set are " +
+          "pinned behind checkpoints (Scan ExistingRDD leaves), every " +
+          "corpus/shard-derived gate list joins ShuffledHashJoin " +
+          "(never broadcast), the delta pack keeps the chunk-" +
+          "PARTITIONED two-level window, and the manifest UPDATE is " +
+          "one hash aggregate over the two 32-row manifests."))
 
   /** Formatted physical plan of one key. */
   def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,

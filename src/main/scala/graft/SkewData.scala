@@ -38,9 +38,14 @@ import org.apache.spark.sql.functions._
 object SkewData {
 
   /** Deterministic p%-of-rows selector on a key column: crc32 of the
-    * md5 hex of the key, mod 100 — stable across runs and engines. */
-  private def pick(keyCol: String, pct: Int) =
-    pmod(crc32(md5(col(keyCol).cast("string"))), lit(100)) < lit(pct)
+    * md5 hex of salt+key, mod 100 — stable across runs and engines.
+    * The salt keeps different skew dimensions INDEPENDENT: without it,
+    * a 10% selector is a strict subset of a 25% selector on the same
+    * key (same hash, nested thresholds), which would fully correlate
+    * the hot-near-dup and hot-source document shapes. */
+  private def pick(keyCol: String, pct: Int, salt: String) =
+    pmod(crc32(md5(concat(lit(salt), col(keyCol).cast("string")))),
+         lit(100)) < lit(pct)
 
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("tmpdata/sf0.5x")
@@ -58,12 +63,12 @@ object SkewData {
       .select("text").first().getString(0)
     docs.select(
         col("doc_id"),
-        when(pick("doc_id", 10), lit(hotText)).otherwise(col("text"))
+        when(pick("doc_id", 10, "nd-v1:"), lit(hotText)).otherwise(col("text"))
           .as("text"),
         col("lang"),
-        when(pick("doc_id", 25), lit("hot_source")).otherwise(col("source"))
-          .as("source"),
-        when(pick("doc_id", 10), lit(hotText.length).cast("long"))
+        when(pick("doc_id", 25, "src-v1:"), lit("hot_source"))
+          .otherwise(col("source")).as("source"),
+        when(pick("doc_id", 10, "nd-v1:"), lit(hotText.length).cast("long"))
           .otherwise(col("n_chars")).as("n_chars"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     println(s"[skewdata] documents: 10% hot near-dup group + 25% hot source")
@@ -72,7 +77,8 @@ object SkewData {
     val ev = Tables.events(spark, inDir)
     val hotUser = ev.agg(min(col("user_id"))).first().getLong(0)
     ev.withColumn("user_id",
-        when(pick("event_id", 25), lit(hotUser)).otherwise(col("user_id")))
+        when(pick("event_id", 25, "usr-v1:"), lit(hotUser))
+          .otherwise(col("user_id")))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"[skewdata] events: 25% re-keyed to hot user $hotUser")
 

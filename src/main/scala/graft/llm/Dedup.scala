@@ -117,44 +117,53 @@ object Dedup {
     * Parameterized by the (doc_id, text) source so minhash_band_calib
     * can instantiate it over its sampled-corpus CTE — same text object,
     * no fork (the ann_recall_calib oracle-generator discipline). */
-  private def minhashSigCtesOver(tbl: String): String = s"""sh AS (
+  /** `sfx` renames every internal CTE (sh → sh_c, …) so one oracle can
+    * instantiate the chain twice — e.g. delta_corpus_to_shards builds it
+    * over the corpus slice AND over all documents in a single WITH. The
+    * default "" keeps every existing oracle's text byte-identical. */
+  private def minhashSigCtesOver(tbl: String, sfx: String = ""): String =
+    s"""sh$sfx AS (
               SELECT doc_id, substr(text, i, 8) AS s
               FROM $tbl,
                    UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
-            sig AS (
+            sig$sfx AS (
               SELECT doc_id,
                 min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
                 min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
                 min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
                 min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
-              FROM sh GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig
+              FROM sh$sfx GROUP BY doc_id),
+            bands$sfx AS (
+              SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig$sfx
               UNION ALL
-              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig)"""
+              SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig$sfx)"""
 
   private def minhashSigCtes: String = minhashSigCtesOver("documents")
 
   /** Band-collision candidate pairs CTE (named so simEst can call it
     * `cand` while the cc chain calls it `pairs`). */
-  private def minhashPairCte(name: String): String = s"""$name AS (
+  private def minhashPairCte(name: String, sfx: String = ""): String =
+    s"""$name AS (
               SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              FROM bands a JOIN bands b
+              FROM bands$sfx a JOIN bands$sfx b
                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
 
   /** Connected-components closure over the candidate pairs (recursive —
     * callers must open with WITH RECURSIVE) — shared by the clusters
     * and keep oracles. */
-  private def minhashCcCtes: String = s"""${minhashPairCte("pairs")},
-            edges AS (
-              SELECT id1 AS a, id2 AS b FROM pairs
+  private def minhashCcCtesOver(sfx: String): String =
+    s"""${minhashPairCte(s"pairs$sfx", sfx)},
+            edges$sfx AS (
+              SELECT id1 AS a, id2 AS b FROM pairs$sfx
               UNION ALL
-              SELECT id2, id1 FROM pairs),
-            verts AS (SELECT DISTINCT a AS id FROM edges),
-            reach(id, root) AS (
-              SELECT id, id FROM verts
+              SELECT id2, id1 FROM pairs$sfx),
+            verts$sfx AS (SELECT DISTINCT a AS id FROM edges$sfx),
+            reach$sfx(id, root) AS (
+              SELECT id, id FROM verts$sfx
               UNION
-              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)"""
+              SELECT e.b, r.root FROM reach$sfx r JOIN edges$sfx e ON e.a = r.id)"""
+
+  private def minhashCcCtes: String = minhashCcCtesOver("")
 
   val minhashLsh = QuerySpec(
     "dedup_minhash",
@@ -497,7 +506,15 @@ object Dedup {
     * (re-readable, real stats) — no checkpoint needed for it. */
   def clusterLabels(s: SparkSession, d: String): DataFrame =
     graft.Materialize.once(s, s"cc_labels|$d") {
-      val pairs = candidatePairs(s, d)
+      ccLabelsOf(candidatePairs(s, d))
+    }
+
+  /** Min-label connected components over an arbitrary candidate-pair
+    * frame — the clusterLabels loop body, exposed so the incremental
+    * export's frozen corpus side can build the SAME closure over the
+    * corpus slice's pairs (one definition of the clustering semantics,
+    * two materialized instantiations). */
+  private[llm] def ccLabelsOf(pairs: DataFrame): DataFrame = {
       val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
         .localCheckpoint()
@@ -562,10 +579,17 @@ object Dedup {
     * labels) — ONE definition, exposed so the composed corpus_to_shards
     * oracle reuses the exact keep semantics (callers must open with
     * WITH RECURSIVE). */
-  private[llm] def keepLabelsCtesSql: String =
-    s"""$minhashSigCtes,
-            $minhashCcCtes,
-            labels AS (SELECT id, min(root) AS cid FROM reach GROUP BY id)"""
+  private[llm] def keepLabelsCtesSql: String = keepLabelsCtesSqlOver()
+
+  /** [[keepLabelsCtesSql]] over an arbitrary (doc_id, text) source with
+    * suffixed CTE names — for oracles that need the keep semantics over
+    * a SLICE of the corpus (delta_corpus_to_shards' frozen corpus side)
+    * next to another instantiation of the minhash chain. */
+  private[llm] def keepLabelsCtesSqlOver(tbl: String = "documents",
+      sfx: String = ""): String =
+    s"""${minhashSigCtesOver(tbl, sfx)},
+            ${minhashCcCtesOver(sfx)},
+            labels$sfx AS (SELECT id, min(root) AS cid FROM reach$sfx GROUP BY id)"""
 
   val keep = QuerySpec(
     "dedup_keep",
@@ -998,6 +1022,16 @@ object Dedup {
       signaturesOf(documents(s, d).filter(col("doc_id") < split))
     }
 
+  /** The EXISTING corpus's near-dup cluster labels ([[ccLabelsOf]] over
+    * the corpus slice's band-collision pairs, built from the
+    * materialized [[corpusSigStage]]) — the dedup_keep state the
+    * incremental export's frozen corpus side reads. Built once per
+    * (application, dir), like every other corpus index. */
+  def corpusClusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"cc_labels_corpus|$d") {
+      ccLabelsOf(pairsFromBands(bandsOf(corpusSigStage(s, d))))
+    }
+
   /** Slot-agreement MinHash Jaccard estimate in milli-units (matching
     * slots / 8 — the [[minhashSimEst]] estimator) over a frame carrying
     * signature columns a0..a7 and b0..b7. */
@@ -1081,6 +1115,30 @@ object Dedup {
     * filtered by the SAME estimated-Jaccard verify rule — restricted to
     * shard docs: proving the incremental plan computes the same answer
     * as a from-scratch run, which is the entire point of a delta path. */
+  /** The estimated-Jaccard verify tier as a `vpairs` CTE over preceding
+    * `pairs` + `sig` CTEs — ONE text shared by the delta_dedup oracle
+    * and [[deltaDropCtesSql]] (the composed incremental export reuses
+    * the drop rule; a fork here would let the two delta paths disagree
+    * on what counts as a duplicate). */
+  private def vpairsCte: String = s"""vpairs AS (
+              SELECT p.id1, p.id2
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.id1
+              JOIN sig sb ON sb.doc_id = p.id2
+              WHERE (1000 * (${(0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")})) // 8 >= 625)"""
+
+  /** The delta_dedup DROP rule as a CTE chain ending in `dropped_s`
+    * (shard doc_ids with a verified smaller-id partner) — requires a
+    * preceding `split` CTE carrying the threshold column `t`. Exposed
+    * for the delta_corpus_to_shards oracle. */
+  private[llm] def deltaDropCtesSql: String =
+    s"""$minhashSigCtes,
+            ${minhashPairCte("pairs")},
+            $vpairsCte,
+            dropped_s AS (
+              SELECT DISTINCT id2 AS doc_id FROM vpairs
+              WHERE id2 >= (SELECT t FROM split))"""
+
   val deltaDedup = QuerySpec(
     "delta_dedup",
     (s, d) => {
@@ -1091,12 +1149,7 @@ object Dedup {
     },
     Some(s"""WITH $minhashSigCtes,
             ${minhashPairCte("pairs")},
-            vpairs AS (
-              SELECT p.id1, p.id2
-              FROM pairs p
-              JOIN sig sa ON sa.doc_id = p.id1
-              JOIN sig sb ON sb.doc_id = p.id2
-              WHERE (1000 * (${(0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")})) // 8 >= 625),
+            $vpairsCte,
             split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS t FROM documents),
             partners AS (
               SELECT id2 AS doc_id, min(id1) AS dup_of FROM vpairs

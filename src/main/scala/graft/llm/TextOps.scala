@@ -63,5 +63,5 @@ object TextOps extends TextScoring with TextPacking with TextFingerprint {
         pipelineQualityPack, globalShuffle,
         mixtureAllocate, repeatUpsample, curriculumSchedule, dsirWeights,
         lengthBucketPack, packingEfficiency, tokenizerFertility,
-        shardManifest, corpusToShards)
+        shardManifest, corpusToShards, deltaCorpusToShards)
 }

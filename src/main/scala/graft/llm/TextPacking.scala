@@ -373,11 +373,11 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * a preceding CTE named `rsrc` that carries (idCol, k1, bkt and the
     * reset/order columns). */
   private[llm] def bucketRankSql(resetCols: Seq[String],
-      orderCols: Seq[String], idCol: String): String = {
+      orderCols: Seq[String], idCol: String, sfx: String = ""): String = {
     val cell = resetCols ++ orderCols :+ "bkt"
     val cellList = cell.mkString(", ")
     val aCell = cell.map(c => s"a.$c").mkString(", ")
-    val joinCells = cell.map(c => s"s.$c = boff.$c").mkString(" AND ")
+    val joinCells = cell.map(c => s"s.$c = boff$sfx.$c").mkString(" AND ")
     val ord = orderCols :+ "bkt"
     val strictLess = (1 to ord.length).map { i =>
       (ord.take(i - 1).map(c => s"b.$c = a.$c") :+
@@ -386,18 +386,21 @@ private[llm] trait TextPacking { self: TextOps.type =>
     val lessPairs =
       (resetCols.map(c => s"a.$c = b.$c") :+ s"($strictLess)")
         .mkString(" AND ")
-    s"""bcnt AS (
+    // sfx renames the chain (and the rsrc CTE it reads) so one oracle
+    // can rank two frames — the delta export ranks the frozen corpus
+    // survivors and the arriving shard's survivors independently.
+    s"""bcnt$sfx AS (
           SELECT $cellList, CAST(COUNT(*) AS BIGINT) AS n
-          FROM rsrc GROUP BY $cellList),
-        boff AS (
+          FROM rsrc$sfx GROUP BY $cellList),
+        boff$sfx AS (
           SELECT $aCell, CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS off
-          FROM bcnt a LEFT JOIN bcnt b ON $lessPairs
+          FROM bcnt$sfx a LEFT JOIN bcnt$sfx b ON $lessPairs
           GROUP BY $aCell),
-        brnk AS (
-          SELECT s.*, boff.off + CAST(ROW_NUMBER() OVER
+        brnk$sfx AS (
+          SELECT s.*, boff$sfx.off + CAST(ROW_NUMBER() OVER
             (PARTITION BY ${cell.map(c => s"s.$c").mkString(", ")}
              ORDER BY s.k1, s.$idCol) AS BIGINT) - 1 AS rnk
-          FROM rsrc s JOIN boff ON $joinCells)"""
+          FROM rsrc$sfx s JOIN boff$sfx ON $joinCells)"""
   }
 
   /** The largest-remainder apportionment frame (source, corpus_docs,
@@ -426,6 +429,17 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * composition form, so corpus_to_shards can apportion over its
     * post-clean/post-dedup survivor set with the identical algebra. */
   private[llm] def mixtureAllocOf(docs: DataFrame,
+      budgetDiv: Int): DataFrame =
+    mixtureAllocFromCounts(
+      docs.groupBy("source").agg(count(lit(1)).as("corpus_docs")),
+      budgetDiv)
+
+  /** The apportionment algebra over a precomputed (source, corpus_docs)
+    * frame — the incremental form: a delta job's corpus side is a
+    * STORED per-source count table (config-bounded), so the union
+    * allocation never rescans the corpus. [[mixtureAllocOf]] is this
+    * over a fresh per-source count. */
+  private[llm] def mixtureAllocFromCounts(srcCounts: DataFrame,
       budgetDiv: Int): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // eager localCheckpoint: the totals, the quota sum, and the final
@@ -433,8 +447,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
     // Catalyst cannot CSE across the cross-joins — without the pin the
     // plan re-scans the whole corpus once per branch (3 scans at
     // 100 TB for one map-side count)
-    val src = docs.groupBy("source")
-      .agg(count(lit(1)).as("corpus_docs"))
+    val src = srcCounts
       .withColumn("weight_milli",
         lit(500L) +
           expr("cast(conv(substring(md5(concat('w-v1:', source)), 1, 8), 16, 10) as bigint) % 3")
@@ -468,43 +481,46 @@ private[llm] trait TextPacking { self: TextOps.type =>
   /** DuckDB twin of [[mixtureAllocFrameOf]]: the CTE chain ending in
     * `u` (source, corpus_docs, weight_milli, budget, uncapped). */
   private[llm] def allocCtesSql(budgetDiv: Int,
-      from: String = "documents"): String = {
+      from: String = "documents", sfx: String = ""): String = {
     val w = s"500 + (${md5Hex32Sql("'w-v1:' || source")}) % 3 * 250"
-    s"""src AS (
+    // sfx renames the CTE names only (the cw COLUMN keeps its name) so
+    // one oracle can run the apportionment twice — the delta export
+    // allocates over the frozen corpus survivors AND over the union.
+    s"""src$sfx AS (
           SELECT source, CAST(COUNT(*) AS BIGINT) AS corpus_docs,
                  CAST($w AS BIGINT) AS weight_milli
           FROM $from GROUP BY source),
-        cw AS (
+        cw$sfx AS (
           SELECT *, CAST(corpus_docs AS HUGEINT) * weight_milli AS cw
-          FROM src),
-        tot AS (
+          FROM src$sfx),
+        tot$sfx AS (
           SELECT SUM(cw) AS tot_cw,
                  CAST(CAST(SUM(corpus_docs) AS HUGEINT) // $budgetDiv
                       AS BIGINT) AS budget
-          FROM cw),
-        q AS (
-          SELECT cw.*, tot.budget, tot.tot_cw,
-                 CAST((CAST(tot.budget AS HUGEINT) * cw.cw)
-                      // tot.tot_cw AS BIGINT) AS quota,
-                 (CAST(tot.budget AS HUGEINT) * cw.cw) % tot.tot_cw
+          FROM cw$sfx),
+        q$sfx AS (
+          SELECT c.*, t.budget, t.tot_cw,
+                 CAST((CAST(t.budget AS HUGEINT) * c.cw)
+                      // t.tot_cw AS BIGINT) AS quota,
+                 (CAST(t.budget AS HUGEINT) * c.cw) % t.tot_cw
                    AS rem
-          FROM cw, tot),
-        x AS (SELECT CAST(SUM(quota) AS BIGINT) AS sum_quota FROM q),
-        rk AS (
+          FROM cw$sfx c, tot$sfx t),
+        x$sfx AS (SELECT CAST(SUM(quota) AS BIGINT) AS sum_quota FROM q$sfx),
+        rk$sfx AS (
           SELECT a.source, a.corpus_docs, a.weight_milli, a.budget,
                  a.quota,
                  CAST(1 + COUNT(CASE WHEN b.rem > a.rem
                                        OR (b.rem = a.rem
                                            AND b.source < a.source)
                                      THEN 1 END) AS BIGINT) AS rr
-          FROM q a JOIN q b ON true
+          FROM q$sfx a JOIN q$sfx b ON true
           GROUP BY a.source, a.corpus_docs, a.weight_milli, a.budget,
                    a.quota, a.rem),
-        u AS (
-          SELECT rk.*,
-                 rk.quota + CASE WHEN rk.rr <= rk.budget - x.sum_quota
+        u$sfx AS (
+          SELECT r.*,
+                 r.quota + CASE WHEN r.rr <= r.budget - x$sfx.sum_quota
                                  THEN 1 ELSE 0 END AS uncapped
-          FROM rk, x)"""
+          FROM rk$sfx r, x$sfx)"""
   }
 
   /** Exact-budget data-mixing allocation (the apportionment half of the
@@ -687,7 +703,10 @@ private[llm] trait TextPacking { self: TextOps.type =>
           .select(col("freq"),
             expr(s"replace(enc, ',$l,,$r,', ',$l$r,')").as("enc"))
           .localCheckpoint(true)
-        prev.unpersist()
+        // Dataset.unpersist() is a no-op here: localCheckpoint blocks are
+        // not CacheManager-registered (bridge.scala), so freeing the
+        // superseded round deterministically needs the block-level drop.
+        org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(prev)
       }
     }
     out.toSeq.toDF("round", "left_sym", "right_sym", "merged_sym", "pair_cnt")
@@ -1261,9 +1280,11 @@ private[llm] trait TextPacking { self: TextOps.type =>
            cast(doc_id as string), ':', coalesce(text, ''))), 1, 8),
            16, 10) as bigint) as decimal(38,0))""").as("h"))
 
-  /** DuckDB twin of [[manifestRowsOf]] as a `rows_h` CTE over `from`. */
-  private[llm] def manifestRowsCteSql(from: String): String =
-    s"""rows_h AS (
+  /** DuckDB twin of [[manifestRowsOf]] as a `rows_h` CTE over `from`
+    * (`sfx` renames it for oracles that need the projection twice). */
+  private[llm] def manifestRowsCteSql(from: String,
+      sfx: String = ""): String =
+    s"""rows_h$sfx AS (
               SELECT (${TextOps.md5Hex32Sql(
       "'sm-v1:' || CAST(doc_id AS VARCHAR)")}) % 32 AS shard,
                      doc_id,
@@ -1293,6 +1314,36 @@ private[llm] trait TextPacking { self: TextOps.type =>
                    CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS checksum
             FROM rows_h GROUP BY shard ORDER BY shard""")
   )
+
+  /** Two-level WINDOW-FREE prefix sum over a (doc_id, n_tokens) CTE —
+    * the oracle twin of [[packCountsOf]]'s scan shape: a fixed doc_id
+    * span of 256 splits the frame into chunks, chunk totals prefix-sum
+    * against the chunk table (chunk-count², bounded by id-range/256),
+    * and the within-chunk strict-predecessor join fans out ≤ 256 rows
+    * per doc. Ends in `pos$sfx` (doc_id, n_tokens, start_pos). The
+    * output is span-invariant, so any span reproduces the global
+    * prefix sum exactly; 256 keeps both legs near-linear. Replaces the
+    * all-pairs O(n²) shape that made the composed exports' oracles
+    * check-scale-only (a ~31k-row selection cost DuckDB tens of
+    * minutes at 25×) — this one re-gates at 50× without surprises. */
+  private[llm] def packPosCtesSql(toks: String, sfx: String = ""): String =
+    s"""chk$sfx AS (
+            SELECT doc_id, n_tokens, doc_id // 256 AS chunk FROM $toks),
+          cht$sfx AS (
+            SELECT chunk, CAST(SUM(n_tokens) AS BIGINT) AS ct
+            FROM chk$sfx GROUP BY chunk),
+          cho$sfx AS (
+            SELECT a.chunk, CAST(COALESCE(SUM(b.ct), 0) AS BIGINT) AS off
+            FROM cht$sfx a LEFT JOIN cht$sfx b ON b.chunk < a.chunk
+            GROUP BY a.chunk),
+          pos$sfx AS (
+            SELECT a.doc_id, a.n_tokens,
+                   o.off + CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT)
+                     AS start_pos
+            FROM chk$sfx a
+            JOIN cho$sfx o ON o.chunk = a.chunk
+            LEFT JOIN chk$sfx b ON b.chunk = a.chunk AND b.doc_id < a.doc_id
+            GROUP BY a.doc_id, a.n_tokens, o.off)"""
 
   /** Stages 1+2 of corpus_to_shards — the clean ∩ dedup-keep survivor
     * corpus: corpus_clean's gates (language/quality/PII/exact-dedup) as
@@ -1346,9 +1397,9 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * stage selects a different set: the checksum IS the pipeline's
     * end-to-end identity gate. The oracle composes the same shared CTE
     * generators the component keys use (keepLabelsCtesSql,
-    * corpusCleanCteSql, allocCtesSql, bucketRankSql, the sequence_pack
-    * prefix-sum shape, manifestRowsCteSql) so the composition can never
-    * drift from its stages. */
+    * corpusCleanCteSql, allocCtesSql, bucketRankSql, the two-level
+    * packPosCtesSql prefix sum, manifestRowsCteSql) so the composition
+    * can never drift from its stages. */
   val corpusToShards = QuerySpec(
     "corpus_to_shards",
     (s, d) => {
@@ -1406,16 +1457,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
                    CAST(len(list_filter(string_split(lower(text), ' '),
                                         w -> w <> '')) AS BIGINT) AS n_tokens
             FROM seld),
-          -- the committed sequence_pack/pipeline_quality_pack oracle
-          -- prefix-sum shape: quadratic in the SELECTED set, which the
-          -- half-budget mixture selection bounds — check-scale only
-          -- (the ~31k-row 25x selection takes DuckDB tens of minutes;
-          -- the engine side is the two-level linear prefix sum)
-          pos AS (
-            SELECT a.doc_id,
-                   CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT) AS start_pos
-            FROM toks a LEFT JOIN toks b ON b.doc_id < a.doc_id
-            GROUP BY a.doc_id),
+          ${packPosCtesSql("toks")},
           packed AS (
             SELECT doc_id, start_pos // 2048 AS bin_id FROM pos),
           ${manifestRowsCteSql("seld")}
@@ -1427,5 +1469,297 @@ private[llm] trait TextPacking { self: TextOps.type =>
                  CAST(SUM(r.h) % 2305843009213693951 AS BIGINT) AS checksum
           FROM rows_h r JOIN packed p USING (doc_id)
           GROUP BY r.shard ORDER BY r.shard""")
+  )
+
+  /** The manifest aggregation over per-doc manifest rows joined with
+    * their pack bin — ONE definition shared by the frozen corpus state
+    * and the delta side, so the two ⊕ operands can never drift in
+    * shape. */
+  private[llm] def manifestAggOf(rows: DataFrame, bins: DataFrame): DataFrame =
+    rows
+      .join(bins.hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("chars")).as("text_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        countDistinct(col("bin_id")).as("start_bins"),
+        expr("cast(sum(h) % 2305843009213693951 as bigint)").as("checksum"))
+
+  /** The FROZEN corpus-side export state for the incremental pipeline —
+    * corpus_to_shards run over the corpus slice (doc_id < split), built
+    * once per (application, dir) and stored like every other corpus
+    * index (the corpusSigStage discipline). Two frames from ONE build:
+    *  (a) the survivor index: (doc_id, source) for every clean∩keep
+    *      corpus survivor, with n_tokens + bin_id filled in for the
+    *      mixture-SELECTED docs (NULL for survivors the quota left
+    *      out) — everything a delta job needs for quota accounting
+    *      (per-source survivor and selected counts) and the pack-append
+    *      offset (Σ selected n_tokens), without re-running any corpus
+    *      stage;
+    *  (b) the corpus's shard manifest — the ⊕ left operand of the
+    *      incremental manifest update. */
+  def ctsCorpusState(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.Materialize.oncePair(s, s"cts_corpus|$d") {
+      val split = Dedup.deltaSplitOf(s, d)
+      val corp = documents(s, d).filter(col("doc_id") < split)
+      val clean = corpusCleanOf(corp).select("doc_id")
+      val drop = Dedup.corpusClusterLabels(s, d)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      // survivor pin: feeds the selection (alloc count + rank) and the
+      // survivor-index projection (the corpus_to_shards rule)
+      val surv = corp
+        .join(clean.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .join(drop.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val selected = surv
+        .join(mixtureSelectOf(surv).hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        .select("doc_id", "source", "text")
+        .localCheckpoint()
+      val packed = packOf(selected)
+      val survIdx = surv.select("doc_id", "source")
+        .join(packed.select("doc_id", "n_tokens", "bin_id")
+          .hint("shuffle_hash"), Seq("doc_id"), "left")
+      (survIdx,
+        manifestAggOf(manifestRowsOf(selected),
+          packed.select(col("doc_id"), col("bin_id"))))
+    }
+
+  /** delta_corpus_to_shards — the INCREMENTAL composition of the export
+    * chain: an arriving shard (doc_id ≥ split, the delta_dedup 80/20
+    * shape) flows clean gates → near-dup drop against the STORED corpus
+    * signature index (delta_dedup's partner rule verbatim — the corpus
+    * is canonical, smaller-id shard docs win intra-shard) → quota check
+    * against the stored mixture state → pack APPEND → manifest UPDATE.
+    * The corpus selection is FROZEN (already-shipped shards are never
+    * rewritten): the union allocation is recomputed from per-source
+    * COUNTS (stored corpus counts + shard counts — a config-bounded
+    * frame, never a corpus rescan), and the shard fills only each
+    * source's remaining headroom, ranked by the same mix-v1 md5 rule.
+    * The append starts at the next EMPTY bin boundary (a delta must
+    * not mutate an already-shipped pack file), which makes corpus and
+    * delta bin sets DISJOINT — so the manifest update is the pure
+    * associative ⊕ of the stored 32-row manifest with the delta's:
+    * sums/min/max/bin-counts combine per shard route and the multiset
+    * checksums add mod 2⁶¹−1 (the shard-parallel-writer property
+    * shard_manifest states, here exercised across a delta). All
+    * per-delta work is shard-sized except reads of the stored corpus
+    * indexes — the delta_dedup scale contract, extended to the whole
+    * export.
+    *
+    * The oracle recomputes the SAME frozen-corpus semantics from
+    * scratch over corpus ∪ shard in one WITH (every stage the shared
+    * suffix-parameterized CTE generators), so the gate proves the
+    * incremental plan ≡ a from-scratch run — the delta_dedup
+    * equivalence, for the composed export. */
+  /** The arriving shard's survivor set — clean gates + the delta_dedup
+    * drop rule against the stored corpus signature index. Exposed for
+    * DeltaCtsSpec's quota accounting. */
+  def deltaShardSurvivorsOf(s: SparkSession, d: String): DataFrame = {
+    val split = Dedup.deltaSplitOf(s, d)
+    val shard = documents(s, d).filter(col("doc_id") >= split)
+    // shard-side gates — all signature/clean work is SHARD-sized
+    val clean = corpusCleanOf(shard).select("doc_id")
+    val drop = Dedup.deltaDedupOf(Dedup.corpusSigStage(s, d),
+        shard.select("doc_id", "text"))
+      .filter(col("is_dup") === 1).select("doc_id")
+    // survivor pin: feeds the per-source count, the rank and the
+    // admit re-join
+    shard
+      .join(clean.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .join(drop.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "text")
+      .localCheckpoint()
+  }
+
+  /** The delta chain below the manifest: shard survivors → frozen-quota
+    * admission → APPENDED bin ids. Returns (doc_id, text, bin_id) for
+    * the admitted docs. Exposed for DeltaCtsSpec's ⊕-equivalence
+    * check. */
+  def deltaAdmittedOf(s: SparkSession, d: String): DataFrame = {
+    val (survIdx, _) = ctsCorpusState(s, d)
+    val survS = deltaShardSurvivorsOf(s, d)
+    // union allocation over per-source COUNTS; quota = headroom left
+    // after the frozen corpus selection
+    val cnts = survIdx.groupBy("source")
+      .agg(count(lit(1)).as("corpus_docs"))
+      .unionByName(survS.groupBy("source")
+        .agg(count(lit(1)).as("corpus_docs")))
+      .groupBy("source").agg(sum(col("corpus_docs")).as("corpus_docs"))
+    val allocU = mixtureAllocFromCounts(cnts, 2)
+      .select(col("source"), col("alloc_docs"))
+    val selCnt = survIdx.filter(col("bin_id").isNotNull)
+      .groupBy("source").agg(count(lit(1)).as("n_sel"))
+    val quota = allocU
+      .join(selCnt.hint("shuffle_hash"), Seq("source"), "left")
+      .select(col("source"),
+        greatest(col("alloc_docs") - coalesce(col("n_sel"), lit(0L)),
+          lit(0L)).as("quota"))
+    val db = survS.select(col("doc_id"), col("source"),
+      md5(concat(lit("mix-v1:"), col("doc_id").cast("string"))).as("k"))
+    val adm = bucketRankOf(db, Seq("source"), Seq(), "doc_id")
+      .join(quota.hint("shuffle_hash"), Seq("source"))
+      .filter(col("rnk") < col("quota"))
+      .select("doc_id")
+    val admitted = survS
+      .join(adm.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+      .localCheckpoint()
+    // append at the next EMPTY bin: base = ceil(Σ selected corpus
+    // tokens / 2048), one stored-index aggregate (the A10 pattern)
+    val baseBin = Option(survIdx.agg(sum(col("n_tokens"))).first().get(0))
+      .map(_.asInstanceOf[Long]).map(t => (t + 2047L) / 2048L)
+      .getOrElse(0L)
+    admitted.join(
+      packOf(admitted)
+        .select(col("doc_id"), (col("bin_id") + lit(baseBin)).as("bin_id"))
+        .hint("shuffle_hash"),
+      Seq("doc_id"))
+  }
+
+  val deltaCorpusToShards = QuerySpec(
+    "delta_corpus_to_shards",
+    (s, d) => {
+      val (_, manC) = ctsCorpusState(s, d)
+      val adm = deltaAdmittedOf(s, d).localCheckpoint(false)
+      val manS = manifestAggOf(manifestRowsOf(adm.select("doc_id", "text")),
+        adm.select("doc_id", "bin_id"))
+      // the associative manifest UPDATE: stored ⊕ delta
+      manC.unionByName(manS)
+        .groupBy("shard")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("text_chars")).as("text_chars"),
+          min(col("min_doc_id")).as("min_doc_id"),
+          max(col("max_doc_id")).as("max_doc_id"),
+          sum(col("start_bins")).as("start_bins"),
+          expr("cast(sum(checksum) % 2305843009213693951 as bigint)")
+            .as("checksum"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH RECURSIVE
+          split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS t FROM documents),
+          corp AS (
+            SELECT * FROM documents WHERE doc_id < (SELECT t FROM split)),
+          shardd AS (
+            SELECT * FROM documents WHERE doc_id >= (SELECT t FROM split)),
+          -- ===== frozen corpus export state (corpus_to_shards on corp)
+          ${Dedup.keepLabelsCtesSqlOver("corp", "_c")},
+          ${corpusCleanCteSqlOver("corp", "_c")},
+          surv_c AS (
+            SELECT d.* FROM corp d
+            SEMI JOIN cleaned_c USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT id FROM labels_c WHERE id <> cid)),
+          ${allocCtesSql(2, "surv_c", "_c")},
+          alloc_c AS (
+            SELECT source,
+                   CAST(LEAST(uncapped, corpus_docs) AS BIGINT) AS alloc_docs
+            FROM u_c),
+          rsrc_c AS (
+            SELECT doc_id, source,
+                   md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
+                   substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     AS bkt
+            FROM surv_c),
+          ${bucketRankSql(Seq("source"), Seq(), "doc_id", "_c")},
+          sel_c AS (
+            SELECT b.doc_id, b.source FROM brnk_c b
+            JOIN alloc_c a USING (source)
+            WHERE b.rnk < a.alloc_docs),
+          seld_c AS (
+            SELECT d.doc_id, d.text FROM corp d
+            SEMI JOIN sel_c USING (doc_id)),
+          toks_c AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        w -> w <> '')) AS BIGINT) AS n_tokens
+            FROM seld_c),
+          ${packPosCtesSql("toks_c", "_c")},
+          packed_c AS (
+            SELECT doc_id, start_pos // 2048 AS bin_id FROM pos_c),
+          ${manifestRowsCteSql("seld_c", "_c")},
+          man_c AS (
+            SELECT r.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(r.ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(r.chars) AS BIGINT) AS text_chars,
+                   MIN(r.doc_id) AS min_doc_id, MAX(r.doc_id) AS max_doc_id,
+                   CAST(COUNT(DISTINCT p.bin_id) AS BIGINT) AS start_bins,
+                   CAST(SUM(r.h) % 2305843009213693951 AS BIGINT) AS checksum
+            FROM rows_h_c r JOIN packed_c p USING (doc_id)
+            GROUP BY r.shard),
+          -- ===== arriving shard: clean gates + the delta_dedup drop rule
+          ${corpusCleanCteSqlOver("shardd", "_s")},
+          ${Dedup.deltaDropCtesSql},
+          surv_s AS (
+            SELECT d.* FROM shardd d
+            SEMI JOIN cleaned_s USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped_s)),
+          -- ===== union allocation, corpus selection FROZEN
+          survu AS (
+            SELECT doc_id, source FROM surv_c
+            UNION ALL
+            SELECT doc_id, source FROM surv_s),
+          ${allocCtesSql(2, "survu", "_u")},
+          alloc_u AS (
+            SELECT source,
+                   CAST(LEAST(uncapped, corpus_docs) AS BIGINT) AS alloc_docs
+            FROM u_u),
+          selcnt_c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel
+            FROM sel_c GROUP BY source),
+          quota AS (
+            SELECT a.source,
+                   CAST(GREATEST(a.alloc_docs - COALESCE(s.n_sel, 0), 0)
+                     AS BIGINT) AS quota
+            FROM alloc_u a LEFT JOIN selcnt_c s USING (source)),
+          rsrc_s AS (
+            SELECT doc_id, source,
+                   md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
+                   substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     AS bkt
+            FROM surv_s),
+          ${bucketRankSql(Seq("source"), Seq(), "doc_id", "_s")},
+          adm_s AS (
+            SELECT b.doc_id FROM brnk_s b JOIN quota qt USING (source)
+            WHERE b.rnk < qt.quota),
+          seld_s AS (
+            SELECT d.doc_id, d.text FROM shardd d
+            SEMI JOIN adm_s USING (doc_id)),
+          toks_s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        w -> w <> '')) AS BIGINT) AS n_tokens
+            FROM seld_s),
+          ${packPosCtesSql("toks_s", "_s")},
+          basebin AS (
+            SELECT CAST((COALESCE(SUM(n_tokens), 0) + 2047) // 2048
+              AS BIGINT) AS bb FROM toks_c),
+          packed_s AS (
+            SELECT doc_id,
+                   (SELECT bb FROM basebin) + start_pos // 2048 AS bin_id
+            FROM pos_s),
+          ${manifestRowsCteSql("seld_s", "_s")},
+          man_s AS (
+            SELECT r.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(r.ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(r.chars) AS BIGINT) AS text_chars,
+                   MIN(r.doc_id) AS min_doc_id, MAX(r.doc_id) AS max_doc_id,
+                   CAST(COUNT(DISTINCT p.bin_id) AS BIGINT) AS start_bins,
+                   CAST(SUM(r.h) % 2305843009213693951 AS BIGINT) AS checksum
+            FROM rows_h_s r JOIN packed_s p USING (doc_id)
+            GROUP BY r.shard),
+          -- ===== the associative manifest UPDATE: stored ⊕ delta
+          allm AS (
+            SELECT * FROM man_c UNION ALL SELECT * FROM man_s)
+          SELECT shard, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                 CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+                 CAST(SUM(text_chars) AS BIGINT) AS text_chars,
+                 MIN(min_doc_id) AS min_doc_id, MAX(max_doc_id) AS max_doc_id,
+                 CAST(SUM(start_bins) AS BIGINT) AS start_bins,
+                 CAST(SUM(checksum) % 2305843009213693951 AS BIGINT)
+                   AS checksum
+          FROM allm GROUP BY shard ORDER BY shard""")
   )
 }

@@ -932,8 +932,19 @@ private[llm] trait TextScoring { self: TextOps.type =>
   /** The base/canon/cleaned CTE block matching [[corpusCleanOf]],
     * shared verbatim by the corpus_clean and pipeline_quality_pack
     * oracles. */
-  private[llm] def corpusCleanCteSql: String =
-    """base AS (
+  private[llm] def corpusCleanCteSql: String = corpusCleanCteSqlOver()
+
+  /** [[corpusCleanCteSql]] over an arbitrary (doc_id, text) source with
+    * suffixed CTE names — for oracles that instantiate the clean gates
+    * over two corpus slices in one WITH (delta_corpus_to_shards). The
+    * defaults reproduce the shared text byte-identically. */
+  private[llm] def corpusCleanCteSqlOver(from: String = "documents",
+      sfx: String = ""): String =
+    // a raw template + replace, NOT an s-interpolation: the PII regexes
+    // carry backslash escapes the s interpolator would reject. @S and
+    // @FROM are the only placeholders; the defaults reproduce the
+    // historical text byte-identically.
+    """base@S AS (
               SELECT doc_id, text,
                      len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tokens,
                      len(list_filter(string_split(lower(text), ' '),
@@ -950,20 +961,21 @@ private[llm] trait TextScoring { self: TextOps.type =>
                      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                      + len(regexp_extract_all(text, 'https?://[^ ]+'))
                      + len(regexp_extract_all(text, '[0-9]{7,}')) AS pii_cnt
-              FROM documents),
-            canon AS (
-              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-            cleaned AS (
+              FROM @FROM),
+            canon@S AS (
+              SELECT min(doc_id) AS doc_id FROM @FROM GROUP BY md5(text)),
+            cleaned@S AS (
               SELECT doc_id, n_tokens,
                      (1000 * stop_cnt) // greatest(n_tokens, 1) AS stop_milli,
                      (1000 * alpha_cnt) // greatest(length(text), 1) AS alpha_milli
-              FROM base SEMI JOIN canon USING (doc_id)
+              FROM base@S SEMI JOIN canon@S USING (doc_id)
               WHERE cnt_en = greatest(cnt_en, cnt_de, cnt_fr, cnt_es)
                 AND greatest(cnt_en, cnt_de, cnt_fr, cnt_es) > 0
                 AND n_tokens >= 20
                 AND (1000 * stop_cnt) // greatest(n_tokens, 1) >= 10
                 AND (1000 * alpha_cnt) // greatest(length(text), 1) >= 600
                 AND pii_cnt = 0)"""
+      .replace("@FROM", from).replace("@S", sfx)
 
   /** The corpus-clean plan over any (doc_id, text) frame — shared by
     * the query key and the composed pipeline_quality_pack. */

@@ -585,6 +585,32 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("delta_corpus_to_shards: frozen corpus enters only via stored artifacts; delta chain pinned; ⊕ is one aggregate") {
+    val df = SparkEntry.queries("delta_corpus_to_shards")(spark, sf)
+    df.collect() // finalize AQE (and force the stored-state build)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the stored corpus manifest is a parquet scan of the Materialize
+    // artifact — the incremental path's static ⊕ left operand
+    assert(p.contains("graft_mv"),
+      s"stored manifest not read from the materialized artifact:\n$p")
+    // no documents scan survives above the delta checkpoints: a corpus
+    // re-scan here would break the shard-sized-work contract
+    val docScans = p.linesIterator
+      .filter(l => l.contains("parquet") && l.contains("documents"))
+      .toSeq
+    assert(docScans.isEmpty,
+      s"documents re-scanned above the delta checkpoints:\n$docScans\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"admitted set not checkpointed:\n$p")
+    // the manifest bin join-back keeps the shuffle-hash discipline and
+    // the ⊕ is one partial-then-final aggregate over two 32-row sides
+    assert(p.contains("ShuffledHashJoin"),
+      s"manifest join-back lost the shuffle-hash discipline:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"degraded to SMJ:\n$p")
+  }
+
   test("minhash_band_calib: corpus work confined to the sample checkpoint; result is a bounded aggregate") {
     val p = plan("minhash_band_calib")
     // the only corpus-sized pass (scan + null filter + md5 sample

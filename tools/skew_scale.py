@@ -1,30 +1,36 @@
 #!/usr/bin/env python3
 """Assemble SKEW_SCALE.json: per-key quiet ratios of a SKEW-shaped
-corpus run vs the UNIFORM replica corpus run at the SAME row counts.
+corpus run vs the UNIFORM replica corpus run at the SAME row counts,
+at one or more scale points.
 
 The replica corpora (BENCH_SCALE) test volume; this artifact tests
 DISTRIBUTION — a hot near-dup group (10% of docs one text), a hot
 source (25% of docs), a hot user (25% of events), a hot part (25% of
 lineitem). Row counts are identical by construction (graft.SkewData
 rewrites values, never adds rows), so sec_skew/sec_uniform isolates the
-skew response of each plan.
+skew response of each plan. Skew mechanisms are volume-dependent (one
+giant hash bucket only hurts once it outgrows a task), so the artifact
+carries MULTIPLE (uniform, skew) pairs — e.g. the 5x full-surface pair
+and a 25x headline-key pair.
 
-Usage: python3 tools/skew_scale.py <uniform_full.json> <skew_full.json> \
-           <notes.json> <out.json>
+Usage: python3 tools/skew_scale.py <notes.json> <out.json> \
+           <uniform_full.json> <skew_full.json> \
+           [<uniform_full2.json> <skew_full2.json> ...]
 
 <uniform_full.json>  BENCH_FULL.json from the uniform kx corpus.
 <skew_full.json>     BENCH_FULL.json from the SkewData twin (may be a
                      key-filtered run; only keys present in BOTH are
                      compared — the filter set is recorded).
 <notes.json>         {key: analysis} map. Every key with time ratio > 2
-                     (above floor) MUST have a note or the script exits
-                     1 — a skew degradation is only acceptable in the
-                     artifact alongside its measured explanation.
+                     (above floor) at ANY point MUST have a note or the
+                     script exits 1 — a skew degradation is only
+                     acceptable in the artifact alongside its measured
+                     explanation.
 
-Gates per key: TIME ratio > 2 (uniform times under FLOOR_SEC skip —
-scheduling noise), BYTE ratio (shuffle write) > 2 above FLOOR_BYTES,
-and SPILL emergence (spilling >4MB under skew while spill-free
-uniform).
+Gates per key per point: TIME ratio > 2 (uniform times under FLOOR_SEC
+skip — scheduling noise), BYTE ratio (shuffle write) > 2 above
+FLOOR_BYTES, SPILL emergence (spilling >4MB under skew while spill-free
+uniform), and the quiet-box LOAD gate on BOTH legs (below).
 """
 import json
 import sys
@@ -32,17 +38,32 @@ import sys
 FLOOR_SEC = 0.2
 FLOOR_BYTES = 4 * 1024 * 1024
 RATIO_GATE = 2.0
+# Both legs must be measured quiet: a contended baseline leg inflates the
+# denominator of every skew/uniform time ratio, which can mask a true >2
+# ratio (the round-16 artifact's uniform leg ran at load 14.5 and was
+# judged weak for exactly this). The README quiet-box protocol documents
+# a 48-459 s swing class at high load; 2.0 is comfortably inside "quiet"
+# on this 32-core box.
+LOAD_GATE = 2.0
 
 
-def main(uni_p, skew_p, notes_p, out_p):
+def point_of(uni_p, skew_p, notes):
+    """One (uniform, skew) pair -> a point record, enforcing the load,
+    ratio, byte and spill gates. Exits 1 on any gate violation."""
     uni = json.load(open(uni_p))
     skew = json.load(open(skew_p))
-    notes = json.load(open(notes_p))
+    for name, run, path in (("uniform", uni, uni_p), ("skew", skew, skew_p)):
+        la = run.get("load_avg_before")
+        if la is None or la > LOAD_GATE:
+            sys.exit(f"{name} leg ({path}) load_avg_before={la} exceeds "
+                     f"quiet gate {LOAD_GATE} (or missing) — re-measure "
+                     "both legs back-to-back on a quiet box; a contended "
+                     "leg biases every time ratio")
     uq, ub = uni["queries"], uni.get("shuffle_bytes", {})
     sq, sb = skew["queries"], skew.get("shuffle_bytes", {})
     keys = sorted(set(uq) & set(sq))
     if not keys:
-        sys.exit("no common keys between uniform and skew runs")
+        sys.exit(f"no common keys between {uni_p} and {skew_p}")
     queries, flagged, byte_flagged, spill_emergent = {}, [], [], []
     for key in keys:
         u, s = uq[key], sq[key]
@@ -53,9 +74,9 @@ def main(uni_p, skew_p, notes_p, out_p):
             if r > RATIO_GATE:
                 flagged.append(key)
                 if key not in notes:
-                    sys.exit(f"{key}: skew ratio {r} > {RATIO_GATE} but no "
-                             f"analysis in {notes_p} — measure before "
-                             "committing")
+                    sys.exit(f"{key}: skew ratio {r} > {RATIO_GATE} "
+                             f"({uni_p} vs {skew_p}) but no analysis in "
+                             "the notes file — measure before committing")
                 entry["analysis"] = notes[key]
         uw = ub.get(key, {}).get("write", -1)
         sw = sb.get(key, {}).get("write", -1)
@@ -68,7 +89,7 @@ def main(uni_p, skew_p, notes_p, out_p):
                 byte_flagged.append(key)
                 if key not in notes:
                     sys.exit(f"{key}: skew BYTE ratio {br} > {RATIO_GATE} "
-                             f"but no analysis in {notes_p}")
+                             "but no analysis in the notes file")
                 entry["analysis"] = notes[key]
         up = ub.get(key, {}).get("spill", -1)
         sp = sb.get(key, {}).get("spill", -1)
@@ -78,18 +99,10 @@ def main(uni_p, skew_p, notes_p, out_p):
                 spill_emergent.append(key)
                 if key not in notes:
                     sys.exit(f"{key}: spill-emergent under skew but no "
-                             f"analysis in {notes_p}")
+                             "analysis in the notes file")
                 entry["analysis"] = notes[key]
         queries[key] = entry
-    out = {
-        "artifact": "SKEW_SCALE",
-        "protocol": ("graft.SkewData twin of the uniform replica corpus "
-                     "(identical row counts; 10% hot near-dup doc group, "
-                     "25% hot source, 25% hot user in events, 25% hot "
-                     "part in lineitem), key-filtered graft.Bench on "
-                     "both, ratios skew/uniform; ratio > 2, byte ratio "
-                     "> 2 and emergent spill all require a committed "
-                     "analysis"),
+    return {
         "uniform_sf": uni.get("sf"),
         "skew_sf": skew.get("sf"),
         "keys": len(keys),
@@ -100,49 +113,96 @@ def main(uni_p, skew_p, notes_p, out_p):
         "spill_emergent": sorted(spill_emergent),
         "queries": queries,
     }
+
+
+def main(notes_p, out_p, run_paths):
+    if len(run_paths) < 2 or len(run_paths) % 2 != 0:
+        sys.exit("need (uniform, skew) run-file PAIRS after <out.json>")
+    notes = json.load(open(notes_p))
+    points = [point_of(run_paths[i], run_paths[i + 1], notes)
+              for i in range(0, len(run_paths), 2)]
+    out = {
+        "artifact": "SKEW_SCALE",
+        "protocol": ("graft.SkewData twin of the uniform replica corpus "
+                     "(identical row counts; 10% hot near-dup doc group, "
+                     "25% hot source, 25% hot user in events, 25% hot "
+                     "part in lineitem — independently salted selectors), "
+                     "key-filtered graft.Bench on both legs back-to-back "
+                     "in one quiet epoch (load gate <= "
+                     f"{LOAD_GATE} on BOTH legs, enforced), ratios "
+                     "skew/uniform per scale point; ratio > 2, byte "
+                     "ratio > 2 and emergent spill all require a "
+                     "committed analysis"),
+        "time_flagged": sorted({k for p in points for k in p["time_flagged"]}),
+        "byte_flagged": sorted({k for p in points for k in p["byte_flagged"]}),
+        "spill_emergent": sorted({k for p in points
+                                  for k in p["spill_emergent"]}),
+        "points": points,
+    }
     with open(out_p, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"{out_p}: {len(keys)} keys, time_flagged={sorted(flagged)}, "
-          f"byte_flagged={sorted(byte_flagged)}, "
-          f"spill_emergent={sorted(spill_emergent)}")
+    print(f"{out_p}: {len(points)} point(s), "
+          f"time_flagged={out['time_flagged']}, "
+          f"byte_flagged={out['byte_flagged']}, "
+          f"spill_emergent={out['spill_emergent']}")
 
 
 def _selftest():
     """Synthetic check: a 3x skew ratio without a note must fail; with a
-    note it must pass and carry the analysis."""
+    note it must pass and carry the analysis; a contended (or load-less)
+    leg must fail the quiet gate; two pairs produce two points."""
     import tempfile, os
     d = tempfile.mkdtemp()
     uni = {"queries": {"a": 1.0, "b": 0.5}, "sf": "u",
+           "load_avg_before": 0.3,
            "shuffle_bytes": {"a": {"write": 10 * 2**20, "spill": 0},
                              "b": {"write": 10 * 2**20, "spill": 0}}}
     skw = {"queries": {"a": 3.0, "b": 0.6}, "sf": "s",
+           "load_avg_before": 0.4,
            "shuffle_bytes": {"a": {"write": 11 * 2**20, "spill": 0},
                              "b": {"write": 10 * 2**20, "spill": 0}}}
     for n, obj in (("u.json", uni), ("s.json", skw), ("n0.json", {}),
                    ("n1.json", {"a": "hot group contracted output"})):
         json.dump(obj, open(os.path.join(d, n), "w"))
     import subprocess
-    r = subprocess.run([sys.executable, __file__,
-                        os.path.join(d, "u.json"), os.path.join(d, "s.json"),
-                        os.path.join(d, "n0.json"), os.path.join(d, "o.json")],
-                       capture_output=True, text=True)
+    def run(notes, *pairs):
+        return subprocess.run(
+            [sys.executable, __file__, os.path.join(d, notes),
+             os.path.join(d, "o.json")] + [os.path.join(d, p) for p in pairs],
+            capture_output=True, text=True)
+    r = run("n0.json", "u.json", "s.json")
     assert r.returncode == 1 and "no" in r.stderr + r.stdout, (
         "missing-note run must fail: " + r.stdout + r.stderr)
-    r = subprocess.run([sys.executable, __file__,
-                        os.path.join(d, "u.json"), os.path.join(d, "s.json"),
-                        os.path.join(d, "n1.json"), os.path.join(d, "o.json")],
-                       capture_output=True, text=True)
+    r = run("n1.json", "u.json", "s.json")
     assert r.returncode == 0, r.stdout + r.stderr
     out = json.load(open(os.path.join(d, "o.json")))
     assert out["time_flagged"] == ["a"]
-    assert out["queries"]["a"]["analysis"].startswith("hot group")
-    assert "ratio" not in out["queries"]["b"] or \
-        out["queries"]["b"]["ratio"] <= RATIO_GATE
-    print("selftest: missing-note fails, noted flag passes")
+    p0 = out["points"][0]
+    assert p0["queries"]["a"]["analysis"].startswith("hot group")
+    assert "ratio" not in p0["queries"]["b"] or \
+        p0["queries"]["b"]["ratio"] <= RATIO_GATE
+    hot = dict(uni, load_avg_before=14.5)
+    json.dump(hot, open(os.path.join(d, "hot.json"), "w"))
+    r = run("n1.json", "hot.json", "s.json")
+    assert r.returncode == 1 and "quiet gate" in r.stderr + r.stdout, (
+        "contended-leg run must fail the load gate: " + r.stdout + r.stderr)
+    noload = {k: v for k, v in uni.items() if k != "load_avg_before"}
+    json.dump(noload, open(os.path.join(d, "nl.json"), "w"))
+    r = run("n1.json", "nl.json", "s.json")
+    assert r.returncode == 1 and "quiet gate" in r.stderr + r.stdout, (
+        "load-less leg must fail the gate: " + r.stdout + r.stderr)
+    r = run("n1.json", "u.json", "s.json", "u.json", "s.json")
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = json.load(open(os.path.join(d, "o.json")))
+    assert len(out["points"]) == 2 and out["time_flagged"] == ["a"]
+    r = run("n1.json", "u.json")
+    assert r.returncode == 1, "odd run-file count must fail"
+    print("selftest: missing-note fails, noted flag passes, load gate "
+          "rejects contended and load-less legs, multi-point assembles")
 
 
 if __name__ == "__main__":
     if "--selftest" in sys.argv:
         _selftest()
         sys.exit(0)
-    main(*sys.argv[1:5])
+    main(sys.argv[1], sys.argv[2], sys.argv[3:])
