@@ -46,7 +46,8 @@ object ConcurrentBench {
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // full-plan noop write, not count() — see Harness.exhaust
+      Harness.exhaust(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -38,4 +38,18 @@ object Harness {
   def sweepBlocks(s: SparkSession): Unit =
     s.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+
+  /** Execute a frame's FULL plan and discard the rows (the built-in
+    * `noop` v2 sink). The bench action must never be `count()`:
+    * Catalyst RE-OPTIMIZES a count — final projections and sorts are
+    * pruned, window expressions whose output is unreferenced drop out,
+    * and a left outer join whose right side is unique on the join key
+    * is eliminated outright. Measured round 17: `delta_dedup.count()`
+    * collapsed to `Aggregate(count(1), Filter(doc_id >= split), scan)`
+    * — the bench row had measured a filtered parquet scan, not the
+    * dedup, ever since the key existed. The noop write consumes every
+    * column of every row through the query's own physical plan, so
+    * what the timer sees is what a real consumer would pay. */
+  def exhaust(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
 }

@@ -97,7 +97,10 @@ object ScaleProbe {
           .agg(min_by(col("cluster"), struct(col("d2"), col("cluster")))
             .as("cluster"))
         comp.join(assigned, "vec_id").groupBy("cluster", "dim")
-          .agg(expr("sum(q) div count(1)").as("c")).count()
+          // checkpoint-then-count evaluates the mean aggregate itself —
+          // a bare count() keeps the grouping but prunes the agg exprs
+          .agg(expr("sum(q) div count(1)").as("c"))
+          .localCheckpoint(false).count()
       }
       // NO sweep between the two passes — it would free comp's local
       // checkpoint blocks out from under the second timing
@@ -117,7 +120,8 @@ object ScaleProbe {
           when(col(s"s$k") === best, lit(k.toLong)).otherwise(el) }
         comp.join(scored.select(col("vec_id"), pick.as("cluster")), "vec_id")
           .groupBy("cluster", "dim")
-          .agg(expr("sum(q) div count(1)").as("c")).count()
+          .agg(expr("sum(q) div count(1)").as("c"))
+          .localCheckpoint(false).count()
       }
       Harness.sweepBlocks(spark)
       println(f"[probe] vectors=$n%-9d row_form=${rowSec}%6.1f s   wide_form=${wideSec}%6.1f s")
@@ -220,7 +224,13 @@ object ScaleProbe {
       assert(chunkBound <= 65600L,
         s"offset table not bounded: $chunkBound chunks at k=$k")
       val t0 = System.nanoTime()
-      val rows = llm.TextOps.interleaveWith(docs, band).count()
+      // checkpoint-then-count: the count of a lazy localCheckpoint
+      // materializes the FULL frame (every column, the final window
+      // included) — a bare count() would prune the intra-chunk rank
+      // window whose output the count never reads (Harness.exhaust)
+      val sched = llm.TextOps.interleaveWith(docs, band)
+        .localCheckpoint(false)
+      val rows = sched.count()
       val secs = (System.nanoTime() - t0) / 1e9
       Harness.sweepBlocks(spark)
       println(f"[probe] k=$k%-2d docs=${k * base}%-7d band=$band%-5d " +
@@ -756,8 +766,12 @@ object ScaleProbe {
       val corpusCodes = codes.count()
       // the shard job: encode against the FROZEN stored codebook
       val (shardCodes, encodeSec) = time {
+        // checkpoint-then-count so the argmin aggregate is evaluated —
+        // a bare count() prunes the min_by expressions and would time
+        // only the grouping (the Harness.exhaust count-pruning class)
         llm.Similarity.pqCodesOf(
-          llm.Similarity.quantComponentsOf(shard), cb).count()
+          llm.Similarity.quantComponentsOf(shard), cb)
+          .localCheckpoint(false).count()
       }
       Harness.sweepBlocks(spark)
       println(f"[probe] k=$k%-2d corpus=${k * split}%-8d shard=$shardN%-6d " +

@@ -669,33 +669,73 @@ object Dedup {
     "minhash_sim_est",
     (s, d) => {
       val cand = candidatePairs(s, d)
+      val docs = documents(s, d)
+      // DISTINCT-TEXT collapse, now on the ENGINE side too (round 17 —
+      // the oracle has had this shape since the r12 25× fix, and the
+      // honest noop-action skew bench exposed the gap: the per-doc
+      // shingle-intersection join fanned ~pairs × shingles rows and
+      // degraded 14.9× under the 5× hot near-dup twin). est and true
+      // are pure functions of the two TEXTS — signatures and shingle
+      // sets are text-determined — so both are computed once per
+      // representative pair and doc-level candidate pairs fan back on
+      // at the very end: the expensive joins run at distinct-text
+      // volume (group-size-invariant), the k² fan-out is the output
+      // contract itself. Same-text pairs collapse to (t, t), where
+      // est = true = 1000 falls out of the same expressions.
+      val treps = docs.groupBy("text").agg(min(col("doc_id")).as("tid"))
+      // null-safe text equality: NULL-text docs share one rep group
+      val tmap = docs.select(col("doc_id"), col("text")).as("d")
+        .join(treps.as("t"), col("d.text") <=> col("t.text"))
+        .select(col("doc_id"), col("tid"))
+        .localCheckpoint(false) // feeds candt + both ends of the fan-out
+      val candt = cand
+        .join(tmap.select(col("doc_id").as("id1"), col("tid").as("t1"))
+          .hint("shuffle_hash"), "id1")
+        .join(tmap.select(col("doc_id").as("id2"), col("tid").as("t2"))
+          .hint("shuffle_hash"), "id2")
+        .select("t1", "t2").distinct()
+        .localCheckpoint(false) // feeds est, sizes semi-filter and inter
       // the materialized full-corpus signature stage, NOT a from-scratch
       // signaturesOf: the shingle explode + 8 min-aggs is the family's
       // dominant map cost and already ran once per (application, dir)
       val sig = minhashSigStage(s, d)
-      val sigA = sig.toDF("id1" +: (0 until 8).map(i => s"a$i"): _*)
-      val sigB = sig.toDF("id2" +: (0 until 8).map(i => s"b$i"): _*)
-      val est = cand.join(sigA, "id1").join(sigB, "id2")
+      val sigA = sig.toDF("t1" +: (0 until 8).map(i => s"a$i"): _*)
+      val sigB = sig.toDF("t2" +: (0 until 8).map(i => s"b$i"): _*)
+      val est = candt
+        .hint("shuffle_hash").join(sigA, "t1")
+        .hint("shuffle_hash").join(sigB, "t2")
         // estMilliCol: ONE definition of the slot-agreement estimator,
         // shared with the delta verify tier it calibrates
-        .select(col("id1"), col("id2"), estMilliCol.as("est_milli"))
-      val candDocs = cand.select(col("id1").as("doc_id"))
-        .union(cand.select(col("id2").as("doc_id"))).distinct()
-      val sh = TextOps.shingleRows(documents(s, d), 8).distinct()
-        .join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("t1"), col("t2"), estMilliCol.as("est_milli"))
+      val candTids = candt.select(col("t1").as("doc_id"))
+        .union(candt.select(col("t2").as("doc_id"))).distinct()
+      val sh = TextOps.shingleRows(docs, 8).distinct()
+        .join(candTids, Seq("doc_id"), "left_semi")
         .localCheckpoint(false)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("id1"), col("s")), "id1")
-        .join(sh.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-      est
-        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
-        .join(inter, Seq("id1", "id2"), "left")
-        .select(col("id1"), col("id2"), col("est_milli"),
+      val inter = candt
+        .join(sh.select(col("doc_id").as("t1"), col("s"))
+          .hint("shuffle_hash"), "t1")
+        .join(sh.select(col("doc_id").as("t2"), col("s"))
+          .hint("shuffle_hash"), Seq("t2", "s"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("inter"))
+      val pert = est
+        .join(sizes.select(col("doc_id").as("t1"), col("n").as("n1"))
+          .hint("shuffle_hash"), "t1")
+        .join(sizes.select(col("doc_id").as("t2"), col("n").as("n2"))
+          .hint("shuffle_hash"), "t2")
+        .join(inter.hint("shuffle_hash"), Seq("t1", "t2"), "left")
+        .select(col("t1"), col("t2"), col("est_milli"),
           expr("(1000 * coalesce(inter, 0L)) div (n1 + n2 - coalesce(inter, 0L))")
             .as("true_milli"))
+      // the output-contract fan-out: one row per doc-level candidate pair
+      cand
+        .join(tmap.select(col("doc_id").as("id1"), col("tid").as("t1"))
+          .hint("shuffle_hash"), "id1")
+        .join(tmap.select(col("doc_id").as("id2"), col("tid").as("t2"))
+          .hint("shuffle_hash"), "id2")
+        .join(pert.hint("shuffle_hash"), Seq("t1", "t2"))
+        .select(col("id1"), col("id2"), col("est_milli"), col("true_milli"))
         .withColumn("err_milli", abs(col("est_milli") - col("true_milli")))
         .orderBy("id1", "id2")
     },
@@ -1084,27 +1124,71 @@ object Dedup {
   /** [[deltaDedupOf]] below the signature build — exposed so the spec
     * can exercise the verify tier on hand-crafted signatures (a band
     * collision with < 5 agreeing slots is not constructible from
-    * natural text on demand). */
+    * natural text on demand).
+    *
+    * EXACT-COLLAPSE (round 17 — the r15 simhash discipline, applied to
+    * the minhash delta path after the honest noop-action skew bench
+    * measured 7× byte growth under the 5× hot near-dup twin): all band
+    * and verify work runs over DISTINCT SIGNATURE VALUES, each carrying
+    * its group's min member id. The algebra that makes this exact:
+    * dup_of is the MIN verified partner, partners of a member are
+    * whole sig-GROUPS (band collision and the slot-agreement estimate
+    * are functions of the two signatures alone), and the only group
+    * member that can ever BE a min partner is the group's min — so per
+    * shard doc y, dup_of(y) = min over verified partner groups' mins
+    * that are < y (corpus mins are < y unconditionally: corpus ids
+    * precede shard ids; y's OWN group contributes min(own) when
+    * y > min(own) — identical signatures agree 8/8, trivially above
+    * the verify cut). Candidate volume is group-size-invariant; the
+    * per-member fan-out is |members| × |verified partner groups|. */
   private[llm] def deltaDedupFromSigs(corpusSig: DataFrame,
       shardSig: DataFrame, shardIds: DataFrame): DataFrame = {
-    val sb = bandsOf(shardSig)
-    val vsCorpus = bandsOf(corpusSig).as("c")
+    val hcols = (0 until 8).map(i => s"h$i")
+    // distinct signature values, min member id riding along; both feed
+    // two subtrees (bands + the verify-tier sig lookup / member map)
+    // project back to the signaturesOf column ORDER (doc_id first):
+    // verifiedPairs renames positionally via toDF
+    def collapse(sig: DataFrame): DataFrame =
+      sig.groupBy(hcols.map(col): _*)
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select((col("doc_id") +: hcols.map(col)): _*)
+        .localCheckpoint(false)
+    val cg = collapse(corpusSig)
+    val sg = collapse(shardSig)
+    val sb = bandsOf(sg)
+    // group-level candidates: (partner group min, shard group rep)
+    val vsCorpus = bandsOf(cg).as("c")
       .join(sb.as("s").hint("shuffle_hash"),
         col("c.band") === col("s.band") && col("c.bh") === col("s.bh"))
       .select(col("c.doc_id").as("id1"), col("s.doc_id").as("id2"))
+    // intra-shard group pairs, BOTH orientations: each side's members
+    // may resolve against the other group's min (subject to the < y
+    // member filter below)
     val vsShard = sb.as("a")
       .join(sb.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("b.doc_id") < col("a.doc_id"))
+          col("b.doc_id") =!= col("a.doc_id"))
       .select(col("b.doc_id").as("id1"), col("a.doc_id").as("id2"))
-    // id1 < id2 throughout: corpus ids precede shard ids by the split
-    // construction, and the intra-shard join orders explicitly — so the
-    // (id1, id2) orientation verifiedPairs expects is already canonical.
-    // The partner-side signature union is disjoint on doc_id for the
-    // same reason.
     val cand = vsCorpus.unionByName(vsShard).distinct()
-    val partners = verifiedPairs(cand, corpusSig.unionByName(shardSig))
-      .groupBy(col("id2").as("doc_id")).agg(min(col("id1")).as("dup_of"))
+    // verify at GROUP level over the rep-keyed signatures (disjoint on
+    // doc_id: corpus ids precede shard ids)
+    val verified = verifiedPairs(cand, cg.unionByName(sg))
+    // own-group contribution: identical signatures, verified by
+    // construction — min(own) partners every LARGER member
+    val partnerMins = verified
+      .select(col("id2").as("grep"), col("id1").as("pmin"))
+      .unionByName(sg.select(col("doc_id").as("grep"),
+        col("doc_id").as("pmin")))
+    // member map + per-member resolution (the only member-fan-out)
+    val members = shardSig.select(
+      (hcols.map(col) :+ col("doc_id")): _*)
+      .join(sg.select((hcols.map(col) :+ col("doc_id").as("grep")): _*)
+        .hint("shuffle_hash"), hcols)
+      .select(col("doc_id"), col("grep"))
+    val partners = members
+      .join(partnerMins.hint("shuffle_hash"), Seq("grep"))
+      .filter(col("pmin") < col("doc_id"))
+      .groupBy("doc_id").agg(min(col("pmin")).as("dup_of"))
     shardIds
       .join(partners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),

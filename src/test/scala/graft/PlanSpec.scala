@@ -323,10 +323,14 @@ class PlanSpec extends SparkSpec {
     // assertions must not double-count the same node across the two
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // the corpus side is a parquet scan of the Materialize artifact
-    // (graft_mv temp dir) — the incremental path's static input
-    assert(p.contains("graft_mv"),
-      s"corpus index not read from the materialized artifact:\n$p")
+    // the corpus side enters through the exact-collapse checkpoint
+    // (round 17), so the graft_mv scan is no longer visible in the
+    // key's own plan — audit the stage directly: the corpus signature
+    // input IS the Materialize parquet artifact, not a rebuild
+    val stage = llm.Dedup.corpusSigStage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(stage.contains("graft_mv"),
+      s"corpus index not served from the materialized artifact:\n$stage")
     // the only documents.parquet scan in the job is the shard keep-list
     // side: one scan, doc_id-only, shard filter pushed down. A corpus
     // index REBUILD would show as a second documents scan reading text
@@ -609,6 +613,24 @@ class PlanSpec extends SparkSpec {
       s"manifest join-back lost the shuffle-hash discipline:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin"), s"degraded to SMJ:\n$p")
+  }
+
+  test("bench-action rationale: count() prunes delta_dedup's dedup subtree — Bench must use Harness.exhaust") {
+    // Catalyst eliminates a left outer join whose right side is unique
+    // on the join key when only left columns are referenced; count(1)
+    // references nothing, so delta_dedup.count() collapses to a
+    // filtered scan count (measured round 17 — the bench rows for the
+    // delta keys had timed a parquet scan). This pins BOTH halves: the
+    // pruning exists (so a count-based bench is structurally wrong
+    // here), and the frame's own plan — what Harness.exhaust executes —
+    // still carries the dedup joins. If a Spark upgrade stops the
+    // pruning, the first assert fails: re-evaluate, don't just flip it.
+    val df = SparkEntry.queries("delta_dedup")(spark, sf)
+    val cnt = df.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(!cnt.contains("Join"),
+      s"count() no longer prunes the dedup subtree:\n$cnt")
+    val own = df.queryExecution.optimizedPlan.toString
+    assert(own.contains("Join"), s"frame plan lost its joins:\n$own")
   }
 
   test("minhash_band_calib: corpus work confined to the sample checkpoint; result is a bounded aggregate") {
