@@ -682,10 +682,14 @@ object Dedup {
       // volume (group-size-invariant), the k² fan-out is the output
       // contract itself. Same-text pairs collapse to (t, t), where
       // est = true = 1000 falls out of the same expressions.
-      val treps = docs.groupBy("text").agg(min(col("doc_id")).as("tid"))
-      // null-safe text equality: NULL-text docs share one rep group
-      val tmap = docs.select(col("doc_id"), col("text")).as("d")
-        .join(treps.as("t"), col("d.text") <=> col("t.text"))
+      // group by md5(text), not the raw text: the rep map then shuffles
+      // 32-char hashes instead of whole documents (the repo-wide
+      // md5-identity convention); the NULL-text sentinel keeps the one
+      // NULL group joinable
+      val th = docs.select(col("doc_id"),
+        coalesce(md5(col("text")), lit("null-text")).as("th"))
+      val treps = th.groupBy("th").agg(min(col("doc_id")).as("tid"))
+      val tmap = th.join(treps.hint("shuffle_hash"), Seq("th"))
         .select(col("doc_id"), col("tid"))
         .localCheckpoint(false) // feeds candt + both ends of the fan-out
       val candt = cand
@@ -1142,19 +1146,46 @@ object Dedup {
     * the verify cut). Candidate volume is group-size-invariant; the
     * per-member fan-out is |members| × |verified partner groups|. */
   private[llm] def deltaDedupFromSigs(corpusSig: DataFrame,
+      shardSig: DataFrame, shardIds: DataFrame): DataFrame =
+    deltaDedupFromGroupedSigs(
+      sigGroupsOf(corpusSig).localCheckpoint(false), shardSig, shardIds)
+
+  /** Distinct signature VALUES with each group's min member id riding
+    * along, in the signaturesOf column order (doc_id first —
+    * verifiedPairs renames positionally via toDF). The corpus side is
+    * built ONCE per corpus as [[corpusSigGroupStage]] and re-read by
+    * every shard job, so the collapse never costs a corpus-sized
+    * aggregate per delta (measured: the in-job collapse tripled the
+    * uniform 25× per-shard time before staging). */
+  def sigGroupsOf(sig: DataFrame): DataFrame = {
+    val hcols = (0 until 8).map(i => s"h$i")
+    sig.groupBy(hcols.map(col): _*)
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select((col("doc_id") +: hcols.map(col)): _*)
+  }
+
+  /** The EXISTING corpus's GROUPED signature index ([[sigGroupsOf]]
+    * over [[corpusSigStage]]), materialized once per (application,
+    * dir) — the static side of the collapsed incremental dedup. */
+  def corpusSigGroupStage(s: SparkSession, d: String): DataFrame =
+    graft.Materialize.once(s, s"minhash_sigs_corpus_grouped|$d") {
+      sigGroupsOf(corpusSigStage(s, d))
+    }
+
+  /** [[deltaDedupOf]] against a PRE-GROUPED corpus index — the keyed
+    * incremental path: per-job work is the shard signature build, the
+    * shard-side collapse and the rep-level joins; the corpus enters
+    * only through its stored grouped index. */
+  def deltaDedupGrouped(cg: DataFrame, shard: DataFrame): DataFrame =
+    deltaDedupFromGroupedSigs(cg,
+      signaturesOf(shard).localCheckpoint(false), shard.select("doc_id"))
+
+  private[llm] def deltaDedupFromGroupedSigs(cg: DataFrame,
       shardSig: DataFrame, shardIds: DataFrame): DataFrame = {
     val hcols = (0 until 8).map(i => s"h$i")
-    // distinct signature values, min member id riding along; both feed
-    // two subtrees (bands + the verify-tier sig lookup / member map)
-    // project back to the signaturesOf column ORDER (doc_id first):
-    // verifiedPairs renames positionally via toDF
-    def collapse(sig: DataFrame): DataFrame =
-      sig.groupBy(hcols.map(col): _*)
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select((col("doc_id") +: hcols.map(col)): _*)
-        .localCheckpoint(false)
-    val cg = collapse(corpusSig)
-    val sg = collapse(shardSig)
+    // shard-side collapse stays in-job (shard-sized); it feeds two
+    // subtrees (bands + the verify-tier sig lookup / member map)
+    val sg = sigGroupsOf(shardSig).localCheckpoint(false)
     val sb = bandsOf(sg)
     // group-level candidates: (partner group min, shard group rep)
     val vsCorpus = bandsOf(cg).as("c")
@@ -1229,7 +1260,7 @@ object Dedup {
       val split = deltaSplitOf(s, d)
       val shard = documents(s, d).filter(col("doc_id") >= split)
         .select("doc_id", "text")
-      deltaDedupOf(corpusSigStage(s, d), shard).orderBy("doc_id")
+      deltaDedupGrouped(corpusSigGroupStage(s, d), shard).orderBy("doc_id")
     },
     Some(s"""WITH $minhashSigCtes,
             ${minhashPairCte("pairs")},

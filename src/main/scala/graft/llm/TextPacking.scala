@@ -1562,7 +1562,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
     val shard = documents(s, d).filter(col("doc_id") >= split)
     // shard-side gates — all signature/clean work is SHARD-sized
     val clean = corpusCleanOf(shard).select("doc_id")
-    val drop = Dedup.deltaDedupOf(Dedup.corpusSigStage(s, d),
+    val drop = Dedup.deltaDedupGrouped(Dedup.corpusSigGroupStage(s, d),
         shard.select("doc_id", "text"))
       .filter(col("is_dup") === 1).select("doc_id")
     // survivor pin: feeds the per-source count, the rank and the
