@@ -107,6 +107,11 @@ object Bench {
       .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val warmupKeyClasses =
       scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // snapshot BEFORE the warmup loop: cgClassCount is the JVM-lifetime
+    // janino counter, so the warmup phase entry must be a DELTA — the
+    // absolute would claim session-init / pre-bench compiles (anything
+    // already compiled in this JVM) as warmup cost
+    val classesAtStart = cgClassCount
     val warmupRuns: Seq[(Double, Double)] = (1 to warmups).map { wi =>
       val wl = loadAvg
       val t0 = System.nanoTime()
@@ -213,7 +218,7 @@ object Bench {
       val qj = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qj$om,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","action":"exhaust","queries":$qj$om,""" +
         s""""sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,""" +
         s""""passes":$passes,"pass_totals":${arr(passTotals, 1)},""" +
         s""""failed":$failed,"load_avg_before":${fmt(loadBefore, 1)},""" +
@@ -266,16 +271,19 @@ object Bench {
     // the compile-vs-execute split: per-key class counts from warmup
     // pass 1 (where the leg lands by protocol — nonzero keys only, the
     // map would otherwise dwarf the artifact) and the per-phase totals
-    // (warmup absolute, then each measured pass's delta — ~0 deltas
-    // prove the measured medians are compile-free). Per-key SECONDS are
-    // deliberately not estimated: the histogram mean is
-    // reservoir-sampled, and count×mean per key would smear slow
-    // compiles uniformly — counts are exact, use them.
+    // (the warmup DELTA, then each measured pass's delta — measured-pass
+    // deltas are small but NOT zero: the r17 artifact shows a 20-114
+    // class residue per pass, first-action lazy codegen the warmup's
+    // plan set didn't cover). Per-key SECONDS are deliberately not
+    // estimated: the histogram mean is reservoir-sampled, and count×mean
+    // per key would smear slow compiles uniformly — counts are exact,
+    // use them.
     val cgWarmupKeyJs = warmupKeyClasses.toSeq.filter(_._2 > 0)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val cgPhaseJs =
-      (classesAfterWarmup +: passClassDeltas.toSeq).mkString("[", ",", "]")
+      ((classesAfterWarmup - classesAtStart) +: passClassDeltas.toSeq)
+        .mkString("[", ",", "]")
     // exact bytes (longs, no rounding): the scale gate divides two runs'
     // values, so precision loss here would manufacture false ratios
     val bytesJs = bytesByKey.map { case (name, (r, w, sp)) =>
@@ -283,11 +291,15 @@ object Bench {
         ",\"spill\":" + sp + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,""" +
+      // "action" names the measured work (Harness.exhaust = full-plan
+      // noop sink) so tooling can refuse cross-protocol comparisons —
+      // pre-r17 records measured count()-pruned plans and carry no field
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","action":"exhaust","queries":$fullQs,""" +
         s""""stages":$stages,"pass_spread":$spreadJs,""" +
         s""""shuffle_bytes":$bytesJs,""" +
         s""""codegen_compile_sec":${fmt(cgSec, 1)},"codegen_compiled_classes":$cgCount,""" +
         s""""codegen_classes_by_phase":$cgPhaseJs,""" +
+        s""""codegen_classes_pre_bench":$classesAtStart,""" +
         s""""codegen_classes_warmup_by_key":$cgWarmupKeyJs,""" +
         s""""sf":"$sfDir","master":"$master","shuffle_partitions":$shuffle,""" +
         s""""passes":$passes,"pass_totals":${arr(passTotals, 3)},""" +

@@ -121,19 +121,29 @@ object Dedup {
     * instantiate the chain twice — e.g. delta_corpus_to_shards builds it
     * over the corpus slice AND over all documents in a single WITH. The
     * default "" keeps every existing oracle's text byte-identical. */
+  /** sig/bands are AS MATERIALIZED: DuckDB 1.0 INLINES a CTE at every
+    * reference (bands is self-joined, sig feeds both band rows and the
+    * vpairs verify tier), so without the hint each reference re-runs
+    * the shingle explode + 8 min-aggs — in delta_corpus_to_shards'
+    * composed oracle the transitive re-inlining multiplied into ~15 min
+    * of DuckDB at sf0.01 (~50× any sibling; it blanked the round-17
+    * driver gate). Materializing the multiply-referenced chokepoints
+    * restores one-execution-per-CTE semantics — same rows, linear cost
+    * (measured 0.6 s). sh stays inline: referenced once, streams into
+    * the min-agg without an intermediate copy. */
   private def minhashSigCtesOver(tbl: String, sfx: String = ""): String =
     s"""sh$sfx AS (
               SELECT doc_id, substr(text, i, 8) AS s
               FROM $tbl,
                    UNNEST(generate_series(1, greatest(length(text)-7, 1))) AS t(i)),
-            sig$sfx AS (
+            sig$sfx AS MATERIALIZED (
               SELECT doc_id,
                 min(substr(md5(s), 1, 8)) AS h0, min(substr(md5(s), 9, 8)) AS h1,
                 min(substr(md5(s), 17, 8)) AS h2, min(substr(md5(s), 25, 8)) AS h3,
                 min(substr(md5('x'||s), 1, 8)) AS h4, min(substr(md5('x'||s), 9, 8)) AS h5,
                 min(substr(md5('x'||s), 17, 8)) AS h6, min(substr(md5('x'||s), 25, 8)) AS h7
               FROM sh$sfx GROUP BY doc_id),
-            bands$sfx AS (
+            bands$sfx AS MATERIALIZED (
               SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bh FROM sig$sfx
               UNION ALL
               SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig$sfx)"""
@@ -143,7 +153,7 @@ object Dedup {
   /** Band-collision candidate pairs CTE (named so simEst can call it
     * `cand` while the cc chain calls it `pairs`). */
   private def minhashPairCte(name: String, sfx: String = ""): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
               SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
               FROM bands$sfx a JOIN bands$sfx b
                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
@@ -153,7 +163,7 @@ object Dedup {
     * and keep oracles. */
   private def minhashCcCtesOver(sfx: String): String =
     s"""${minhashPairCte(s"pairs$sfx", sfx)},
-            edges$sfx AS (
+            edges$sfx AS MATERIALIZED (
               SELECT id1 AS a, id2 AS b FROM pairs$sfx
               UNION ALL
               SELECT id2, id1 FROM pairs$sfx),
@@ -589,7 +599,7 @@ object Dedup {
       sfx: String = ""): String =
     s"""${minhashSigCtesOver(tbl, sfx)},
             ${minhashCcCtesOver(sfx)},
-            labels$sfx AS (SELECT id, min(root) AS cid FROM reach$sfx GROUP BY id)"""
+            labels$sfx AS MATERIALIZED (SELECT id, min(root) AS cid FROM reach$sfx GROUP BY id)"""
 
   val keep = QuerySpec(
     "dedup_keep",
@@ -1235,7 +1245,7 @@ object Dedup {
     * and [[deltaDropCtesSql]] (the composed incremental export reuses
     * the drop rule; a fork here would let the two delta paths disagree
     * on what counts as a duplicate). */
-  private def vpairsCte: String = s"""vpairs AS (
+  private def vpairsCte: String = s"""vpairs AS MATERIALIZED (
               SELECT p.id1, p.id2
               FROM pairs p
               JOIN sig sa ON sa.doc_id = p.id1
@@ -1250,7 +1260,7 @@ object Dedup {
     s"""$minhashSigCtes,
             ${minhashPairCte("pairs")},
             $vpairsCte,
-            dropped_s AS (
+            dropped_s AS MATERIALIZED (
               SELECT DISTINCT id2 AS doc_id FROM vpairs
               WHERE id2 >= (SELECT t FROM split))"""
 

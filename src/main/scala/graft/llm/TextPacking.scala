@@ -389,7 +389,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
     // sfx renames the chain (and the rsrc CTE it reads) so one oracle
     // can rank two frames — the delta export ranks the frozen corpus
     // survivors and the arriving shard's survivors independently.
-    s"""bcnt$sfx AS (
+    s"""bcnt$sfx AS MATERIALIZED (
           SELECT $cellList, CAST(COUNT(*) AS BIGINT) AS n
           FROM rsrc$sfx GROUP BY $cellList),
         boff$sfx AS (
@@ -490,7 +490,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
           SELECT source, CAST(COUNT(*) AS BIGINT) AS corpus_docs,
                  CAST($w AS BIGINT) AS weight_milli
           FROM $from GROUP BY source),
-        cw$sfx AS (
+        cw$sfx AS MATERIALIZED (
           SELECT *, CAST(corpus_docs AS HUGEINT) * weight_milli AS cw
           FROM src$sfx),
         tot$sfx AS (
@@ -498,7 +498,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
                  CAST(CAST(SUM(corpus_docs) AS HUGEINT) // $budgetDiv
                       AS BIGINT) AS budget
           FROM cw$sfx),
-        q$sfx AS (
+        q$sfx AS MATERIALIZED (
           SELECT c.*, t.budget, t.tot_cw,
                  CAST((CAST(t.budget AS HUGEINT) * c.cw)
                       // t.tot_cw AS BIGINT) AS quota,
@@ -1327,9 +1327,9 @@ private[llm] trait TextPacking { self: TextOps.type =>
     * check-scale-only (a ~31k-row selection cost DuckDB tens of
     * minutes at 25×) — this one re-gates at 50× without surprises. */
   private[llm] def packPosCtesSql(toks: String, sfx: String = ""): String =
-    s"""chk$sfx AS (
+    s"""chk$sfx AS MATERIALIZED (
             SELECT doc_id, n_tokens, doc_id // 256 AS chunk FROM $toks),
-          cht$sfx AS (
+          cht$sfx AS MATERIALIZED (
             SELECT chunk, CAST(SUM(n_tokens) AS BIGINT) AS ct
             FROM chk$sfx GROUP BY chunk),
           cho$sfx AS (
@@ -1430,7 +1430,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
     },
     Some(s"""WITH RECURSIVE ${Dedup.keepLabelsCtesSql},
           $corpusCleanCteSql,
-          surv0 AS (
+          surv0 AS MATERIALIZED (
             SELECT d.* FROM documents d
             SEMI JOIN cleaned USING (doc_id)
             WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> cid)),
@@ -1439,7 +1439,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
             SELECT source,
                    CAST(LEAST(uncapped, corpus_docs) AS BIGINT) AS alloc_docs
             FROM u),
-          rsrc AS (
+          rsrc AS MATERIALIZED (
             SELECT doc_id, source,
                    md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
                    substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
@@ -1449,7 +1449,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
           sel AS (
             SELECT b.doc_id FROM brnk b JOIN alloc a USING (source)
             WHERE b.rnk < a.alloc_docs),
-          seld AS (
+          seld AS MATERIALIZED (
             SELECT d.doc_id, d.text FROM documents d
             SEMI JOIN sel USING (doc_id)),
           toks AS (
@@ -1641,14 +1641,14 @@ private[llm] trait TextPacking { self: TextOps.type =>
     },
     Some(s"""WITH RECURSIVE
           split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS t FROM documents),
-          corp AS (
+          corp AS MATERIALIZED (
             SELECT * FROM documents WHERE doc_id < (SELECT t FROM split)),
-          shardd AS (
+          shardd AS MATERIALIZED (
             SELECT * FROM documents WHERE doc_id >= (SELECT t FROM split)),
           -- ===== frozen corpus export state (corpus_to_shards on corp)
           ${Dedup.keepLabelsCtesSqlOver("corp", "_c")},
           ${corpusCleanCteSqlOver("corp", "_c")},
-          surv_c AS (
+          surv_c AS MATERIALIZED (
             SELECT d.* FROM corp d
             SEMI JOIN cleaned_c USING (doc_id)
             WHERE d.doc_id NOT IN (SELECT id FROM labels_c WHERE id <> cid)),
@@ -1657,21 +1657,21 @@ private[llm] trait TextPacking { self: TextOps.type =>
             SELECT source,
                    CAST(LEAST(uncapped, corpus_docs) AS BIGINT) AS alloc_docs
             FROM u_c),
-          rsrc_c AS (
+          rsrc_c AS MATERIALIZED (
             SELECT doc_id, source,
                    md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
                    substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
                      AS bkt
             FROM surv_c),
           ${bucketRankSql(Seq("source"), Seq(), "doc_id", "_c")},
-          sel_c AS (
+          sel_c AS MATERIALIZED (
             SELECT b.doc_id, b.source FROM brnk_c b
             JOIN alloc_c a USING (source)
             WHERE b.rnk < a.alloc_docs),
-          seld_c AS (
+          seld_c AS MATERIALIZED (
             SELECT d.doc_id, d.text FROM corp d
             SEMI JOIN sel_c USING (doc_id)),
-          toks_c AS (
+          toks_c AS MATERIALIZED (
             SELECT doc_id,
                    CAST(len(list_filter(string_split(lower(text), ' '),
                                         w -> w <> '')) AS BIGINT) AS n_tokens
@@ -1692,7 +1692,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
           -- ===== arriving shard: clean gates + the delta_dedup drop rule
           ${corpusCleanCteSqlOver("shardd", "_s")},
           ${Dedup.deltaDropCtesSql},
-          surv_s AS (
+          surv_s AS MATERIALIZED (
             SELECT d.* FROM shardd d
             SEMI JOIN cleaned_s USING (doc_id)
             WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped_s)),
@@ -1714,7 +1714,7 @@ private[llm] trait TextPacking { self: TextOps.type =>
                    CAST(GREATEST(a.alloc_docs - COALESCE(s.n_sel, 0), 0)
                      AS BIGINT) AS quota
             FROM alloc_u a LEFT JOIN selcnt_c s USING (source)),
-          rsrc_s AS (
+          rsrc_s AS MATERIALIZED (
             SELECT doc_id, source,
                    md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS k1,
                    substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 2)
@@ -1724,10 +1724,10 @@ private[llm] trait TextPacking { self: TextOps.type =>
           adm_s AS (
             SELECT b.doc_id FROM brnk_s b JOIN quota qt USING (source)
             WHERE b.rnk < qt.quota),
-          seld_s AS (
+          seld_s AS MATERIALIZED (
             SELECT d.doc_id, d.text FROM shardd d
             SEMI JOIN adm_s USING (doc_id)),
-          toks_s AS (
+          toks_s AS MATERIALIZED (
             SELECT doc_id,
                    CAST(len(list_filter(string_split(lower(text), ' '),
                                         w -> w <> '')) AS BIGINT) AS n_tokens

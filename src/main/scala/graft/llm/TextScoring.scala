@@ -964,7 +964,7 @@ private[llm] trait TextScoring { self: TextOps.type =>
               FROM @FROM),
             canon@S AS (
               SELECT min(doc_id) AS doc_id FROM @FROM GROUP BY md5(text)),
-            cleaned@S AS (
+            cleaned@S AS MATERIALIZED (
               SELECT doc_id, n_tokens,
                      (1000 * stop_cnt) // greatest(n_tokens, 1) AS stop_milli,
                      (1000 * alpha_cnt) // greatest(length(text), 1) AS alpha_milli

@@ -136,11 +136,34 @@ def perkey_claims(para, queries, spill_keys):
     return msgs
 
 
+def _bench_action(path, data):
+    """The record's measured action. Post-r17 records self-describe via
+    the "action" field; historical inference: an explicit _countaction
+    suffix, or any round <= 16, measured the count()-pruned plans (the
+    protocol round 17 replaced with Harness.exhaust)."""
+    a = data.get("action")
+    if a:
+        return a
+    if "countaction" in path:
+        return "count"
+    return "count" if int(re.search(r"r(\d+)", path).group(1)) <= 16 \
+        else "exhaust"
+
+
 def _latest_quiet_pair():
+    """Newest two SAME-ACTION quiet records (a count-action record next
+    to an exhaust-action one is not a drift signal — the r17 action
+    change moved the common-key total -30% by protocol alone, and that
+    standing warning would mask a real future drift)."""
     import glob
     files = sorted(glob.glob("BENCH_QUIET_r*.json"),
-                   key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
-    return files[-2:] if len(files) >= 2 else None
+                   key=lambda f: (int(re.search(r"r(\d+)", f).group(1)), f))
+    if not files:
+        return None
+    recs = [(f, _bench_action(f, json.load(open(f)))) for f in files]
+    newest_f, newest_a = recs[-1]
+    same = [f for f, a in recs if a == newest_a]
+    return same[-2:] if len(same) >= 2 else None
 
 
 readme = open("README.md").read()
@@ -177,6 +200,21 @@ if "--selftest-drift" in sys.argv:
     assert len(stale) == 4 and not fresh, (stale, fresh)
     print("selftest-perkey: gate fires on stale time/exponent/spill "
           "claims, passes artifact-true ones")
+    # action-awareness: the pairing must never put a count-action record
+    # against an exhaust-action one, and a -30% cross-action compare —
+    # if forced through directly — must still warn (the gate itself
+    # stays protocol-blind; the PAIRING carries the protocol knowledge)
+    assert _bench_action("BENCH_QUIET_r16.json", {}) == "count"
+    assert _bench_action("BENCH_QUIET_r17_countaction.json", {}) == "count"
+    assert _bench_action("BENCH_QUIET_r17.json", {}) == "exhaust"
+    assert _bench_action("BENCH_QUIET_r99.json",
+                         {"action": "exhaust"}) == "exhaust"
+    cross = quiet_drift("BENCH_QUIET_r17.json", {"queries": {"a": 167.0}},
+                        "BENCH_QUIET_r17_countaction.json",
+                        {"queries": {"a": 116.9}}, "")
+    assert cross, "a forced cross-action -30% compare must still warn"
+    print("selftest-action: historical action inference correct; a "
+          "forced cross-action compare still fires the gate")
     sys.exit(0)
 
 pair = _latest_quiet_pair()

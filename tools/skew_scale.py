@@ -54,7 +54,9 @@ def point_of(uni_p, skew_p, notes):
     skew = json.load(open(skew_p))
     for name, run, path in (("uniform", uni, uni_p), ("skew", skew, skew_p)):
         la = run.get("load_avg_before")
-        if la is None or la > LOAD_GATE:
+        # la < 0 catches Bench's -1.0 "load unavailable" sentinel — an
+        # unknown-load leg must fail the gate exactly like a missing one
+        if la is None or la < 0 or la > LOAD_GATE:
             sys.exit(f"{name} leg ({path}) load_avg_before={la} exceeds "
                      f"quiet gate {LOAD_GATE} (or missing) — re-measure "
                      "both legs back-to-back on a quiet box; a contended "
