@@ -255,8 +255,11 @@ def main():
     if Path(out).exists():
         shutil.rmtree(out)
     print(f"[fuzz] {con.sql('SELECT count(*) FROM d').fetchone()[0]} adversarial docs; running Verify...")
+    # run_main.sh (plain java over compiled classes), not sbt: no target
+    # lock to deadlock against a concurrent sbt, and no recompile — the
+    # caller is responsible for having compiled HEAD first
     r = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {WORK} {out}"],
+        ["tools/run_main.sh", "graft.Verify", str(WORK), out],
         cwd="/root/repo", capture_output=True, text=True, timeout=900)
     # only genuine key failures ("[verify] <key> failed: ...") gate the
     # exit code — Verify also prints informational "[verify] stage built
