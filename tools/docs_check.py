@@ -8,6 +8,7 @@ superlinear_keys. Exit 1 on drift. Run after regenerating any artifact.
 """
 import json
 import re
+import os
 import sys
 
 ok = True
@@ -216,6 +217,19 @@ if "--selftest-drift" in sys.argv:
     print("selftest-action: historical action inference correct; a "
           "forced cross-action compare still fires the gate")
     sys.exit(0)
+
+# phantom-evidence gate (VERDICT r17 task 7): every artifact README or
+# SURVEY names as committed must exist in the repo — a doc citing a file
+# that isn't there (or naming it "committed" before the commit) is the
+# round-17 SKEW_SCALE/SCALE_DELTA class: claims must match evidence.
+for doc in ("README.md", "SURVEY.md"):
+    txt = open(doc).read()
+    for m in re.finditer(r"committed as\s+`([A-Za-z0-9_./]+\.json)`", txt):
+        p = m.group(1)
+        if not os.path.exists(p):
+            print(f"DRIFT {doc}: claims artifact `{p}` is committed but "
+                  f"the file does not exist")
+            ok = False
 
 pair = _latest_quiet_pair()
 if pair:
