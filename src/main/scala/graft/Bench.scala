@@ -265,8 +265,15 @@ object Bench {
     // improvement removes — report it so total-vs-total round comparisons
     // can separate compile floor from genuine execution cost. Histogram
     // total is count×mean (reservoir-approximate, fine for attribution).
+    // BASELINE (ADVICE r18): codegen_compiled_classes/_compile_sec are
+    // the BENCH-SCOPED deltas (lifetime count minus classesAtStart, the
+    // same baseline codegen_classes_by_phase uses) so session-init
+    // compiles are never billed to the bench; the raw JVM-lifetime count
+    // still ships as codegen_classes_jvm_lifetime for reconciliation
+    // with codegen_classes_pre_bench.
     val cg = org.apache.spark.metrics.source.CodegenMetrics
-    val cgCount = cg.METRIC_COMPILATION_TIME.getCount
+    val cgLifetime = cg.METRIC_COMPILATION_TIME.getCount
+    val cgCount = cgLifetime - classesAtStart
     val cgSec = cgCount * cg.METRIC_COMPILATION_TIME.getSnapshot.getMean / 1000.0
     // the compile-vs-execute split: per-key class counts from warmup
     // pass 1 (where the leg lands by protocol — nonzero keys only, the
@@ -298,6 +305,7 @@ object Bench {
         s""""stages":$stages,"pass_spread":$spreadJs,""" +
         s""""shuffle_bytes":$bytesJs,""" +
         s""""codegen_compile_sec":${fmt(cgSec, 1)},"codegen_compiled_classes":$cgCount,""" +
+        s""""codegen_classes_jvm_lifetime":$cgLifetime,""" +
         s""""codegen_classes_by_phase":$cgPhaseJs,""" +
         s""""codegen_classes_pre_bench":$classesAtStart,""" +
         s""""codegen_classes_warmup_by_key":$cgWarmupKeyJs,""" +

@@ -39,7 +39,11 @@ object PlanDump {
           "codebook; the vector corpus is never broadcast."),
       "dedup_minhash" ->
         ("Banded LSH: signature build is per-document map work; the only " +
-          "shuffle is the band-bucket equi-join (no all-pairs shape)."),
+          "pair-sized shuffle is the band-bucket equi-join (no all-pairs " +
+          "shape). The loud group cap rides as one TakeOrdered row over " +
+          "the map-side-combined band counts, broadcast into the join " +
+          "input as a codegen `when` guard — a >cap bucket fails before " +
+          "the join emits a row."),
       "zorder_layout" ->
         ("Morton interleave is one codegen stage over the scan; the " +
           "16-file cut is arithmetic on z — no global sort anywhere."),

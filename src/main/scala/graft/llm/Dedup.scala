@@ -69,12 +69,60 @@ object Dedup {
       .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
         md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("bh")))
 
+  /** Loud group-size cap for the pair-listing emitters (the
+    * basket_affinity `raise_error` discipline, ops/Behavior.scala): a
+    * group of g members emits g(g−1)/2 pairs, so a 10M-doc
+    * identical-text group — routine in a web crawl — implies a
+    * ~5·10¹³-row emit that no downstream consumer wants. Past the
+    * configurable bound (`spark.graft.dedup.maxGroupMembers`, default
+    * 65536 ⇒ ≤ ~2.1e9 pairs from one group) the job FAILS with the
+    * offending group named instead of attempting the emit.
+    *
+    * Mechanics: the worst group is ONE TakeOrdered row over the
+    * map-side-combined group counts (broadcast, the repo's sanctioned
+    * 1-row crossJoin shape — fuzzy_link's gate runs the same count-agg
+    * driver-side); the per-row `when` guard wraps a JOIN-INPUT key
+    * column, so (a) column pruning can never drop it under any action —
+    * a bare count() prunes a final-projection guard but not a join key
+    * — and (b) tasks fail on their first INPUT row, before the join
+    * operator generates a single pair. Below the cap, output is
+    * byte-identical to the unguarded plan (the existing oracles pin
+    * this). */
+  private def capGuarded(input: DataFrame, groups: DataFrame,
+      guardCol: String, key: String, what: String): DataFrame = {
+    val cap = input.sparkSession.conf
+      .get("spark.graft.dedup.maxGroupMembers", "65536").toLong
+    val worst = groups.orderBy(col("gcnt").desc).limit(1)
+      .select(col("gcnt").as("_cap_gcnt"), col("_cap_grp"))
+    input.crossJoin(broadcast(worst))
+      .withColumn(guardCol,
+        when(col("_cap_gcnt") <= lit(cap), col(guardCol))
+          .otherwise(raise_error(concat(
+            lit(s"$key: $what group "), col("_cap_grp"),
+            lit(" has "), col("_cap_gcnt"),
+            lit(s" members (> cap $cap) — refusing the ~g²/2 pair emit; " +
+              "raise spark.graft.dedup.maxGroupMembers or pre-collapse " +
+              "the boilerplate group (dedup_clusters keeps one canonical " +
+              "doc per component without listing the pairs)")))))
+      .drop("_cap_gcnt", "_cap_grp")
+  }
+
   /** LSH band self-join: docs sharing any band hash become a candidate
     * pair. ONE definition consumed by both the keyed pipeline (over the
-    * materialized signature stage) and the arbitrary-frame path. */
+    * materialized signature stage) and the arbitrary-frame path. The
+    * emit is capGuarded on the worst band bucket's member count — every
+    * consumer of the pair list (the listing, cc clustering, sim_est)
+    * pays pair-sized input, so all of them must fail loudly past the
+    * bound rather than attempt it. */
   private def pairsFromBands(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val groups = bands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("gcnt"))
+      .select(col("gcnt"),
+        concat(lit("(band="), col("band"), lit(", bh="), col("bh"),
+          lit(")")).as("_cap_grp"))
+    val guarded = capGuarded(bands, groups, "doc_id", "dedup_minhash", "band")
+    val a = guarded.as("a")
+    val b = guarded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -366,11 +414,23 @@ object Dedup {
     * projection and both member fan-out joins re-scan a file with real
     * stats instead of a stats-less checkpoint subtree. */
   def simhashPairsOf(sig: DataFrame): DataFrame = {
+    // loud cap input: both output legs fan out through signature-group
+    // membership (the hamming-0 equi-join quadratically, the cross-group
+    // member joins as a product of two group sizes), so every member
+    // join below reads the capGuarded sig — the worst signature group's
+    // member count bounds the whole emit. simhashSigPairsOf stays over
+    // the raw sig: it is group-size-INVARIANT by construction (distinct
+    // signature values only), so the guard buys it nothing.
+    val groups = sig.groupBy("simhash").agg(count(lit(1)).as("gcnt"))
+      .select(col("gcnt"),
+        concat(lit("simhash="), col("simhash")).as("_cap_grp"))
+    val gsig = capGuarded(sig, groups, "doc_id",
+      "simhash_hamming_pairs", "signature")
     // hamming-0 pairs: one equi-join on the signature value. Emits
     // exactly the within-group output set — no candidate surplus, no
     // DISTINCT, no hamming verify (equality IS hamming 0).
-    val same = sig.as("a")
-      .join(sig.as("b"),
+    val same = gsig.as("a")
+      .join(gsig.as("b"),
         col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
@@ -384,9 +444,9 @@ object Dedup {
     // — on adversarial data (all-distinct signatures) it is candidate-
     // sized, and the static planner has no stats for either.
     val cross = sigPairs.hint("shuffle_hash")
-      .join(sig.as("m1"), col("s1") === col("m1.simhash"))
+      .join(gsig.as("m1"), col("s1") === col("m1.simhash"))
       .hint("shuffle_hash")
-      .join(sig.as("m2"), col("s2") === col("m2.simhash"))
+      .join(gsig.as("m2"), col("s2") === col("m2.simhash"))
       .select(
         least(col("m1.doc_id"), col("m2.doc_id")).as("id1"),
         greatest(col("m1.doc_id"), col("m2.doc_id")).as("id2"),
@@ -701,12 +761,22 @@ object Dedup {
       val treps = th.groupBy("th").agg(min(col("doc_id")).as("tid"))
       val tmap = th.join(treps.hint("shuffle_hash"), Seq("th"))
         .select(col("doc_id"), col("tid"))
-        .localCheckpoint(false) // feeds candt + both ends of the fan-out
-      val candt = cand
+        .localCheckpoint(false) // feeds the one candidate-tagging pass
+      // tag each doc-level candidate pair with its representative pair
+      // ONCE and checkpoint: candt (the distinct-text work list) and the
+      // output fan-out both read this frame, instead of re-running the
+      // two pair-list-sized cand⋈tmap shuffle_hash joins a second time
+      // at the end (the r18→r19 fix for the 22.5 MB shuffle read the
+      // r17 collapse introduced at uniform sf0.1 — the rejoin now rides
+      // the one tagging pass; measured numbers in README's drift ledger)
+      val candTagged = cand
         .join(tmap.select(col("doc_id").as("id1"), col("tid").as("t1"))
           .hint("shuffle_hash"), "id1")
         .join(tmap.select(col("doc_id").as("id2"), col("tid").as("t2"))
           .hint("shuffle_hash"), "id2")
+        .select("id1", "id2", "t1", "t2")
+        .localCheckpoint(false) // feeds candt + the output fan-out
+      val candt = candTagged
         .select("t1", "t2").distinct()
         .localCheckpoint(false) // feeds est, sizes semi-filter and inter
       // the materialized full-corpus signature stage, NOT a from-scratch
@@ -742,12 +812,10 @@ object Dedup {
         .select(col("t1"), col("t2"), col("est_milli"),
           expr("(1000 * coalesce(inter, 0L)) div (n1 + n2 - coalesce(inter, 0L))")
             .as("true_milli"))
-      // the output-contract fan-out: one row per doc-level candidate pair
-      cand
-        .join(tmap.select(col("doc_id").as("id1"), col("tid").as("t1"))
-          .hint("shuffle_hash"), "id1")
-        .join(tmap.select(col("doc_id").as("id2"), col("tid").as("t2"))
-          .hint("shuffle_hash"), "id2")
+      // the output-contract fan-out: one row per doc-level candidate
+      // pair, read straight off the checkpointed tagged frame (no
+      // second cand⋈tmap pass)
+      candTagged
         .join(pert.hint("shuffle_hash"), Seq("t1", "t2"))
         .select(col("id1"), col("id2"), col("est_milli"), col("true_milli"))
         .withColumn("err_milli", abs(col("est_milli") - col("true_milli")))

@@ -42,6 +42,43 @@ if set(fz["queries"]) != set(art["queries"]):
           "— re-run tools/fuzz_check.py after changing the key surface")
     ok = False
 
+# oracle-gate budget canary (VERDICT r18 task 6): the r17 blank-record
+# failure was ONE composed oracle quietly going quadratic in DuckDB
+# (delta_corpus_to_shards ~797 s at sf0.01 pre-fix, 0.6 s after the CTE
+# materialization) with no tripwire — the whole driver gate timed out and
+# the round's correctness record blanked. oracle_check.py now records
+# per-key DuckDB seconds into its verdicts (committed via
+# FUZZ_CORRECTNESS.json); a key costing more than BOTH 50x the median AND
+# an absolute floor (sub-second jitter must not flag) fails here first.
+ORACLE_OUTLIER_FACTOR = 50.0
+ORACLE_OUTLIER_FLOOR_SEC = 5.0
+
+
+def oracle_outliers(queries):
+    """Messages for per-key oracle_sec outliers (empty = pass). A
+    verdicts map with NO timings predates the canary and is itself a
+    drift (re-run tools/fuzz_check.py at HEAD)."""
+    secs = {k: v["oracle_sec"] for k, v in queries.items()
+            if isinstance(v, dict) and isinstance(v.get("oracle_sec"),
+                                                  (int, float))}
+    if not secs:
+        return ["FUZZ_CORRECTNESS.json carries no per-key oracle_sec "
+                "timings — predates the oracle-budget canary; re-run "
+                "tools/fuzz_check.py"]
+    med = sorted(secs.values())[len(secs) // 2]
+    gate = max(ORACLE_OUTLIER_FACTOR * med, ORACLE_OUTLIER_FLOOR_SEC)
+    return [f"oracle-budget outlier: `{k}` took {s:.1f} s in DuckDB "
+            f"(median {med:.3f} s, gate {gate:.1f} s) — a composed oracle "
+            f"is going quadratic; give its chokepoint CTEs AS MATERIALIZED "
+            f"(the delta_corpus_to_shards r18 fix) before the driver gate "
+            f"times out on it"
+            for k, s in sorted(secs.items()) if s > gate]
+
+
+for m in oracle_outliers(fz["queries"]):
+    print(f"DRIFT {m}")
+    ok = False
+
 # quiet-bench drift gate (VERDICT r11 task 5: the round-11 +23% drift was
 # only visible because the judge diffed artifacts by hand — PLANS.md and
 # the scale headline have freshness gates, the quiet record had none).
@@ -216,6 +253,20 @@ if "--selftest-drift" in sys.argv:
     assert cross, "a forced cross-action -30% compare must still warn"
     print("selftest-action: historical action inference correct; a "
           "forced cross-action compare still fires the gate")
+    # oracle-budget canary: a synthetic slow key (seconds past both the
+    # relative and absolute gates) must flag; a sub-second 60x-median
+    # blip must NOT (absolute floor); a timing-less map must flag as
+    # pre-canary
+    base = {f"k{i}": {"oracle_sec": 0.1} for i in range(20)}
+    slow = dict(base, bad={"oracle_sec": 12.0})    # 120x median, 12 s
+    blip = dict(base, meh={"oracle_sec": 4.0})     # 40x median, < 5 s floor
+    fired = oracle_outliers(slow)
+    assert len(fired) == 1 and "`bad`" in fired[0], fired
+    assert not oracle_outliers(blip), oracle_outliers(blip)
+    old = oracle_outliers({"k": {"hash_match": True}})
+    assert old and "predates" in old[0], old
+    print("selftest-oracle-canary: slow key flagged, sub-floor blip "
+          "suppressed, timing-less artifact flagged as pre-canary")
     sys.exit(0)
 
 # phantom-evidence gate (VERDICT r17 task 7): every artifact README or

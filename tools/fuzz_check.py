@@ -256,8 +256,26 @@ def main():
         shutil.rmtree(out)
     print(f"[fuzz] {con.sql('SELECT count(*) FROM d').fetchone()[0]} adversarial docs; running Verify...")
     # run_main.sh (plain java over compiled classes), not sbt: no target
-    # lock to deadlock against a concurrent sbt, and no recompile — the
-    # caller is responsible for having compiled HEAD first
+    # lock to deadlock against a concurrent sbt, and no recompile — so a
+    # stale target/ would silently verify OLD code and commit a green
+    # artifact that doesn't describe HEAD (ADVICE r18). Enforce, don't
+    # acknowledge: abort when any source is newer than the newest class.
+    # FUZZ_ALLOW_STALE=1 overrides for deliberate frozen-snapshot runs
+    # (the GRAFT_CLASSES bench-chain pattern).
+    src_mt = max((p.stat().st_mtime
+                  for p in Path("/root/repo/src/main").rglob("*.scala")),
+                 default=0.0)
+    cls_dir = Path(os.environ.get("GRAFT_CLASSES",
+                                  "/root/repo/target/scala-2.13/classes"))
+    cls_mt = max((p.stat().st_mtime for p in cls_dir.rglob("*.class")),
+                 default=0.0)
+    if src_mt > cls_mt and os.environ.get("FUZZ_ALLOW_STALE") != "1":
+        print(f"[fuzz] STALE CLASSES: newest src/main .scala "
+              f"({src_mt:.0f}) is newer than newest .class under "
+              f"{cls_dir} ({cls_mt:.0f}) — run `sbt compile` first, or "
+              "set FUZZ_ALLOW_STALE=1 for a deliberate frozen-snapshot "
+              "run")
+        sys.exit(2)
     r = subprocess.run(
         ["tools/run_main.sh", "graft.Verify", str(WORK), out],
         cwd="/root/repo", capture_output=True, text=True, timeout=900)

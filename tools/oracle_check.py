@@ -197,6 +197,9 @@ def main(sf_dir, out_dir):
     failures = []
     verdicts = {}  # name -> CORRECTNESS-style record (optional 3rd arg)
 
+    import time
+    key_t0 = [0.0]  # wall-clock start of the current key's oracle work
+
     def record(name, rows_match, schema_match, hash_match, srows, drows,
                err=None, compare=None):
         verdicts[name] = {
@@ -207,7 +210,14 @@ def main(sf_dir, out_dir):
             # (driver-shaped row loop) vs 'multiset-duckdb' (EXCEPT ALL +
             # verified-unique sort key + full-result hazard predicate) —
             # the artifact must distinguish the two strengths
-            "compare": compare}
+            "compare": compare,
+            # per-key oracle-gate cost (VERDICT r18 task 6): the r17
+            # blank-artifact failure was ONE composed oracle quietly going
+            # quadratic in DuckDB (~797 s pre-fix, 0.6 s after the CTE
+            # materialization) — recording each key's seconds lets
+            # tools/docs_check.py fail on a new outlier instead of a
+            # judge discovering it a round later
+            "oracle_sec": round(time.monotonic() - key_t0[0], 3)}
 
     # ORACLE_ONLY / ORACLE_SKIP: comma-separated key filters for targeted
     # re-runs (e.g. resuming a disk-exhausted pass at scale). The driver
@@ -219,6 +229,7 @@ def main(sf_dir, out_dir):
     for name in sorted(oracle):
         if (only and name not in only) or name in skip:
             continue
+        key_t0[0] = time.monotonic()
         qdir = out / name
         if not qdir.exists():
             failures.append((name, "NO SPARK OUTPUT"))
