@@ -111,8 +111,23 @@ object Sketches {
     "window_distinct_hll",
     (s, d) => {
       val ev = events(s, d)
-      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count_distinct(col("user_id")).as("exact_users"),
+      // Pre-deduplicate to one (window, type, user) row, then run BOTH
+      // counts over the deduped frame: count(*) of distinct rows IS
+      // count_distinct, and an HLL sketch is insertion-duplicate-
+      // insensitive so the estimate is identical. Mixing count_distinct
+      // with a non-distinct agg in ONE groupBy plans Spark's
+      // distinct-Expand (rows ×2, partial groups keyed (w, type, user,
+      // gid)), and the rsd-1.6% HLL++ buffer (~4 KB) is allocated per
+      // PARTIAL group — millions of user-keyed groups at 25× data =
+      // ~33 GB of measured spill (r18 scale legs). Deduped, the wide
+      // buffers exist only per (window, type) group and the spill is
+      // gone; the dedup itself map-side combines to the distinct count
+      // before its one shuffle.
+      ev.select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.016).as("approx_users"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
