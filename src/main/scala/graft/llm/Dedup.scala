@@ -42,6 +42,16 @@ object Dedup {
     * Takes any (doc_id, text) frame — shared by the keyed pipeline and
     * the ScaleProbe replication experiment. */
   def signaturesOf(docs: DataFrame): DataFrame = {
+    // Kept as codegen explode + groupBy(doc_id), deliberately NOT the
+    // per-row array-transform form (r19 A/B): all 8 slots are plain
+    // minima, so the partial SortAggregate min-reduces each doc to ONE
+    // row map-side before the exchange — the shuffle is already
+    // #docs-sized — while the array form pays interpreted
+    // higher-order-function lambdas for the md5s and measured ~25%
+    // SLOWER on the signature stage build (1.46 s → 1.84 s at sf0.1).
+    // Contrast doc_fingerprint/ngramPhase1, where the per-doc rewrite
+    // removed a distinct exchange partial aggregation could NOT
+    // compress.
     val sh = TextOps.shingleRows(docs, 8)
       .withColumn("m1", md5(col("s")))
       .withColumn("m2", md5(concat(lit("x"), col("s"))))
@@ -472,8 +482,14 @@ object Dedup {
     * (553 → 2 960 → 7 844 pairs). The df∈[2,20] + ≥10-shared bounds
     * hold the pairing to candidate groups, not all-pairs. */
   def ngramPhase1(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = TextOps.shingleRows(docs, 8)
-      .distinct()
+    // map-side distinct: (doc_id, s) distinctness is PER-DOCUMENT (doc_id
+    // is unique in every caller's frame), so array_distinct over the
+    // per-row shingle array replaces the corpus-wide distinct exchange —
+    // the checkpointed index materializes with zero shuffles. The
+    // isNotNull filter mirrors the explode form (null text ⇒ no rows).
+    val sh = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.charShingles(8))).as("s"))
       .localCheckpoint(false)
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 20)
@@ -690,8 +706,11 @@ object Dedup {
       val docs = documents(s, d)
       val bench = docs.filter(col("doc_id") < 20)
       val bsh = TextOps.shingleRows(bench, 8).select("s").distinct()
-      val tsh = TextOps.shingleRows(docs.filter(col("doc_id") >= 20), 8)
-        .distinct()
+      // map-side (doc_id, s) distinct: per-document property, no exchange
+      // (the ngramPhase1 rule)
+      val tsh = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.charShingles(8))).as("s"))
       val overlap = tsh.join(broadcast(bsh), Seq("s"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("overlap_cnt"))
@@ -793,8 +812,14 @@ object Dedup {
         .select(col("t1"), col("t2"), estMilliCol.as("est_milli"))
       val candTids = candt.select(col("t1").as("doc_id"))
         .union(candt.select(col("t2").as("doc_id"))).distinct()
-      val sh = TextOps.shingleRows(docs, 8).distinct()
+      // map-side (doc_id, s) distinct (the ngramPhase1 rule) — the
+      // distinct exchange is gone; the semi-filter to candidate docs
+      // runs over the unexploded doc rows FIRST, so only candidate
+      // docs' shingle arrays are ever built
+      val sh = docs.filter(col("text").isNotNull)
         .join(candTids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.charShingles(8))).as("s"))
         .localCheckpoint(false)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = candt
@@ -926,8 +951,12 @@ object Dedup {
       val mightContain = bridge.column(BloomFilterMightContain(
         Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
         bridge.expression(xxhash64(col("s")))))
-      val tsh = TextOps.shingleRows(docs.filter(col("doc_id") >= 20), 8)
-        .distinct()
+      // map-side (doc_id, s) distinct (the ngramPhase1 rule): the bloom
+      // probe then prunes the exploded rows BEFORE the semi-join's
+      // exchange, and no distinct shuffle precedes it
+      val tsh = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.charShingles(8))).as("s"))
         .filter(mightContain)
       tsh.join(bsh, Seq("s"), "left_semi")
         .groupBy("doc_id")
@@ -1040,13 +1069,14 @@ object Dedup {
     *   A run of positions [s, e] witnesses the duplicated span
     *   [s, e + k - 1], reported as (span_start = s, span_len = e-s+k).
     *
-    * Scale shape: two corpus-wide shuffles (gram df count, join-back)
-    * + one doc_id exchange feeding the partitioned window, everything
-    * shuffle_hash (gram and position tables are corpus-derived — never
-    * broadcast); no all-pairs doc comparison anywhere — cross-doc
-    * evidence lives entirely in the gram df aggregate. Production
-    * corpora cut the constant with a gram stride at recall cost; this
-    * is the exact tier. */
+    * Scale shape: ONE corpus-wide gram-table shuffle (the hash(h)
+    * exchange under the min/max window that decides cross-doc-ness —
+    * r19 halved this from the old aggregate + join-back pair) + one
+    * doc_id exchange feeding the partitioned window; nothing
+    * corpus-derived is broadcast; no all-pairs doc comparison anywhere
+    * — cross-doc evidence lives entirely in the per-gram min/max.
+    * Production corpora cut the constant with a gram stride at recall
+    * cost; this is the exact tier. */
   def substringDedupOf(docs: DataFrame, k: Int = 50): DataFrame = {
     // h = unhex(md5): the FULL 128 bits (a truncated hash would manufacture
     // false dup spans once the corpus's gram count hits its birthday
@@ -1054,21 +1084,28 @@ object Dedup {
     // table is the dominant shuffle at scale and the key is half the
     // hex width. The oracle needs no mirror: dup-ness is defined by
     // gram EQUALITY, and any injective encoding yields identical rows
-    // pos feeds BOTH the df aggregate and the join-back probe:
-    // checkpoint it (the sharedPassagePairsFromFp rule) so the gram
-    // explode + md5 — the tier's dominant map cost — runs once, not
-    // once per branch; lazy is safe here (single downstream action)
+    // no checkpoint (r19): with the window form below, pos has exactly
+    // ONE consumer — the gram explode + md5 streams straight into the
+    // window's exchange instead of materializing an intermediate copy
     val pos = docs.filter(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("i"),
         unhex(md5(expr(s"substring(text, p, $k)"))).as("h"))
-      .localCheckpoint(false)
-    val crossDoc = pos.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("h")
-    val dup = pos.join(crossDoc.hint("shuffle_hash"), "h")
+    // ONE gram-table exchange, not two (r19, guide §2.4): the old shape
+    // aggregated pos by h (and countDistinct(doc_id) shuffled the
+    // distinct (h, doc_id) pairs — no partial-agg compression) and then
+    // re-shuffled pos a second time for the join-back. A min/max window
+    // over hash(h) partitions computes the same ≥2-distinct-docs
+    // predicate (min(doc_id) ≠ max(doc_id) ⟺ ≥2 distinct, since both
+    // come from the same non-null column) on ONE exchange of pos, and
+    // the filter runs where the rows already sit. At 100 TB this
+    // halves the gram-table shuffle — the tier's dominant movement.
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val dup = pos
+      .withColumn("dmin", min(col("doc_id")).over(wh))
+      .withColumn("dmax", max(col("doc_id")).over(wh))
+      .filter(col("dmin") =!= col("dmax"))
       .select("doc_id", "i")
     // gaps-and-islands: consecutive duplicated positions share
     // i − row_number within their doc, so one partitioned window + one

@@ -38,13 +38,26 @@ private[llm] trait TextFingerprint { self: TextOps.type =>
     * shingle count — a compact per-doc signature for near-dup triage. */
   val docFingerprint = QuerySpec(
     "doc_fingerprint",
+    // Per-row array aggregation, NOT groupBy(doc_id) over exploded
+    // shingle rows: every aggregate here is per-document and a document
+    // is one input row, so min/max/distinct-count are computable
+    // map-side over the shingle array — the groupBy form shuffled the
+    // FULL gram stream (3 exchanges + SortAggregate over ~n_chars rows
+    // per doc; 83 MB shuffle read at sf0.1 bench) to compute what never
+    // needed to leave its row. The isNotNull filter mirrors the explode
+    // form's semantics (a null text exploded to zero rows, dropping the
+    // doc from the output).
     (s, d) =>
-      shingleRows(documents(s, d), 8)
-        .groupBy("doc_id")
-        .agg(
-          min(md5(col("s"))).as("fp_min"),
-          max(md5(col("s"))).as("fp_max"),
-          count_distinct(col("s")).as("n_shingles"))
+      documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), charShingles(8).as("shs"))
+        .select(col("doc_id"),
+          expr("transform(shs, s -> md5(s))").as("hs"),
+          size(array_distinct(col("shs"))).cast("long").as("n_shingles"))
+        .select(col("doc_id"),
+          array_min(col("hs")).as("fp_min"),
+          array_max(col("hs")).as("fp_max"),
+          col("n_shingles"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max,
                    count(DISTINCT s) AS n_shingles

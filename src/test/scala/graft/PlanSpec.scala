@@ -196,7 +196,7 @@ class PlanSpec extends SparkSpec {
     // hierarchy_rollup_ptr: the closure and rollup tables are all
     // node-count-sized — same rule
     for (key <- Seq("fuzzy_link", "collocation_pmi", "shared_passage_pairs",
-        "hierarchy_rollup_ptr", "substring_dedup")) {
+        "hierarchy_rollup_ptr")) {
       val p = SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan.toString
       assert(p.contains("ShuffledHashJoin"), s"[$key] no shuffle-hash join:\n$p")
       // single-row scalar totals (collocation's n/m) ride BroadcastNestedLoopJoin
@@ -204,6 +204,28 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastHashJoin"),
         s"[$key] corpus-derived broadcast in static plan:\n$p")
     }
+  }
+
+  test("substring_dedup: cross-doc evidence is one windowed gram exchange, no join-back") {
+    // r19: the old df-aggregate + join-back pair (two corpus-wide gram
+    // shuffles, the second a ShuffledHashJoin) collapsed into ONE
+    // hash(h) exchange under a min/max window — the strongest form of
+    // the shuffle-hash rule is no join at all; the gram table must
+    // still never be broadcast
+    val p = SparkEntry.queries("substring_dedup")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), s"join-back resurrected:\n$p")
+    assert(p.contains("Window"), s"windowed cross-doc predicate missing:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"corpus-derived broadcast in static plan:\n$p")
+    // exactly two hash exchanges touch gram/position rows: hash(h) for
+    // the cross-doc window, hash(doc_id) for gaps-and-islands (the
+    // final range exchange is the contracted ORDER BY). Exchanges are
+    // inserted by EnsureRequirements, so count on the executed plan.
+    val ep = SparkEntry.queries("substring_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(ep).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$ep")
   }
 
   test("shared_passage_pairs: winnowing runs once (checkpointed), not once per self-join side") {
