@@ -95,7 +95,19 @@ object StarSchema {
     val li = lineitem(s, d)
       .filter(col("l_quantity") > 0) // qualifying rows (≅ amount > 0 guard, loadAnalyticsDB.R:412)
     li.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("customer_key"), "left")
+      // explicit broadcast (r19): this file's whole design is "dims are
+      // broadcast, the fact table never shuffles for key resolution",
+      // and fact_build/PLANS.md lock that shape — but dim_customer sits
+      // behind two joins, whose multiplied size ESTIMATE blows past the
+      // autoBroadcast threshold, so the planner silently degraded this
+      // one to a SortMergeJoin that exchanged + sorted the whole fact by
+      // o_custkey (guide §3.1: estimates are wrong after joins — hint
+      // what you know). AQE was already demoting the SMJ to a broadcast
+      // at runtime via its local-shuffle-read path, so the static hint's
+      // measured win is the skipped fact exchange + sort: 3.64 → 3.23 s
+      // at sf0.1; the surviving 28 MB shuffle is the contracted final
+      // ORDER BY's range exchange of the full fact.
+      .join(broadcast(cust), col("o_custkey") === col("customer_key"), "left")
       .select(
         col("l_orderkey").as("order_id"),
         col("l_linenumber").as("line_no"),

@@ -822,9 +822,15 @@ private[llm] trait TextScoring { self: TextOps.type =>
   val trigramFamiliarity = QuerySpec(
     "trigram_familiarity",
     (s, d) => {
-      val tri = shingleRows(documents(s, d), 3)
-      val counts = tri.groupBy("s").agg(count(lit(1)).as("c"))
-      tri.join(counts, "s")
+      // ONE trigram pass and ONE trigram-stream exchange (r19, the
+      // substring_dedup window rule): the old count-table + join-back
+      // pair exploded the corpus twice and shuffled the occurrence
+      // stream twice; a count window over hash(s) partitions attaches
+      // each occurrence's corpus frequency on a single exchange
+      // (measured 2.24 s → 1.16 s at sf0.1, and the explode runs once)
+      val ws = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      shingleRows(documents(s, d), 3)
+        .withColumn("c", count(lit(1)).over(ws))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_trigrams"),
           expr("sum(c) div count(1)").as("familiarity"))
