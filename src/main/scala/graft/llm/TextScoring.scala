@@ -632,13 +632,20 @@ private[llm] trait TextScoring { self: TextOps.type =>
     "bm25_topk",
     (s, d) => {
       val terms = Seq("spark", "join", "dup")
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(tokens).as("t"))
-        .localCheckpoint(false) // 2 consumers: doc lengths, term freqs
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // doc lengths map-side (r19): dl is a per-document aggregate, so
+      // size(tokens) computes it with zero shuffle — the old form
+      // exploded every token into a corpus-sized checkpoint just to
+      // count rows per doc. The > 0 filter mirrors explode semantics
+      // exactly: a zero-token (or null-text) doc produced no exploded
+      // rows, hence no dl row — it must stay out of the (A, N) totals.
+      val dl = documents(s, d)
+        .select(col("doc_id"), size(tokens).cast("long").as("dl"))
+        .filter(col("dl") > 0)
         .localCheckpoint(false) // 2 consumers: totals, score join
       val st = dl.agg(sum(col("dl")).as("a"), count(lit(1)).as("nd"))
-      val tf = toks.filter(col("t").isin(terms: _*))
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("t"))
+        .filter(col("t").isin(terms: _*))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
       tf.join(df.hint("shuffle_hash"), Seq("t"))
@@ -706,10 +713,14 @@ private[llm] trait TextScoring { self: TextOps.type =>
       val tf = documents(s, d)
         .select(col("doc_id"), explode(tokens).as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score_micro").desc, col("t"))
-      tf.join(df, "t")
+      // df via a count window over hash(t) partitions (r19, the
+      // trigram_familiarity rule): df = rows per term in tf, so the
+      // separate df aggregate + join-back — two exchanges of the tf
+      // stream — collapse into ONE
+      tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("t")))
         .withColumn("score_micro", expr("(1000000 * tf) div df"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
